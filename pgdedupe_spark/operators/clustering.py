@@ -1,0 +1,166 @@
+"""Graph clustering: connected components + per-component hierarchical
+agglomerative clustering (SURVEY.md §2.7 D9, §2.8 G1).
+
+* :func:`connected_components` replaces the reference's recursive-DFS pandas
+  CC (``pgdedupe/exact_matches.py:9-40``), which crashes past Python's
+  recursion limit on long chains (SURVEY §3.3). We use iterative min-label
+  propagation over DataFrames — "large/small-star"-style hash joins until
+  fixpoint, O(log d) rounds for diameter d; each round is one shuffle on the
+  vertex id. Component label = min vertex id, observationally equivalent to
+  the reference's relabel-to-min (``exact_matches.py:78``).
+
+* :func:`cluster_components` replaces ``dedupe.matchBlocks``' fastcluster
+  HAC (``pgdedupe/run.py:362-379``): candidate-pair graph → components →
+  per-component average-linkage HAC cut at (1 - threshold), run inside
+  ``applyInPandas`` (components are small by construction — blocking bounds
+  them), pure numpy (no scipy in this environment). Per-record
+  ``cluster_score`` follows dedupe's confidence definition: 1 minus the
+  record's average cophenetic distance to the rest of its cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Weak connected components of an undirected edge list (id1, id2).
+
+    Returns (id, component) with component = min id reachable. Vertices only
+    appear if they occur in an edge (singletons are handled by callers via
+    outer-join + coalesce, as the reference does with its right join J3).
+    """
+    sym = (
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("component"))
+        .select(F.col("src").alias("id"), "component")
+        .withColumn("component", F.least("id", "component"))
+    )
+    labels.persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+
+    sym.persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(max_iter):
+        # propagate: each vertex takes min(own label, neighbours' labels)
+        neigh = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _hac_average_linkage(ids: np.ndarray, dist: dict, cutoff: float):
+    """Average-linkage HAC over a sparse pairwise-distance dict; missing
+    pairs are treated as distance 1.0 (max). Returns list of (cluster_ids,
+    per-record scores). Pure numpy/python — components are small."""
+    n = len(ids)
+    # dense matrix; components are bounded by block size
+    d = np.ones((n, n))
+    np.fill_diagonal(d, 0.0)
+    pos = {v: i for i, v in enumerate(ids)}
+    for (a, b), v in dist.items():
+        i, j = pos[a], pos[b]
+        d[i, j] = d[j, i] = v
+    clusters = {i: [i] for i in range(n)}
+    active = set(clusters)
+    cd = d.copy()
+    while len(active) > 1:
+        best, bi, bj = None, None, None
+        act = sorted(active)
+        for x in range(len(act)):
+            for y in range(x + 1, len(act)):
+                i, j = act[x], act[y]
+                v = cd[i, j]
+                if best is None or v < best:
+                    best, bi, bj = v, i, j
+        if best is None or best > cutoff:
+            break
+        # merge bj into bi; average linkage update
+        ni, nj = len(clusters[bi]), len(clusters[bj])
+        for k in active:
+            if k in (bi, bj):
+                continue
+            cd[bi, k] = cd[k, bi] = (ni * cd[bi, k] + nj * cd[bj, k]) / (ni + nj)
+        clusters[bi].extend(clusters[bj])
+        active.discard(bj)
+    out = []
+    for i in sorted(active):
+        members = clusters[i]
+        if len(members) < 2:
+            continue
+        mids = [ids[m] for m in members]
+        scores = []
+        for m in members:
+            others = [d[m, o] for o in members if o != m]
+            scores.append(1.0 - float(np.mean(others)))
+        out.append((mids, scores))
+    return out
+
+
+def cluster_components(scored_pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """scored pairs (id1, id2, score≥threshold already applied upstream) →
+    entity_map (_unique_id, canon_id, cluster_score).
+
+    canon_id = min member id (the reference uses first-member id,
+    ``run.py:405-408``; with our deterministic ordering that is the min)."""
+    edges = scored_pairs.select("id1", "id2", "score")
+    comp = connected_components(edges.select("id1", "id2"))
+    with_comp = (
+        edges.join(comp.withColumnRenamed("id", "id1"), "id1")
+        .withColumnRenamed("component", "component_")
+    )
+
+    schema = "component long, _unique_id long, canon_id long, cluster_score double"
+    cutoff = 1.0 - threshold
+
+    def _cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(np.concatenate([pdf["id1"].values, pdf["id2"].values]))
+        dist = {
+            (r.id1, r.id2): 1.0 - float(r.score)
+            for r in pdf.itertuples(index=False)
+        }
+        comp_id = int(pdf["component_"].iloc[0])
+        rows = []
+        for mids, scores in _hac_average_linkage(ids, dist, cutoff=cutoff):
+            canon = int(min(mids))
+            for m, s in zip(mids, scores):
+                rows.append((comp_id, int(m), canon, float(s)))
+        return pd.DataFrame(rows, columns=["component", "_unique_id", "canon_id", "cluster_score"])
+
+    return (
+        with_comp.groupBy("component_")
+        .applyInPandas(_cluster, schema=schema)
+        .select("_unique_id", "canon_id", "cluster_score")
+    )
