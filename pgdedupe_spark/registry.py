@@ -69,3 +69,622 @@ def a1_exact_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="doc_id",
         filter_condition="n_chars > 0",
     )
+
+
+# ---------------------------------------------------------------------------
+# P1+P2 — projection + arbitrary ANSI predicate filter (run.py:94-95).
+# Catalyst pushes both into the parquet scan (PushedFilters/ReadSchema).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p2_filter_projection",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 1000 AND (c_mktsegment = 'BUILDING' OR c_nationkey < 10)
+    """,
+)
+def p2_filter_projection(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .filter(F.expr("c_acctbal > 1000 AND (c_mktsegment = 'BUILDING' OR c_nationkey < 10)"))
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    )
+
+
+@query("p3_distinct", oracle="SELECT DISTINCT c_mktsegment FROM customer")
+def p3_distinct(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "p5_empty_clone",
+    oracle="SELECT c_custkey, c_name FROM customer LIMIT 0",
+)
+def p5_empty_clone(spark, sf_dir):
+    # LIMIT 0 schema clone (exact_matches.py:92-94)
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name").limit(0)
+
+
+# ---------------------------------------------------------------------------
+# J1 + A2 + W1 — the plural-key half of the blocking chain, phrased on
+# orders (block_key := o_custkey). plural_key is small → broadcast join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_plural_block",
+    oracle="""
+    WITH bmap AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS block_key, o_orderkey AS _unique_id FROM orders
+    ), pk AS (
+      SELECT block_key,
+             row_number() OVER (ORDER BY block_key NULLS FIRST) AS block_id
+      FROM (SELECT block_key FROM bmap GROUP BY block_key HAVING count(*) > 1)
+    )
+    SELECT pk.block_id, bmap._unique_id
+    FROM bmap JOIN pk USING (block_key)
+    """,
+)
+def j1_plural_block(spark, sf_dir):
+    from pgdedupe_spark.operators.blocking import plural_block, plural_key
+
+    bmap = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("block_key"),
+        F.col("o_orderkey").alias("_unique_id"),
+    )
+    pk = plural_key(bmap)
+    return plural_block(bmap, pk)
+
+
+# ---------------------------------------------------------------------------
+# J2 + A3 + F2 — covered_blocks/smaller_coverage over a two-family blocking
+# of customer (nation + mktsegment), i.e. every record sits in 2 blocks.
+# ---------------------------------------------------------------------------
+
+_BLOCK_CHAIN_SQL = """
+    WITH bmap AS (
+      SELECT 'n:' || c_nationkey AS block_key, c_custkey AS _unique_id FROM customer
+      UNION ALL
+      SELECT 's:' || c_mktsegment AS block_key, c_custkey AS _unique_id FROM customer
+    ), pk AS (
+      SELECT block_key,
+             row_number() OVER (ORDER BY block_key NULLS FIRST) AS block_id
+      FROM (SELECT block_key FROM bmap GROUP BY block_key HAVING count(*) > 1)
+    ), pb AS (
+      SELECT pk.block_id, bmap._unique_id FROM bmap JOIN pk USING (block_key)
+    ), cov AS (
+      SELECT _unique_id, array_agg(block_id ORDER BY block_id) AS sorted_ids
+      FROM pb GROUP BY _unique_id
+    )
+"""
+
+
+def _customer_block_chain(spark, sf_dir):
+    from pgdedupe_spark.operators.blocking import blocking_chain
+
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "_unique_id")
+    keys = F.array(
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
+        F.concat(F.lit("s:"), F.col("c_mktsegment")),
+    )
+    return blocking_chain(cust, keys)
+
+
+@query(
+    "j2_smaller_coverage",
+    oracle=_BLOCK_CHAIN_SQL
+    + """
+    SELECT pb._unique_id, pb.block_id,
+           list_filter(cov.sorted_ids, x -> x < pb.block_id) AS smaller_ids
+    FROM pb JOIN cov USING (_unique_id)
+    """,
+)
+def j2_smaller_coverage(spark, sf_dir):
+    _, _, _, _, smaller = _customer_block_chain(spark, sf_dir)
+    return smaller
+
+
+# ---------------------------------------------------------------------------
+# J7 — redundant-free candidate pairs (Kolb scheme) on supplier, two block
+# families (nation + name prefix).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j7_candidate_pairs",
+    oracle="""
+    WITH bmap AS (
+      SELECT 'n:' || s_nationkey AS block_key, s_suppkey AS _unique_id FROM supplier
+      UNION ALL
+      SELECT 'p:' || substr(s_name, 1, 9) AS block_key, s_suppkey AS _unique_id FROM supplier
+    ), pk AS (
+      SELECT block_key,
+             row_number() OVER (ORDER BY block_key NULLS FIRST) AS block_id
+      FROM (SELECT block_key FROM bmap GROUP BY block_key HAVING count(*) > 1)
+    ), pb AS (
+      SELECT pk.block_id, bmap._unique_id FROM bmap JOIN pk USING (block_key)
+    ), cov AS (
+      SELECT _unique_id, array_agg(block_id ORDER BY block_id) AS sorted_ids
+      FROM pb GROUP BY _unique_id
+    ), sc AS (
+      SELECT pb._unique_id, pb.block_id,
+             list_filter(cov.sorted_ids, x -> x < pb.block_id) AS smaller_ids
+      FROM pb JOIN cov USING (_unique_id)
+    )
+    SELECT a.block_id, a._unique_id AS id1, b._unique_id AS id2
+    FROM sc a JOIN sc b
+      ON a.block_id = b.block_id AND a._unique_id < b._unique_id
+    WHERE len(list_intersect(a.smaller_ids, b.smaller_ids)) = 0
+    """,
+)
+def j7_candidate_pairs(spark, sf_dir):
+    from pgdedupe_spark.operators.blocking import blocking_chain
+    from pgdedupe_spark.operators.pairs import candidate_pairs
+
+    supp = _t(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "_unique_id")
+    keys = F.array(
+        F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")),
+        F.concat(F.lit("p:"), F.substring(F.col("s_name"), 1, 9)),
+    )
+    _, _, _, _, smaller = blocking_chain(supp, keys)
+    return candidate_pairs(smaller)
+
+
+# ---------------------------------------------------------------------------
+# J3 — right-outer + COALESCE singleton defaults (run.py:441-446): every
+# customer gets a canon_id (min orderkey of its ≥2-order group, else itself)
+# and a cluster_score (0.9 matched, 1.0 singleton).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j3_singleton_coalesce",
+    oracle="""
+    WITH em AS (
+      SELECT o_custkey, min(o_orderkey) AS canon_id
+      FROM orders GROUP BY o_custkey HAVING count(*) > 1
+    )
+    SELECT c_custkey AS _unique_id,
+           coalesce(em.canon_id, c_custkey) AS canon_id,
+           CASE WHEN em.canon_id IS NULL THEN 1.0 ELSE 0.9 END AS cluster_score
+    FROM customer LEFT JOIN em ON c_custkey = em.o_custkey
+    """,
+)
+def j3_singleton_coalesce(spark, sf_dir):
+    em = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("canon_id"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .drop("n")
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .join(em, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.col("c_custkey").alias("_unique_id"),
+            F.coalesce("canon_id", "c_custkey").alias("canon_id"),
+            F.when(F.col("canon_id").isNull(), F.lit(1.0)).otherwise(F.lit(0.9)).alias("cluster_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — exact-match edge extraction (exact_matches.py:70-83) on customer with
+# merge columns (c_nationkey, c_mktsegment). SQL `=` NULL semantics.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j5_exact_edges",
+    oracle="""
+    WITH nn AS (
+      SELECT * FROM customer
+      WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+    ), g AS (
+      SELECT c_nationkey, c_mktsegment, min(c_custkey) AS id2
+      FROM nn GROUP BY c_nationkey, c_mktsegment HAVING count(*) > 1
+    )
+    SELECT DISTINCT t1.c_custkey AS id1, g.id2
+    FROM nn t1 JOIN g USING (c_nationkey, c_mktsegment)
+    WHERE t1.c_custkey > g.id2
+    """,
+)
+def j5_exact_edges(spark, sf_dir):
+    from pgdedupe_spark.operators.exact_merge import exact_match_edges
+
+    cust = _t(spark, sf_dir, "customer").withColumn("cluster", F.col("c_custkey"))
+    return exact_match_edges(cust, ["c_nationkey", "c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
+# G1 — distributed connected components vs a recursive-CTE oracle. Edges =
+# star edges per lang ∪ per source over documents (exact_matches-style
+# min-agg edges), so components span lang×source overlaps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g1_connected_components",
+    oracle="""
+    WITH RECURSIVE e1 AS (
+      SELECT t1.doc_id AS id1, g.id2
+      FROM documents t1
+      JOIN (SELECT lang, min(doc_id) AS id2 FROM documents
+            GROUP BY lang HAVING count(*) > 1) g USING (lang)
+      WHERE t1.doc_id > g.id2
+    ), e2 AS (
+      SELECT t1.doc_id AS id1, g.id2
+      FROM documents t1
+      JOIN (SELECT source, min(doc_id) AS id2 FROM documents
+            GROUP BY source HAVING count(*) > 1) g USING (source)
+      WHERE t1.doc_id > g.id2
+    ), edges AS (
+      SELECT id1, id2 FROM e1 UNION SELECT id1, id2 FROM e2
+    ), sym AS (
+      SELECT id1 AS s, id2 AS d FROM edges UNION SELECT id2, id1 FROM edges
+    ), reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s
+    )
+    SELECT s AS id, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+    """,
+)
+def g1_connected_components(spark, sf_dir):
+    from pgdedupe_spark.operators.clustering import connected_components
+    from pgdedupe_spark.operators.exact_merge import exact_match_edges
+
+    docs = _t(spark, sf_dir, "documents").withColumn("cluster", F.col("doc_id"))
+    e1 = exact_match_edges(docs, ["lang"])
+    e2 = exact_match_edges(docs, ["source"])
+    # exact_match_edges emits (id1 > id2); CC is symmetric
+    return connected_components(e1.union(e2).distinct())
+
+
+# ---------------------------------------------------------------------------
+# A6 — count / count(col) / count(distinct col) (validation queries).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a6_counts",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_rows, count(o_custkey) AS n_cust,
+           count(DISTINCT o_custkey) AS n_distinct_cust
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a6_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_custkey").alias("n_cust"),
+            F.countDistinct("o_custkey").alias("n_distinct_cust"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — plurality (mode) with deterministic tie-break: most frequent
+# o_orderpriority per o_orderstatus, ties broken by value asc. Implemented
+# as count + row_number window in BOTH engines (notebook cell 6's
+# mode() WITHIN GROUP, SURVEY A7, with ties pinned down).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a7_mode_plurality",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority
+    FROM (
+      SELECT o_orderstatus, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY n DESC, o_orderpriority) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+)
+def a7_mode_plurality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("n").desc(), F.col("o_orderpriority"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — ratio-of-aggregates / two-level nested group-by (notebook error-rate
+# metrics). Doubles are summed through DECIMAL so partial-agg order can't
+# change the result, then cast back (see module docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_ratio_metrics",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_mktsegment, c_custkey,
+             count(o_orderkey) AS n_orders,
+             coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS spend
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment, c_custkey
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(spend) AS DOUBLE) AS total_spend,
+           CAST(SUM(spend) AS DOUBLE) / SUM(n_orders) AS spend_per_order
+    FROM per_cust GROUP BY c_mktsegment
+    """,
+)
+def a8_ratio_metrics(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0).cast("decimal(18,2)")
+            ).alias("spend"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("spend").cast("double").alias("total_spend"),
+        (F.sum("spend").cast("double") / F.sum("n_orders")).alias("spend_per_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — the reference's only set op: vertex set from edge endpoints
+# (exact_matches.py:29) — union-then-distinct.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a9_union_distinct",
+    oracle="""
+    SELECT o_custkey AS id FROM orders
+    UNION
+    SELECT c_custkey AS id FROM customer
+    """,
+)
+def a9_union_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("id"))
+        .union(_t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 + F2 + F3 — array position / filter-smaller / explode round-trip
+# (run.py:81-89, 314-319, 473-475) phrased per customer over order ids.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_array_ops",
+    oracle="""
+    WITH cov AS (
+      SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey) AS sorted_ids
+      FROM orders GROUP BY o_custkey
+    ), x AS (
+      SELECT o_custkey, unnest(sorted_ids) AS o_orderkey, sorted_ids FROM cov
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(list_position(sorted_ids, o_orderkey) AS BIGINT) AS pos,
+           CAST(len(list_filter(sorted_ids, y -> y < o_orderkey)) AS BIGINT) AS n_smaller
+    FROM x
+    """,
+)
+def f_array_ops(spark, sf_dir):
+    cov = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("sorted_ids"))
+    )
+    return (
+        cov.select("o_custkey", F.explode("sorted_ids").alias("o_orderkey"), "sorted_ids")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.array_position("sorted_ids", F.col("o_orderkey")).cast("bigint").alias("pos"),
+            F.size(F.filter("sorted_ids", lambda y: y < F.col("o_orderkey")))
+            .cast("bigint")
+            .alias("n_smaller"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — PG `||` concat NULL semantics (initialize_db.py:37): NULL if any
+# operand NULL (F.concat matches; concat_ws would not — SURVEY F5).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f5_concat_null",
+    oracle="""
+    SELECT c_custkey,
+           c_name || ' ' || nullif(c_mktsegment, 'BUILDING') AS tagged
+    FROM customer
+    """,
+)
+def f5_concat_null(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" "),
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")),
+        ).alias("tagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic headliners (A8-family at scale; bench queries). Money math goes
+# through DECIMAL for cross-engine exactness, output cast to DOUBLE.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q5_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_revenue(spark, sf_dir):
+    # nation/region are tiny dims → broadcast; the fact-fact joins shuffle on
+    # their keys once each (Catalyst/AQE pick SMJ or SHJ).
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: tumbling-window aggregate (batch form of the streaming rollup) and
+# per-user ordered window functions (W2 made user-visible).
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, sf_dir):
+    """`events.ts` is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+    timestamp type, so we read it as a nanos-since-epoch long
+    (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable) and do exact
+    integer time arithmetic; DuckDB mirrors via epoch_ns(). Lossless in both
+    engines. For oracle-checked queries we floor to µs (`ts_us`) because
+    DuckDB 1.0 itself truncates nanos parquet columns to µs TIMESTAMP at
+    scan time — the µs view is what the oracle can see."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))  # integer div: ns > 2^53 breaks double math
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, epoch_us(ts) - epoch_us(ts) % 3600000000
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    hour = (F.col("ts_us") - F.col("ts_us") % F.lit(3600000000)).alias("hour_us")
+    return ev.groupBy("event_type", hour).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "events_user_seq",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+    FROM events
+    """,
+)
+def events_user_seq(spark, sf_dir):
+    from pyspark.sql import Window
+
+    # tie-break on event_id matches the oracle's ORDER BY ts, event_id
+    # (ts_us ties are possible after µs truncation)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.row_number().over(w).alias("seq"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+    )

@@ -24,6 +24,10 @@ def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        return tuple(_norm(x) for x in v.tolist())
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
