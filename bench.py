@@ -1,0 +1,77 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed via the same registry entries the correctness gate
+uses; timing = full action (plan + execute + count collect-side)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pgdedupe_spark import get_spark  # noqa: E402
+from pgdedupe_spark import registry  # noqa: E402
+
+HEADLINE = [
+    "a1_exact_collapse",
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
+    "g1_connected_components",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "a8_ratio_metrics",
+    "events_hourly_rollup",
+    "events_user_seq",
+    "dedup_exact_norm",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "multimodal_binary_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("pgdedupe-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen path so per-query numbers measure the plan, not
+    # session startup
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,14 +39,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         .union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
     )
+    # localCheckpoint (not persist): truncates the logical plan each round —
+    # the iterative lineage otherwise grows superlinearly and OOMs the
+    # driver's plan renderer long before the data is big. On a cluster with
+    # unreliable executors, swap for checkpoint() with a checkpoint dir.
     labels = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("component"))
         .select(F.col("src").alias("id"), "component")
         .withColumn("component", F.least("id", "component"))
-    )
-    labels.persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+    ).localCheckpoint(eager=True)
 
     sym.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iter):
@@ -64,8 +66,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
                     "component"
                 ),
             )
-        )
-        new_labels.persist(StorageLevel.MEMORY_AND_DISK)
+        ).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -73,7 +74,6 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

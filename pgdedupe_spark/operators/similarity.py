@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; dot products via zip_with/aggregate (pure JVM).
+  The oracle-checked variant quantizes floats to ints (×10⁴) so every
+  intermediate is an exact integer < 2^53 — double math is then
+  order-independent and bit-identical across engines.
+* :func:`random_hyperplane_buckets` / :func:`lsh_cosine_topk` — the scale
+  path: sign-of-projection LSH buckets (seeded numpy hyperplanes shipped as
+  literal arrays), candidates from bucket join, exact re-rank inside
+  buckets. At 100 TB you'd persist the bucketed table (write-once,
+  query-many) — an IVF layout in parquet partitioning terms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _quantize(col: Column, scale: int = 10000) -> Column:
+    return F.transform(col, lambda x: F.round(x * scale).cast("bigint"))
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the filtered query set (quantized —
+    see module docstring). Output (query_id, neighbor_id, sim, rank)."""
+    q = (
+        embeddings.filter(F.expr(query_filter))
+        .select(F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("_qv"))
+        .withColumn("_qn", F.sqrt(_dot_long(F.col("_qv"), F.col("_qv")).cast("double")))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("_cv")
+    ).withColumn("_cn", F.sqrt(_dot_long(F.col("_cv"), F.col("_cv")).cast("double")))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            _dot_long(F.col("_qv"), F.col("_cv")).cast("double") / (F.col("_qn") * F.col("_cn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(planes, dim)
+
+
+def random_hyperplane_buckets(
+    embeddings: DataFrame, id_col: str, vec_col: str, planes: np.ndarray
+) -> DataFrame:
+    """Sign-pattern bucket id per vector: bit b = (v·plane_b) > 0."""
+    sign_bits = []
+    for b, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for sb in sign_bits[1:]:
+        bucket = bucket + sb
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket, exact cosine
+    re-rank within. Scale path for the brute-force cosine_topk."""
+    planes = hyperplanes(dim, n_planes, seed)
+    bucketed = random_hyperplane_buckets(embeddings, id_col, vec_col, planes)
+    q = bucketed.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "bucket"
+    )
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c_: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c_, c_, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot / (norm(F.col("_qv")) * norm(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

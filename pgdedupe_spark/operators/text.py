@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data pipelines: quality scoring,
+token counting, language ID, document fingerprinting (BASELINE.json north
+star). All pure JVM column expressions — no Python in the hot path — and
+each has an exactly-matching ANSI-SQL formulation for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared with the oracle SQL — keep in sync with registry.py
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "von"],
+    "zh": ["de", "shi", "zai", "le", "he", "you", "wo", "ta", "men", "bu"],
+}
+
+TOKEN_RE = "[A-Za-z0-9]+"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+FP_MOD = 1_000_000_007
+
+
+def tokens(col: Column) -> Column:
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE.lower()), 0)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace/alnum token count (the BPE-ish regex tokenizer baseline)."""
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_RE), 0)).cast("bigint")
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0)).cast("bigint")
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast("bigint")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document quality features + a boolean quality gate (the standard
+    Gopher-style length/punct/stopword heuristics, simplified)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    total_tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(t).cast("bigint").alias("n_chars_txt"),
+        n_tok.alias("n_tokens"),
+        punct_count(t).alias("n_punct"),
+        (total_tok_chars / F.greatest(n_tok, F.lit(1))).alias("avg_token_len"),
+        stopword_hits(t, "en").alias("en_stopword_hits"),
+        (
+            (n_tok >= 10)
+            & (punct_count(t) * 2 < n_tok)
+            & (total_tok_chars / F.greatest(n_tok, F.lit(1)) < 12)
+        ).alias("quality_ok"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile argmax language ID with deterministic tie-break
+    (hits desc, lang asc). N-gram-profile LID reduces to the same
+    shape — per-language score expression + argmax."""
+    t = F.col(text_col)
+    scored = df.select(
+        F.col(id_col),
+        *[stopword_hits(t, lang).alias(f"_hits_{lang}") for lang in sorted(STOPWORDS)],
+    )
+    langs = sorted(STOPWORDS)
+    pairs = F.array(
+        *[
+            F.struct((-F.col(f"_hits_{la}")).alias("neg"), F.lit(la).alias("lang"))
+            for la in langs
+        ]
+    )
+    best = F.array_min(pairs)  # struct compare: smallest neg-hits, then lang asc
+    return scored.select(
+        id_col,
+        best["lang"].alias("pred_lang"),
+        (-best["neg"]).cast("bigint").alias("hits"),
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash over characters, mod 1e9+7 — a deterministic
+    64-bit-safe document fingerprint with an exact SQL twin
+    (list_reduce/list_transform in DuckDB)."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col), F.lit(1))),
+        lambda i: F.ascii(F.substring(col, i, 1)).cast("bigint"),
+    )
+    return F.when(F.length(col) == 0, F.lit(0).cast("bigint")).otherwise(
+        F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % FP_MOD,
+        )
+    )
+
+
+def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))

@@ -688,3 +688,212 @@ def events_user_seq(spark, sf_dir):
         F.row_number().over(w).alias("seq"),
         (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
     )
+
+
+# ===========================================================================
+# LLM-data-pipeline extensions (BASELINE.json north star): dedup, similarity
+# search, text analysis, multimodal plumbing — each over documents /
+# embeddings, oracle-checked where SQL-expressible.
+# ===========================================================================
+
+
+@query(
+    "dedup_exact_norm",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    )
+    SELECT min(doc_id) AS canon_id,
+           array_agg(doc_id ORDER BY doc_id) AS dup_ids,
+           count(*) AS n_dups
+    FROM n GROUP BY norm HAVING count(*) > 1
+    """,
+)
+def dedup_exact_norm(spark, sf_dir):
+    from pgdedupe_spark.operators.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
+                           i -> substr(text, i::int, 5))) AS ss
+      FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           len(list_intersect(a.ss, b.ss))::DOUBLE /
+             (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) AS jaccard
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.ss, b.ss))::DOUBLE /
+            (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from pgdedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.6
+    )
+
+
+@query("dedup_minhash_lsh")  # approximate candidates → exact verify; rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    from pgdedupe_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5,
+        num_hashes=64, bands=16, threshold=0.6,
+    )
+
+
+@query("dedup_simhash")  # signature space isn't SQL-replicable; rows-only
+def dedup_simhash(spark, sf_dir):
+    from pgdedupe_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+_SW_EN = "'the','a','of','and','to','in','is','it','that','for'"
+
+
+@query(
+    "text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(text) AS BIGINT) AS n_chars_txt,
+           n_tokens, n_punct,
+           CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+             / greatest(n_tokens, 1) AS avg_token_len,
+           CAST(len(list_filter(toks, t2 -> t2 IN ({_SW_EN}))) AS BIGINT) AS en_stopword_hits,
+           (n_tokens >= 10 AND n_punct * 2 < n_tokens
+            AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                / greatest(n_tokens, 1) < 12) AS quality_ok
+    FROM t
+    """,
+)
+def text_quality_stats(spark, sf_dir):
+    from pgdedupe_spark.operators.text import text_stats
+
+    return text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sw_sql(lang: str) -> str:
+    from pgdedupe_spark.operators.text import STOPWORDS
+
+    return ",".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ({_sw_sql('de')}))) AS BIGINT) AS h_de,
+             CAST(len(list_filter(toks, x -> x IN ({_sw_sql('en')}))) AS BIGINT) AS h_en,
+             CAST(len(list_filter(toks, x -> x IN ({_sw_sql('es')}))) AS BIGINT) AS h_es,
+             CAST(len(list_filter(toks, x -> x IN ({_sw_sql('fr')}))) AS BIGINT) AS h_fr,
+             CAST(len(list_filter(toks, x -> x IN ({_sw_sql('zh')}))) AS BIGINT) AS h_zh
+      FROM t
+    )
+    SELECT doc_id,
+           CASE
+             WHEN h_de >= greatest(h_en, h_es, h_fr, h_zh) THEN 'de'
+             WHEN h_en >= greatest(h_es, h_fr, h_zh) THEN 'en'
+             WHEN h_es >= greatest(h_fr, h_zh) THEN 'es'
+             WHEN h_fr >= h_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang,
+           greatest(h_de, h_en, h_es, h_fr, h_zh) AS hits
+    FROM h
+    """,
+)
+def text_language_id(spark, sf_dir):
+    from pgdedupe_spark.operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+           END AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    from pgdedupe_spark.operators.text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS cv
+      FROM embeddings
+    ), scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    from pgdedupe_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+
+
+@query("ann_lsh_topk")  # approximate (bucketed) — rows-only
+def ann_lsh_topk(spark, sf_dir):
+    from pgdedupe_spark.operators.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+
+
+@query(
+    "multimodal_binary_stats",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(hex(encode(substr(text, 1, 4)))) AS magic
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark, sf_dir):
+    from pgdedupe_spark.operators.multimodal import attach_binary_payload, binary_metadata
+
+    docs = _t(spark, sf_dir, "documents")
+    return binary_metadata(attach_binary_payload(docs, "doc_id", "text"))

@@ -1,0 +1,88 @@
+"""End-to-end pipeline quality + determinism gates — the Spark equivalents
+of the reference's test_integration.py (quality bound) and
+test_reproducibility.py (identical output across runs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.config import DedupeConfig
+from pgdedupe_spark.operators.features import FieldDef
+from pgdedupe_spark.pipeline import run_pipeline
+from tests.datagen import generate_population, training_pairs
+
+N_PEOPLE = 150
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    rows, truth = generate_population(N_PEOPLE, seed=0)
+    df = spark.createDataFrame(
+        rows, "entry_id long, first_name string, last_name string, ssn string, sex string, dob string"
+    )
+    return df, truth
+
+
+def _config():
+    return DedupeConfig(
+        table="entries",
+        key="entry_id",
+        fields=[
+            FieldDef("first_name"),
+            FieldDef("last_name"),
+            FieldDef("ssn", has_missing=True),
+            FieldDef("sex", type="Categorical", categories=["M", "F"], has_missing=True),
+            FieldDef("dob", has_missing=True),
+        ],
+        interactions=[("first_name", "last_name")],
+        filter_condition="last_name is not null",
+        merge_exact=[["ssn"]],
+        threshold=0.5,
+    )
+
+
+def test_quality(spark, source):
+    """Mirror of reference test_integration.py:30 — the engine must merge
+    substantially (distinct clusters well below row count, near person
+    count), and must not over-merge to a handful of clusters."""
+    df, truth = source
+    res = run_pipeline(df, _config(), training_pairs())
+    n_rows = df.count()
+    n_clusters = res.unique_map.select("dedupe_id").distinct().count()
+    assert n_clusters < n_rows * 0.7, f"barely merged: {n_clusters}/{n_rows}"
+    assert n_clusters > N_PEOPLE * 0.3, f"over-merged: {n_clusters} for {N_PEOPLE} people"
+
+    # precision proxy vs ground truth: majority-person purity of clusters
+    um = res.unique_map.toPandas()
+    um["person"] = um["entry_id"].map(truth)
+    purity = (
+        um.groupby("dedupe_id")["person"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .mean()
+    )
+    assert purity > 0.85, f"cluster purity too low: {purity:.3f}"
+
+
+def test_determinism(spark, source):
+    """Reference test_reproducibility.py parity: two full runs, identical
+    entity maps and unique maps."""
+    df, _ = source
+    cfg = _config()
+    tp = training_pairs()
+    r1 = run_pipeline(df, cfg, tp)
+    r2 = run_pipeline(df, cfg, tp)
+    a = sorted(map(tuple, r1.unique_map.collect()))
+    b = sorted(map(tuple, r2.unique_map.collect()))
+    assert a == b
+    e1 = sorted(map(tuple, r1.entity_map.collect()))
+    e2 = sorted(map(tuple, r2.entity_map.collect()))
+    assert e1 == e2
+
+
+def test_every_source_row_mapped(spark, source):
+    df, _ = source
+    res = run_pipeline(df, _config(), training_pairs())
+    # rows passing the filter all get a dedupe_id; filtered rows get NULL
+    n_filtered = df.filter("last_name is not null").count()
+    assert res.unique_map.filter(F.col("dedupe_id").isNotNull()).count() == n_filtered
