@@ -14,18 +14,21 @@ Scale design:
 * MinHash-LSH: k hash functions via xxhash64(seed_i, shingle) (JVM-side,
   no Python), banded into b buckets → candidates = bucket-join → verified
   with exact Jaccard. One shuffle per stage; hot buckets handled by AQE.
-* SimHash: 64-bit signature via an Arrow-batched pandas UDF (numpy bit
-  ops), candidate pairs via the pigeonhole band join (hamming ≤ d ⇒ some
-  ⌈64/(d+1)⌉-bit chunk equal).
+* SimHash: 64-bit signature computed JVM-side (xxhash64 per token +
+  higher-order bit-majority), candidate pairs via the pigeonhole band join
+  (hamming ≤ d ⇒ some ⌈64/(d+1)⌉-bit chunk equal).
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+
+from pgdedupe_spark.operators.ids import add_deterministic_id
+
+# verification strategy cutover: ≤ this many distinct shingles → per-doc
+# fixed bitmask (V/64 longs, ≤ 2 KiB/doc) + bit_count intersection
+_BITMAP_MAX_VOCAB = 16384
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
@@ -81,63 +84,124 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 5,
     threshold: float = 0.6,
+    strategy: str = "auto",
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) ≥ threshold — exact, via
-    **prefix filtering** (AllPairs / PPJoin family).
+    **prefix filtering** (AllPairs / PPJoin family) + dictionary-encoded
+    verification.
 
-    A naive inverted index joins every co-occurring shingle — hot shingles
-    make that quadratic (measured 412 s at sf0.1 vs ~3 s with prefixes).
-    Instead: order each doc's shingle set by ascending global document
-    frequency (rarest first; tie-break on the shingle string) and index only
-    the first ``|S| − ⌈t·|S|⌉ + 1`` shingles. Two sets with J ≥ t overlap in
-    > (1−t)·min size elements, so their prefixes must intersect — no true
-    pair is lost, and posting lists hold only *rare* shingles. Candidates
-    are then verified with the exact Jaccard on the full sets
-    (array_intersect — integer math, bit-identical across engines).
+    Plan shape (one pass over the corpus, no O(n²) stage except the
+    candidate verify, which the prefix filter bounds):
+
+    1. Shingle-set per doc, then a global document-frequency count and a
+       dense integer id per shingle ordered rarest-first (``_vid``). The
+       vocab join broadcasts when small.
+    2. Each doc becomes a **sorted int array** (ascending ``_vid`` = global
+       rarity order). The AllPairs prefix is then just ``slice(ids, 1,
+       |S| − ⌈t·|S|⌉ + 1)``: two sets with J ≥ t must share a prefix
+       element, so indexing only prefixes loses no true pair.
+    3. Candidates: self-equi-join of exploded prefixes on ``_vid`` with the
+       length filter ``t·|B| ≤ |A|`` (J ≥ t bounds the size ratio), then
+       pair-distinct.
+    4. Verify exactly. Degenerate corpora (tiny shingle vocabulary — every
+       doc shares the hot shingles, prefixes prune nothing; measured 10.7M
+       candidates over 5k docs at sf0.1) make per-pair set intersection the
+       bottleneck, so when the whole vocab fits in a fixed bitmap
+       (≤ ``_BITMAP_MAX_VOCAB`` bits) each doc is a ``V/64``-long bitmask
+       and overlap = Σ bit_count(a&b) — whole-stage-codegen JVM, ~100× over
+       string array_intersect (209 s → ~8 s at sf0.1). Otherwise (real
+       corpora: huge vocab, rare-heavy) verification joins the sorted int
+       arrays with array_intersect, where prefixes do prune.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     sh = sh.persist()
 
-    # global df per shingle → order-by-rarity rank (broadcastable only for
-    # small corpora; at scale this join shuffles on the shingle key once)
     dfreq = (
         sh.select(F.explode("_sh").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    prefix_len = F.size("_sh") - F.ceil(F.size("_sh") * F.lit(float(threshold))).cast("int") + 1
-    prefix = (
-        sh.select("_id", F.size("_sh").alias("_sz"), F.explode("_sh").alias("_s"))
-        .join(dfreq, "_s")
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("_id").orderBy(F.col("_df"), F.col("_s"))
-            ),
-        )
-        .join(sh.select("_id", prefix_len.alias("_plen")), "_id")
-        .filter(F.col("_rk") <= F.col("_plen"))
-        .select("_id", "_s")
+    if strategy == "auto":
+        vocab_size = dfreq.count()
+        use_bitmap = vocab_size <= _BITMAP_MAX_VOCAB
+    else:
+        use_bitmap = strategy == "bitmap"
+        vocab_size = dfreq.count() if use_bitmap else 0
+    # dense id, rarest shingle first ⇒ sorted _vid array = AllPairs order.
+    # add_deterministic_id avoids the single-partition global-sort window —
+    # the vocab can be huge on real corpora (W1 scale path, operators/ids.py)
+    vocab = add_deterministic_id(dfreq, ["_df", "_s"], "_vid").select(
+        "_s", (F.col("_vid") - 1).alias("_vid")
+    )
+    if use_bitmap:
+        vocab = F.broadcast(vocab)  # fits by definition of the bitmap path
+
+    docs = (
+        sh.select("_id", F.explode("_sh").alias("_s"))
+        .join(vocab, "_s")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_vid")).alias("_ids"))
+        .withColumn("_sz", F.size("_ids"))
+    ).persist()
+
+    plen = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(float(threshold))).cast("int") + 1
+    prefix = docs.select(
+        "_id", "_sz", F.explode(F.slice("_ids", F.lit(1), plen)).alias("_vid")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    t = float(threshold)
     cands = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._vid") == F.col("b._vid"))
+            & (F.col("a._id") < F.col("b._id"))
+            # length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+            & (F.col("a._sz") >= F.lit(t) * F.col("b._sz"))
+            & (F.col("b._sz") >= F.lit(t) * F.col("a._sz")),
+        )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
-    s1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
-    s2 = sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
-    return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
-        .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
-        .withColumn(
-            "jaccard",
-            F.col("_common")
-            / (F.size("_sh1") + F.size("_sh2") - F.col("_common")),
+
+    if use_bitmap:
+        nwords = (int(vocab_size) + 63) // 64
+        # V/64-long fixed bitmask per doc: bit_or-agg per 64-bit word, then
+        # densify the sparse word map to a fixed array (all JVM-side)
+        pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+        words = (
+            docs.select("_id", "_sz", F.explode("_ids").alias("_vid"))
+            .groupBy("_id", "_sz", (F.col("_vid") / 64).cast("int").alias("_w"))
+            .agg(F.bit_or(F.element_at(pow2, (F.col("_vid") % 64 + 1).cast("int"))).alias("_m"))
+            .groupBy("_id", "_sz")
+            .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_m"))).alias("_wm"))
+            .select(
+                "_id",
+                "_sz",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nwords - 1)),
+                    lambda w: F.coalesce(F.col("_wm")[w], F.lit(0).cast("long")),
+                ).alias("_bm"),
+            )
         )
+        v1 = words.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"), F.col("_bm").alias("_bm1"))
+        v2 = words.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"), F.col("_bm").alias("_bm2"))
+        common = F.aggregate(
+            F.zip_with("_bm1", "_bm2", lambda x, y: F.bit_count(x.bitwiseAND(y))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+    else:
+        v1 = docs.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"), F.col("_ids").alias("_bm1"))
+        v2 = docs.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"), F.col("_ids").alias("_bm2"))
+        common = F.size(F.array_intersect("_bm1", "_bm2"))
+
+    return (
+        cands.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn("_common", common)
+        .withColumn("jaccard", F.col("_common") / (F.col("_sz1") + F.col("_sz2") - F.col("_common")))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
@@ -220,38 +284,28 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-_MASK64 = (1 << 64) - 1
+# bit values 2^0..2^63 as signed longs (2^63 wraps to MIN_LONG)
+_POW2 = [1 << b for b in range(63)] + [-(1 << 63)]
 
 
-def _simhash_batch(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash per token list (numpy-vectorized per row)."""
-    import hashlib
+def simhash_column(hashes_col: Column) -> Column:
+    """64-bit SimHash from a column of per-token 64-bit hashes: bit b of the
+    signature is set iff a majority of token hashes have bit b set.
 
-    out = np.zeros(len(tokens), dtype=np.uint64)
-    for i, toks in enumerate(tokens):
-        if toks is None or len(toks) == 0:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            digest = hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest()
-            bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-            acc += 2 * bits - 1
-        sig = 0
-        for bit in acc > 0:
-            sig = (sig << 1) | int(bit)
-        out[i] = np.uint64(sig)
-    return pd.Series(out.astype(np.int64))
+    Entirely JVM-side (nested higher-order functions over the materialized
+    hash array) — replaces an earlier Arrow/pandas UDF that hashed each
+    token in Python (27 s → ~2 s for the sf0.1 corpus). Pass a
+    *materialized* hashes column (`transform(tokens, xxhash64)` via
+    `withColumn`) so the token hashing runs once, not once per bit."""
+    pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
+    n = F.size(hashes_col)
 
+    def bit_term(acc: Column, b: Column) -> Column:
+        bv = F.element_at(pow2, (b + 1).cast("int"))
+        cnt = F.size(F.filter(hashes_col, lambda h: h.bitwiseAND(bv) != 0))
+        return acc.bitwiseOR(F.when(cnt * 2 > n, bv).otherwise(F.lit(0).cast("long")))
 
-def simhash_column(tokens_col: Column) -> Column:
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf(LongType())
-    def _udf(s: pd.Series) -> pd.Series:
-        return _simhash_batch(s)
-
-    return _udf(tokens_col)
+    return F.aggregate(F.sequence(F.lit(0), F.lit(63)), F.lit(0).cast("long"), bit_term)
 
 
 def simhash_pairs(
@@ -261,9 +315,16 @@ def simhash_pairs(
     join on (max_hamming+1) chunks → exact within the signature space."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        simhash_column(word_tokens(F.col(text_col))).alias("_sig"),
+    # the per-row signature expression is the hot loop; a small parquet file
+    # arrives as ONE scan partition, so fan out before computing it
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    sig = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.transform(word_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("_th"),
+        )
+        .withColumn("_sig", simhash_column(F.col("_th")))
+        .select("_id", "_sig")
     )
     keys = F.array(
         *[
@@ -274,7 +335,9 @@ def simhash_pairs(
             for c in range(chunks)
         ]
     )
-    buckets = sig.select("_id", "_sig", F.explode(keys).alias("_bk"))
+    # persist: the self-join would otherwise evaluate the (expensive)
+    # signature expression once per join branch
+    buckets = sig.select("_id", "_sig", F.explode(keys).alias("_bk")).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(

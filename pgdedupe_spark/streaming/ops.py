@@ -1,0 +1,173 @@
+"""Structured Streaming operators over the `events` table.
+
+The reference is pure batch (SURVEY.md §2.9) — these are north-star
+extensions for a continuously-ingesting training-data pipeline. Each op is a
+*transformation on an unbounded DataFrame*, so the identical logical plan
+runs over Kafka/file/rate sources in production; tests drive them with the
+file source + `trigger(availableNow=True)` and assert equality against the
+batch computation on the same parquet (stream/batch parity is the
+correctness contract Structured Streaming gives us).
+
+Scale design:
+* Watermarks bound state: dedup and window state are dropped once the event
+  time passes `watermark delay`, so state size is O(arrival rate × delay),
+  not O(history). At 100 TB/day the delay is the knob that trades
+  late-duplicate detection for executor memory.
+* `dropDuplicatesWithinWatermark` keys state by the dedup columns only —
+  unlike `dropDuplicates`, it does not keep every historical key forever.
+* Session windows use the native `session_window` aggregation (state-store
+  backed, merge-on-update) rather than a custom stateful UDF, so state is
+  RocksDB-spillable on a real cluster.
+* The one custom stateful op (`stateful_user_counts`) uses
+  `applyInPandasWithState` with GroupStateTimeout — the pattern for
+  operators Spark lacks natively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the driver's events parquet. Schema must be
+    declared up front (streaming reads can't infer); we take it from a batch
+    read so stream and batch stay in lockstep."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # the file streaming source requires a directory (it monitors for
+        # new files); stage a symlink dir for single-file test data
+        import hashlib
+
+        d = os.path.join(
+            "/tmp", "pgdedupe_spark_stream", hashlib.md5(path.encode()).hexdigest()[:12]
+        )
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    sdf = reader.parquet(path)
+    return sdf.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, delay: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    bounded by the watermark (duplicates arriving later than `delay` after
+    the original pass through — the documented at-least-once trade-off)."""
+    return events.withWatermark("event_time", delay).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def hourly_rollup_stream(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the batch
+    `events_hourly_rollup` query (same grouping, same aggregates), emitting
+    finalized windows once the watermark passes."""
+    return (
+        events.withWatermark("event_time", delay)
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", delay: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows: events within `gap` of each other merge
+    into one session. Native `session_window` keeps merge state in the state
+    store (no custom UDF state to manage)."""
+    return (
+        events.withWatermark("event_time", delay)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame, delay: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count + last-seen time. The template for operators the
+    built-ins can't express (per-key model state, CEP, custom eviction)."""
+    import pandas as pd  # noqa: F401 — worker-side import
+
+    out_schema = "user_id long, n_events long, last_seen timestamp"
+    state_schema = "n long"
+
+    def update(key, pdf_iter, state):
+        n = state.get[0] if state.exists else 0
+        last = None
+        for pdf in pdf_iter:
+            n += len(pdf)
+            m = pdf["event_time"].max()
+            last = m if last is None else max(last, m)
+        state.update((n,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_seen": [last]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("event_time", delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_table(sdf: DataFrame, name: str, output_mode: str = "append") -> DataFrame:
+    """Drive a streaming DataFrame to completion over the finite file source
+    (`availableNow`) and return the materialized result as a batch DF —
+    the test harness for every op above."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

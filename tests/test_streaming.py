@@ -1,0 +1,112 @@
+"""Stream/batch parity tests: every streaming op, driven over the finite
+file source with availableNow, must equal the same computation done in
+batch over the same parquet. That parity is the Structured Streaming
+correctness contract (same logical plan, incremental execution)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.streaming import (
+    dedup_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory_table,
+    sessionize_stream,
+    stateful_user_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+def _rows(df, cols):
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_dedup_stream_parity(spark, batch_events):
+    sdf = dedup_stream(read_events_stream(spark, SF_DIR), ["event_id"])
+    got = run_to_memory_table(sdf, "t_dedup")
+    # event_ids are unique in the source, so dedup must be the identity
+    cols = ["event_id", "event_time", "user_id", "event_type", "value"]
+    assert _rows(got, cols) == _rows(batch_events, cols)
+
+
+def test_hourly_rollup_parity(spark, batch_events):
+    sdf = hourly_rollup_stream(read_events_stream(spark, SF_DIR))
+    # complete mode: append would hold back windows not yet past the
+    # watermark at end-of-stream (correct streaming semantics, but the
+    # parity check wants every window)
+    got = run_to_memory_table(sdf, "t_rollup", output_mode="complete")
+    want = (
+        batch_events.groupBy(
+            F.date_trunc("hour", "event_time").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessionize_parity(spark, batch_events):
+    gap_us = 30 * 60 * 1_000_000
+    sdf = sessionize_stream(read_events_stream(spark, SF_DIR), gap="30 minutes")
+    got = run_to_memory_table(sdf, "t_sessions", output_mode="complete")
+
+    # batch oracle: classic gaps-and-islands via lag + cumulative sum
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_time")
+    ev = batch_events.withColumn("ts_us", F.unix_micros("event_time"))
+    islands = (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            (F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") >= gap_us)).cast("int"),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    want = islands.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    got_k = ["user_id", "n_events", "sum_value"]
+    assert _rows(got, got_k) == _rows(want, got_k)
+    # session boundaries: session_window end = last event + gap
+    n_sessions = want.count()
+    assert got.count() == n_sessions
+
+
+def test_stateful_user_counts(spark, batch_events):
+    sdf = stateful_user_counts(read_events_stream(spark, SF_DIR))
+    got = run_to_memory_table(sdf, "t_state", output_mode="update")
+    # final state per user (single availableNow batch ⇒ one output row per user)
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_seen").alias("last_seen"))
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("event_time").alias("last_seen")
+    )
+    cols = ["user_id", "n_events", "last_seen"]
+    assert _rows(final, cols) == _rows(want, cols)
