@@ -66,6 +66,7 @@ def run_pipeline(
     config: DedupeConfig,
     training_pairs: dict,
     block_rules: list[tuple[str, str, tuple]] | None = None,
+    learn_rules: bool = False,
 ) -> PipelineResult:
     fields = config.field_names
 
@@ -78,7 +79,14 @@ def run_pipeline(
     # 2. train (run.py:102-183) — driver-side on the labeled JSON
     clf = T.fit_classifier(config, training_pairs)
 
-    # 3. blocking (run.py:187-321)
+    # 3. blocking (run.py:187-321); learn_rules = the reference's D5 path
+    # (deduper.train learns predicates by greedy cover, run.py:175-178)
+    if learn_rules and block_rules is None:
+        from pgdedupe_spark.ml.learning import learn_blocking_rules
+
+        block_rules = learn_blocking_rules(
+            source.sparkSession, training_pairs, fields, recall=config.recall
+        )
     rules = block_rules or default_rules_for(fields)
     block_keys = make_block_key_expr(rules)
     _, _, _, _, smaller = blocking_chain(entries_unique, block_keys)

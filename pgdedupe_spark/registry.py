@@ -897,3 +897,108 @@ def multimodal_binary_stats(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return binary_metadata(attach_binary_payload(docs, "doc_id", "text"))
+
+
+# ===========================================================================
+# Remaining §2 rows as standalone oracle-checked queries: W1 (scale-path
+# serial ids), J6 (update-join relabel), P6 (deterministic top-k), F6 (cast
+# arithmetic on boolean aggregates).
+# ===========================================================================
+
+
+@query(
+    "w1_serial_ids",
+    oracle="""
+    SELECT c_custkey,
+           CAST(row_number() OVER (ORDER BY c_nationkey, c_custkey) AS BIGINT)
+             AS _unique_id
+    FROM customer
+    """,
+)
+def w1_serial_ids(spark, sf_dir):
+    """W1 via the 100 TB path (`operators/ids.add_deterministic_id`):
+    range-partition + per-partition row_number + broadcast offsets — must
+    equal the oracle's global row_number (run.py:97-98 SERIAL semantics)."""
+    from pgdedupe_spark.operators.ids import add_deterministic_id
+
+    return add_deterministic_id(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        ["c_nationkey", "c_custkey"],
+    ).select("c_custkey", "_unique_id")
+
+
+@query(
+    "j6_update_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           coalesce(r.canon, o.o_custkey) AS o_custkey
+    FROM orders o
+    LEFT JOIN (
+      SELECT c_custkey, min(c_custkey) OVER (PARTITION BY c_nationkey) AS canon
+      FROM customer
+    ) r ON o.o_custkey = r.c_custkey
+    """,
+)
+def j6_update_join(spark, sf_dir):
+    """J6 `UPDATE ... FROM` as immutable recompute (run.py:466-467,
+    exact_matches.py:97-100): relabel each order's custkey to its nation's
+    canonical (min) custkey via left join + coalesce, original kept when no
+    relabel row matches."""
+    from pyspark.sql import Window
+
+    relabel = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.min("c_custkey").over(Window.partitionBy("c_nationkey")).alias("canon"),
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(relabel, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .select(
+            "o_orderkey",
+            F.coalesce("canon", "o_custkey").alias("o_custkey"),
+        )
+    )
+
+
+@query(
+    "p6_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def p6_topk(spark, sf_dir):
+    """P6 LIMIT with a total order (deterministic top-k; Spark plans this as
+    TakeOrderedAndProject — no global sort materialization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "f6_cast_ratio",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_discount > 0.05 AS INT)) AS BIGINT) AS n_discounted,
+           CAST(SUM(CAST(l_discount > 0.05 AS INT)) AS DOUBLE) / count(*)
+             AS frac_discounted
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f6_cast_ratio(spark, sf_dir):
+    """F6 boolean→int cast arithmetic (validation-notebook accuracy sums)."""
+    flag = (F.col("l_discount") > 0.05).cast("int")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(flag).cast("bigint").alias("n_discounted"),
+            (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("frac_discounted"),
+        )
+    )

@@ -1,0 +1,67 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S10).
+
+The reference's I/O surface is Postgres-shaped: named-cursor table scans
+(S2), CSV + ``COPY`` bulk load (S3/S4), ``CREATE TABLE AS SELECT``
+materialization (S6), DDL bookkeeping (S7-S10). In Spark those collapse to
+a handful of declarative readers/writers — indexes (S9), schema namespaces
+(S7), and ``DROP TABLE IF EXISTS`` idempotence (S10) have no analog because
+partitioned parquet + ``mode("overwrite")`` subsume them.
+
+Scale notes:
+* Readers take explicit schemas (never inference at scale — a schema scan
+  of 100 TB is a full read).
+* `materialize` is the S6 stage boundary: columnar parquet, overwrite
+  idempotence, optional bucketing passthrough for co-located downstream
+  joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pgdedupe_spark.ml.training import read_training as read_training_json  # noqa: F401
+from pgdedupe_spark.ml.training import write_training as write_training_json  # noqa: F401
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """S2 table scan. Column pruning + predicate pushdown reach the scan
+    because callers select/filter before any action (Catalyst pushes
+    through); no streaming cursors needed — the scan is distributed."""
+    return spark.read.parquet(path)
+
+
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """S4: typed CSV load (reference ``tests/initialize_db.py:20-37``,
+    ``psql \\copy`` with header). Explicit schema is mandatory — matches the
+    reference's typed DDL and avoids an inference pass."""
+    return spark.read.csv(path, schema=schema, header=header, **options)
+
+
+def read_json_source(
+    spark: SparkSession, path: str, schema: StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines source with explicit schema (config/extension surface)."""
+    return spark.read.json(path, schema=schema, **options)
+
+
+def materialize(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """S6 ``CREATE TABLE AS SELECT`` + S10 idempotent overwrite: write a
+    pipeline stage to parquet and return a fresh scan of it (cuts lineage —
+    the Spark analog of the reference's 7 materialization checkpoints,
+    ``run.py:93-96`` etc.)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return df.sparkSession.read.parquet(path)

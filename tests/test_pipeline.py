@@ -80,6 +80,16 @@ def test_determinism(spark, source):
     assert e1 == e2
 
 
+def test_pipeline_with_learned_rules(spark, source):
+    """D5 end-to-end: blocking rules learned from the labeled pairs (greedy
+    set cover at config.recall) drive the full pipeline and still merge."""
+    df, _ = source
+    res = run_pipeline(df, _config(), training_pairs(), learn_rules=True)
+    n_rows = df.count()
+    n_clusters = res.unique_map.select("dedupe_id").distinct().count()
+    assert n_clusters < n_rows, "learned-rule blocking produced no merges"
+
+
 def test_every_source_row_mapped(spark, source):
     df, _ = source
     res = run_pipeline(df, _config(), training_pairs())

@@ -1,0 +1,70 @@
+"""Physical-plan audits: the properties that matter at 100 TB, pinned so a
+regression fails CI. These assert on `.explain("formatted")` of the actual
+registry queries — not on toy frames — so they track the real plans the
+driver benchmarks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgdedupe_spark import registry
+from pgdedupe_spark.plans import plan_report
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _report(spark, name):
+    return plan_report(registry.QUERIES[name](spark, SF_DIR))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q1's shipdate predicate must appear in the parquet PushedFilters —
+    if it evaporates, every scan reads the full fact table."""
+    r = _report(spark, "q1_pricing_summary")
+    assert any("l_shipdate" in f for f in r["pushed_filters"]), r["pushed_filters"]
+
+
+def test_column_pruning(spark):
+    """q1 projects 6 of lineitem's 16 columns; the scan schema must shrink
+    accordingly (columnar pruning is the single biggest 100 TB lever)."""
+    r = _report(spark, "q1_pricing_summary")
+    assert r["scan_columns"], "no parquet scan found"
+    assert all(len(cols) <= 8 for cols in r["scan_columns"]), r["scan_columns"]
+
+
+def test_plural_key_broadcasts(spark):
+    """J1: plural_key is dim-sized → the join back onto blocking_map must be
+    a broadcast hash join, not a shuffle."""
+    r = _report(spark, "j1_plural_block")
+    assert r["broadcast_join"], "plural_key join did not broadcast"
+
+
+def test_no_python_udf_in_relational_path(spark):
+    """The reference-parity relational operators must stay entirely
+    JVM-side — a Python eval node in these plans means someone snuck a
+    row-at-a-time UDF into the hot path."""
+    for name in (
+        "a1_exact_collapse",
+        "j2_smaller_coverage",
+        "j7_candidate_pairs",
+        "q1_pricing_summary",
+        "q5_regional_revenue",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "text_quality_stats",
+        "text_language_id",
+        "ann_cosine_topk",
+    ):
+        r = _report(spark, name)
+        assert not r["python_udf"], f"{name} plan contains a Python UDF node"
+
+
+def test_whole_stage_codegen_present(spark):
+    """Headline aggregations should run inside whole-stage codegen spans
+    (AQE only reveals them in the executed final plan)."""
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    r = plan_report(df, execute=True)
+    assert r["codegen_stages"] >= 1
