@@ -1,0 +1,89 @@
+"""Command-line entry points — parity with the reference's two click
+commands (``pgdedupe/cli.py:26-67`` `main`, ``cli.py:70-125`` `run`).
+
+Differences by design: input/output are parquet paths instead of a Postgres
+DSN (`--db` in the reference becomes `--input`/`--output`), and active
+labeling is out of scope (D3) — the labeled-pair JSON is consumed directly,
+as `use_saved_model`-style batch runs do in the reference.
+
+Usage::
+
+    python -m pgdedupe_spark --config config.yaml \
+        --input /data/entries.parquet --output /data/deduped \
+        --training training.json [--learn-rules] [--model-hash]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pgdedupe_spark",
+        description="PySpark record-deduplication pipeline (pgdedupe semantics)",
+    )
+    p.add_argument("--config", required=True, help="YAML/JSON pipeline config")
+    p.add_argument("--input", required=True, help="source table parquet path")
+    p.add_argument("--output", required=True, help="output directory (parquet)")
+    p.add_argument("--training", required=True, help="labeled-pairs JSON (dedupe format)")
+    p.add_argument("--learn-rules", action="store_true", help="learn blocking rules (D5)")
+    p.add_argument(
+        "--model-hash",
+        action="store_true",
+        help="log the model-definition hash (the reference `run` entry point's "
+        "reproducibility bookkeeping, cli.py:98-101)",
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    from pgdedupe_spark.config import DedupeConfig, load_config
+    from pgdedupe_spark.ml.training import (
+        create_model_definition,
+        filename_friendly_hash,
+        read_training,
+    )
+    from pgdedupe_spark.pipeline import run_pipeline
+    from pgdedupe_spark.session import get_spark
+
+    args = build_parser().parse_args(argv)
+    t0 = time.time()
+
+    config = DedupeConfig.from_dict(load_config(args.config))
+    training = read_training(args.training)
+    spark = get_spark("pgdedupe_spark_cli")
+    if args.master:  # pragma: no cover — cluster-submit path
+        spark.stop()
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master(args.master).getOrCreate()
+
+    if args.model_hash:
+        model_def = create_model_definition(config, training)
+        print(f"model definition hash: {filename_friendly_hash(model_def)}")
+
+    source = spark.read.parquet(args.input)
+    result = run_pipeline(source, config, training, learn_rules=args.learn_rules)
+
+    os.makedirs(args.output, exist_ok=True)
+    result.unique_map.write.mode("overwrite").parquet(
+        os.path.join(args.output, "unique_map.parquet")
+    )
+    result.entity_map.write.mode("overwrite").parquet(
+        os.path.join(args.output, "entity_map.parquet")
+    )
+    result.deduped_source.write.mode("overwrite").parquet(
+        os.path.join(args.output, "deduped.parquet")
+    )
+    n = result.unique_map.select("dedupe_id").distinct().count()
+    print(f"{n} distinct entities; ran in", time.time() - t0)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

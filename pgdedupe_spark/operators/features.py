@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +37,59 @@ class FieldDef:
     type: str = "String"  # String | Categorical | Exact | Price
     categories: list[str] = field(default_factory=list)
     has_missing: bool = False
+    metric: str = "levenshtein"  # levenshtein (JVM) | affine_gap (Arrow UDF)
+
+
+def affine_gap_similarity():
+    """D1 exact-fidelity option: affine-gap edit similarity (Gotoh DP —
+    opening a gap costs more than extending one, so 'Jon'/'Jonathan' is
+    nearer than the same edits scattered). The reference's dedupe library
+    uses this family for every String field. Arrow-batched pandas UDF
+    (numpy row DP, one Python call per batch); the default JVM levenshtein
+    is the scale path — this is opt-in per field via metric='affine_gap'."""
+    from pyspark.sql.functions import pandas_udf
+
+    MISMATCH, OPEN, EXTEND = 1.0, 1.0, 0.5
+
+    # scalar rolling-row DP — person-record fields are short strings
+    def dist(s: str, t: str) -> float:
+        la, lb = len(s), len(t)
+        if la == 0 and lb == 0:
+            return 0.0
+        if la == 0 or lb == 0:
+            return OPEN + EXTEND * (max(la, lb) - 1)
+        INF = 1e18
+        M = [[INF] * (lb + 1) for _ in range(2)]
+        X = [[INF] * (lb + 1) for _ in range(2)]
+        Y = [[INF] * (lb + 1) for _ in range(2)]
+        M[0][0] = 0.0
+        for j in range(1, lb + 1):
+            Y[0][j] = OPEN + EXTEND * (j - 1)
+        for i in range(1, la + 1):
+            c, p = i % 2, (i - 1) % 2
+            M[c][0] = Y[c][0] = INF
+            X[c][0] = OPEN + EXTEND * (i - 1)
+            for j in range(1, lb + 1):
+                sub = 0.0 if s[i - 1] == t[j - 1] else MISMATCH
+                M[c][j] = sub + min(M[p][j - 1], X[p][j - 1], Y[p][j - 1])
+                X[c][j] = min(M[p][j] + OPEN, X[p][j] + EXTEND, Y[p][j] + OPEN)
+                Y[c][j] = min(M[c][j - 1] + OPEN, X[c][j - 1] + OPEN, Y[c][j - 1] + EXTEND)
+        last = la % 2
+        return min(M[last][lb], X[last][lb], Y[last][lb])
+
+    @pandas_udf("double")
+    def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a))
+        for i, (s, t) in enumerate(zip(a, b)):
+            if s is None or t is None:
+                out[i] = 0.5  # neutral-on-missing, same as string_similarity
+                continue
+            worst = OPEN + EXTEND * (max(len(s), len(t)) - 1) if max(len(s), len(t)) else 1.0
+            d = dist(s, t)
+            out[i] = max(0.0, 1.0 - d / max(worst, 1e-12))
+        return pd.Series(out)
+
+    return _sim
 
 
 def string_similarity(a: Column, b: Column) -> Column:
@@ -78,7 +133,10 @@ def feature_columns(fields: list[FieldDef], interactions: list[tuple[str, str]] 
             names.append(f"{fd.field}_sim")
             cols.append(sim)
         else:  # String
-            sim = string_similarity(a, b)
+            if fd.metric == "affine_gap":
+                sim = affine_gap_similarity()(a, b)
+            else:
+                sim = string_similarity(a, b)
             primary[fd.field] = sim
             names.append(f"{fd.field}_sim")
             cols.append(sim)

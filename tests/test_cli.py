@@ -1,0 +1,65 @@
+"""CLI smoke + end-to-end over parquet (reference tests/test_pgdedupe.py
+CLI smoke + test_integration.py run-to-completion, §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pgdedupe_spark.cli import build_parser, main
+from pgdedupe_spark.ml.training import write_training
+from tests.datagen import generate_population, training_pairs
+
+CONFIG = {
+    "schema": "dedupe",
+    "table": "entries",
+    "key": "entry_id",
+    "fields": [
+        {"field": "first_name", "type": "String"},
+        {"field": "last_name", "type": "String"},
+        {"field": "ssn", "type": "String", "has missing": True},
+        {"field": "dob", "type": "String", "has missing": True},
+    ],
+    "filter_condition": "last_name is not null",
+    "merge_exact": [["ssn"]],
+}
+
+
+def test_help_exits_zero():
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args(["--help"])
+    assert e.value.code == 0
+
+
+def test_missing_required_args_fail():
+    with pytest.raises(SystemExit) as e:
+        build_parser().parse_args([])
+    assert e.value.code != 0
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    rows, _ = generate_population(60, seed=3)
+    src = spark.createDataFrame(
+        rows,
+        "entry_id long, first_name string, last_name string, ssn string, sex string, dob string",
+    )
+    inp = str(tmp_path / "entries.parquet")
+    src.write.parquet(inp)
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text(json.dumps(CONFIG))
+    tr = tmp_path / "training.json"
+    write_training(str(tr), training_pairs())
+
+    out = str(tmp_path / "out")
+    rc = main(
+        ["--config", str(cfg), "--input", inp, "--output", out, "--training", str(tr)]
+    )
+    assert rc == 0
+    um = spark.read.parquet(os.path.join(out, "unique_map.parquet"))
+    n_src = src.filter("last_name is not null").count()
+    assert um.filter("dedupe_id is not null").count() == n_src
+    n_entities = um.select("dedupe_id").distinct().count()
+    assert 0 < n_entities < n_src
