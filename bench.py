@@ -32,11 +32,15 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "text_quality_stats",
     "text_language_id",
     "text_fingerprint",
+    "text_token_counts",
     "ann_cosine_topk",
     "multimodal_binary_stats",
+    "events_json_props",
+    "skew_salted_agg",
 ]
 
 

@@ -31,6 +31,13 @@ from pgdedupe_spark.operators.ids import add_deterministic_id
 _BITMAP_MAX_VOCAB = 16384
 
 
+def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
+    """Small parquet inputs arrive as ONE scan partition; shingling /
+    signature expressions are the per-row hot loop, so spread rows across
+    the cluster first (deterministic hash partitioning on the id)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+
+
 def char_shingles(col: Column, n: int = 5) -> Column:
     """Distinct character n-grams; whole string when shorter than n.
     Matches the oracle-SQL definition exactly (substr boundary semantics)."""
@@ -113,7 +120,7 @@ def ngram_jaccard_pairs(
        corpora: huge vocab, rare-heavy) verification joins the sorted int
        arrays with array_intersect, where prefixes do prune.
     """
-    sh = df.select(
+    sh = _fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     sh = sh.persist()
@@ -237,7 +244,7 @@ def minhash_lsh_pairs(
     tiny vs the corpus). Probability a true pair at Jaccard j collides:
     1-(1-j^(k/b))^b; defaults catch j≥0.6 with ~99.9%."""
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    sh = _fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
     sig = sh.select("_id", "_sh", *minhash_signature_cols("_sh", num_hashes))
@@ -315,9 +322,7 @@ def simhash_pairs(
     join on (max_hamming+1) chunks → exact within the signature space."""
     chunks = max_hamming + 1
     width = 64 // chunks
-    # the per-row signature expression is the hot loop; a small parquet file
-    # arrives as ONE scan partition, so fan out before computing it
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    df = _fan_out(df, id_col)
     sig = (
         df.select(
             F.col(id_col).alias("_id"),

@@ -125,3 +125,42 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id1 < id2) with
+    cosine ≥ threshold — exact, via the quantized-integer dot product
+    (bit-identical to the SQL oracle).
+
+    This is the *verifier*; brute force is O(n²) in pairs. At scale, feed it
+    candidates from :func:`random_hyperplane_buckets` instead of the full
+    cross join — the plan below is the exact-answer baseline the approximate
+    path is measured against. The self-join shuffles on nothing (cartesian
+    with the `<` pruning); Spark executes it as a broadcast nested loop when
+    one side fits, which is the right plan for a query-set×corpus shape."""
+    from pgdedupe_spark.operators.dedup import _fan_out
+
+    # fan out: a single-file corpus otherwise runs the whole pair loop in
+    # one task (left side of the nested-loop join = one scan partition)
+    q = _fan_out(embeddings, id_col).select(
+        F.col(id_col).alias("_id"),
+        _quantize(F.col(vec_col)).alias("_q"),
+    ).withColumn("_n", F.sqrt(_dot_long(F.col("_q"), F.col("_q")).cast("double")))
+    a, b = q.alias("a"), q.alias("b")
+    return (
+        a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            (
+                _dot_long(F.col("a._q"), F.col("b._q")).cast("double")
+                / (F.col("a._n") * F.col("b._n"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

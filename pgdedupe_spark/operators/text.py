@@ -108,3 +108,19 @@ def fingerprint(col: Column) -> Column:
 
 def doc_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways (training-data budget accounting):
+    whitespace tokens, and a BPE-ish pre-tokenization — letter runs, single
+    digits, or single non-alphanumeric symbols (the GPT-2 pre-tokenizer
+    family, simplified to a regex both Java and RE2 dialects agree on)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0))
+    return df.select(
+        F.col(id_col),
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )

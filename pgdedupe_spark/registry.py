@@ -1002,3 +1002,116 @@ def f6_cast_ratio(spark, sf_dir):
             (F.sum(flag).cast("double") / F.count(F.lit(1))).alias("frac_discounted"),
         )
     )
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(len(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Token budgets: whitespace tokens + simplified-BPE pre-tokens."""
+    from pgdedupe_spark.operators.text import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+             AS cosine
+    FROM q a, q b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact threshold join; the LSH
+    bucket path generates candidates for this verifier at scale)."""
+    from pgdedupe_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.8
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(props->>'$.k' AS BIGINT) AS k,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured props column: JSON path extraction + rollup (a
+    training-pipeline staple the reference never needed — §2.9 declares
+    JSON absent there)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            "value",
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py): must equal the
+    direct group-by exactly — the oracle is the UNSALTED SQL, so this query
+    proves salting is transparent for algebraic aggregates."""
+    from pgdedupe_spark.operators.skew import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_price_dec", F.col("l_extendedprice").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(
+        li,
+        keys=["l_suppkey"],
+        aggs={
+            "n_items": ("count", F.lit(1)),
+            "_rev_dec": ("sum", F.col("_price_dec")),
+            "max_qty": ("max", F.col("l_quantity")),
+        },
+        unique_col="l_orderkey",
+        salt_n=8,
+    )
+    return out.select(
+        "l_suppkey",
+        "n_items",
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        F.col("max_qty").cast("double").alias("max_qty"),
+    )
