@@ -90,3 +90,78 @@ def decode_features(df: DataFrame, mode: str = "fake", batch_hint: int | None = 
             )
 
     return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, modality string, payload binary, width int, height int"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, payload binary, n_bytes long"
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int, mode: str = "fake") -> DataFrame:
+    """Resize stage (1 row → 1 row): payload → fixed-size payload + size
+    metadata. STUB decode: the fake path resamples the byte stream to
+    width×height bytes by even-stride selection (deterministic, size-exact),
+    standing in for PIL's `Image.resize`. The Spark shape — Arrow batches,
+    binary in/out, metadata struct — is the real contract."""
+    target = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError("image resize requires PIL — use mode='fake'")
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if len(b) == 0:
+                    out.append(b"\x00" * target)
+                    continue
+                idx = np.linspace(0, len(b) - 1, target).astype(np.int64)
+                out.append(np.frombuffer(b, dtype=np.uint8)[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataFrame:
+    """Frame-sampling stage (1 row → N rows — the mapInPandas shape built-in
+    operators can't express): each video payload yields ``n_frames`` evenly
+    spaced frames. STUB decode: fake frames are contiguous byte slices
+    (ffmpeg/pyav would decode real ones); the fan-out semantics, schema,
+    and per-frame ordering are the tested contract."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "strict":
+                raise NotImplementedError("frame decode requires pyav — use mode='fake'")
+            ids, idxs, payloads, sizes = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                bounds = np.linspace(0, len(b), n_frames + 1).astype(np.int64)
+                for i in range(n_frames):
+                    frame = b[bounds[i] : bounds[i + 1]]
+                    ids.append(mid)
+                    idxs.append(i)
+                    payloads.append(frame)
+                    sizes.append(len(frame))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "payload": payloads,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -1,0 +1,71 @@
+"""Multimodal plumbing: the Spark-side contracts (schema, Arrow batch
+shape, 1→N fan-out, determinism, strict-mode stub) are fully tested; the
+decode itself is a documented deterministic stand-in."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from pgdedupe_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    binary_metadata,
+    decode_features,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world, this is a payload"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    return attach_binary_payload(docs, "doc_id", "text")
+
+
+def test_metadata_jvm_only(spark, media):
+    rows = {r.media_id: r for r in binary_metadata(media).collect()}
+    assert rows[1].n_bytes == 30
+    assert rows[1].magic == "68656C6C".upper() or rows[1].magic == "68656C6C"
+    assert rows[3].n_bytes == 0
+
+
+def test_decode_features_shape_and_determinism(spark, media):
+    a = {r.media_id: r.features for r in decode_features(media).collect()}
+    b = {r.media_id: r.features for r in decode_features(media).collect()}
+    assert a == b
+    assert all(len(f) == FEATURE_DIM for f in a.values())
+    assert a[3] == [0.0] * FEATURE_DIM  # empty payload → zero features
+
+
+def test_decode_strict_raises(spark, media):
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        decode_features(media, mode="strict").collect()
+
+
+def test_resize_exact_output_size(spark, media):
+    out = {r.media_id: r for r in resize_media(media, 4, 3).collect()}
+    assert all(len(r.payload) == 12 for r in out.values())
+    assert out[1].width == 4 and out[1].height == 3
+    # deterministic resample
+    again = {r.media_id: bytes(r.payload) for r in resize_media(media, 4, 3).collect()}
+    assert {k: bytes(v.payload) for k, v in out.items()} == again
+
+
+def test_sample_frames_fan_out(spark, media):
+    got = sample_frames(media, n_frames=4).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert set(by_id) == {1, 2, 3}
+    for mid, frames in by_id.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
+    # frames partition the payload: concatenation restores the original
+    frames1 = sorted(by_id[1], key=lambda r: r.frame_idx)
+    assert b"".join(bytes(f.payload) for f in frames1) == b"hello world, this is a payload"
+    # empty payload → 4 empty frames, no crash
+    assert all(f.n_bytes == 0 for f in by_id[3])
