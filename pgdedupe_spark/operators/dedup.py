@@ -129,7 +129,7 @@ def ngram_jaccard_pairs(
         sh.select(F.explode("_sh").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_df"))
-    )
+    ).persist()  # consumed twice: strategy-choice count + vocab id assignment
     if strategy == "auto":
         vocab_size = dfreq.count()
         use_bitmap = vocab_size <= _BITMAP_MAX_VOCAB

@@ -164,3 +164,116 @@ def cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: assign every vector to its nearest of
+    ``n_centroids`` centroids. Centroids are a deterministic seeded sample
+    of the corpus (hash-ranked pick — the k-means|| seeding step without
+    the Lloyd refinement; good enough for a cell layout, refinable later).
+
+    Returns (indexed corpus with a ``cell`` column, centroid list). At
+    100 TB the indexed table is written once partitioned BY cell — probing
+    then prunes whole partitions at scan time (partition pruning is the
+    IVF win; the LSH variant gets the same effect from bucket ids)."""
+    ranked = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"),
+    )
+    cents_rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
+    centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(cents_rows)]
+
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+
+    def _cos(vc: Column, cc: Column) -> Column:
+        dot = F.aggregate(F.zip_with(vc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        nv = F.sqrt(F.aggregate(F.zip_with(vc, vc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+        nc = F.sqrt(F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
+        return dot / (nv * nc)
+
+    # argmax over the centroid array — one JVM fold, no shuffle
+    best = F.aggregate(
+        cent_lit,
+        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("s")),
+        lambda acc, c: F.when(
+            _cos(F.col(vec_col), c["cv"]) > acc["s"],
+            F.struct(c["cid"].alias("cid"), _cos(F.col(vec_col), c["cv"]).alias("s")),
+        ).otherwise(acc),
+    )
+    indexed = embeddings.withColumn("cell", best["cid"])
+    return indexed, centroids
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` nearest cells per query,
+    exact cosine re-rank inside. ``n_probe == n_centroids`` degrades to the
+    exact brute force (pinned by test), which is the knob's whole point:
+    recall vs cells-scanned, per query, at runtime."""
+    indexed, centroids = ivf_index(embeddings, id_col, vec_col, n_centroids, seed)
+    indexed = indexed.persist()
+
+    cent_lit = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+            for cid, vec in centroids
+        ]
+    )
+    q = indexed.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    # rank cells per query by centroid cosine, keep n_probe
+    probes = (
+        q.select("query_id", "_qv", F.explode(cent_lit).alias("_c"))
+        .withColumn(
+            "_cs",
+            F.aggregate(F.zip_with("_qv", F.col("_c.cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("_c.cid"))
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_c.cid").alias("cell"))
+    )
+    c = indexed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
+    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = (
+        probes.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", dot / (nrm(F.col("_qv")) * nrm(F.col("_cv"))))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1115,3 +1115,16 @@ def skew_salted_agg(spark, sf_dir):
         F.col("_rev_dec").cast("double").alias("revenue"),
         F.col("max_qty").cast("double").alias("max_qty"),
     )
+
+
+@query("ann_ivf_topk")  # approximate (cell-probed) — rows-only
+def ann_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (seeded-sample coarse quantizer, n_probe cells
+    probed per query; n_probe == n_centroids is pinned equal to the exact
+    brute force in tests/test_extensions.py)."""
+    from pgdedupe_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=4,
+    )

@@ -102,3 +102,46 @@ def test_exact_dup_groups_empty_on_distinct_corpus(spark, docs):
     groups = exact_duplicate_groups(docs, "text", "doc_id")
     dup_union = docs.select("text").distinct().count()
     assert groups.count() == docs.count() - dup_union
+
+
+def test_ivf_full_probe_equals_brute_force(spark, docs):
+    """n_probe == n_centroids degrades IVF to exhaustive search — results
+    must equal the exact brute-force top-k (same ranks, same neighbors)."""
+    from pgdedupe_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_recall(spark, docs):
+    """Probing half the cells must still recover most true neighbors
+    (recall@5 well above random) and be deterministic."""
+    from pgdedupe_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r.query_id: set()
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    approx = {q: set() for q in exact}
+    rows = ivf_cosine_topk(emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4).collect()
+    for r in rows:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / sum(
+        len(v) for v in exact.values()
+    )
+    assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
+    rows2 = ivf_cosine_topk(emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))

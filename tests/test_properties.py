@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): distributed operators vs tiny exact
+reference implementations on randomized inputs. Few examples, small data —
+each example is a full Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pgdedupe_spark.operators.clustering import connected_components
+from pgdedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+
+# --- reference implementations (pure python) -------------------------------
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in list(parent)}
+
+
+def _shingles(s, n=3):
+    # mirrors char_shingles: whole string (even "") when len ≤ n
+    if len(s) <= n:
+        return {s}
+    return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+
+def _brute_jaccard_pairs(texts, n=3, t=0.5):
+    out = set()
+    items = sorted(texts.items())
+    for i, (ida, a) in enumerate(items):
+        sa = _shingles(a, n)
+        if not sa:
+            continue
+        for idb, b in items[i + 1 :]:
+            sb = _shingles(b, n)
+            if not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                out.add((ida, idb))
+    return out
+
+
+# --- properties ------------------------------------------------------------
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    want = _uf_components(edges)
+    assert got == want  # min-id labeling on both sides
+
+
+texts_strategy = st.lists(
+    st.text(alphabet="abcd", min_size=1, max_size=12), min_size=2, max_size=10
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=texts_strategy)
+def test_ngram_jaccard_both_strategies_match_brute_force(spark, texts):
+    corpus = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    want = _brute_jaccard_pairs(corpus, n=3, t=0.5)
+    for strategy in ("bitmap", "array"):
+        got = {
+            (r.id1, r.id2)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", n=3, threshold=0.5, strategy=strategy
+            ).collect()
+        }
+        assert got == want, f"strategy={strategy}"
