@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_cosine_topk",
     "multimodal_binary_stats",
     "events_json_props",
+    "events_sessionize",
     "skew_salted_agg",
 ]
 

@@ -1128,3 +1128,59 @@ def ann_ivf_topk(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
         k=5, n_centroids=16, n_probe=4,
     )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ts_us, value,
+             CASE WHEN prev_us IS NULL OR ts_us - prev_us >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM seq
+    ), numbered AS (
+      SELECT user_id, ts_us, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands: lag + running sum of
+    session-start markers) — the exact-oracle twin of the streaming
+    `session_window` op (streaming/ops.sessionize_stream). Window shuffle
+    partitions by user_id once; both windows share that partitioning."""
+    from pyspark.sql import Window
+
+    gap_us = 30 * 60 * 1_000_000
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = ev.select(
+        "user_id", "event_id", "ts_us", "value", F.lag("ts_us").over(w).alias("prev_us")
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") >= gap_us), 1
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn("session_no", F.sum("new_session").over(wrun).cast("bigint"))
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
