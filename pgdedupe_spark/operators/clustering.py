@@ -58,23 +58,20 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
-        new_labels = (
+        # carry the old label through the propagation join so convergence is
+        # read off the checkpointed frame directly — no extra join per round
+        stepped = (
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
+                F.col("component").alias("_old"),
                 F.least(F.col("component"), F.coalesce("n_comp", "component")).alias(
                     "component"
                 ),
             )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("component") < F.col("_old")).limit(1).count()
+        labels = stepped.drop("_old")
         if changed == 0:
             break
     sym.unpersist()
