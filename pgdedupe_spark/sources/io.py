@@ -65,3 +65,26 @@ def materialize(
         w = w.partitionBy(*partition_by)
     w.parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucketed CTAS — the co-located-join layout for 100 TB fact tables.
+
+    Two tables bucketed (and optionally sorted) on the same key with the
+    same bucket count join WITHOUT a shuffle: each task reads matching
+    bucket files from both sides (`tests/test_bucketing.py` pins the
+    no-Exchange plan). This is the Spark analog of the reference's manual
+    b-tree indexes before joins (SURVEY §2.1 S9 / §4 O5) — pay the
+    partitioning cost once at write time, reuse it every query."""
+    w = df.write.mode("overwrite").option("path", path).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+    return df.sparkSession.table(table)
