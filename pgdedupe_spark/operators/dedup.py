@@ -93,32 +93,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     strategy: str = "auto",
 ) -> DataFrame:
-    """All pairs with Jaccard(shingles) ≥ threshold — exact, via
+    """All pairs with Jaccard(shingles) >= threshold -- exact, via
     **prefix filtering** (AllPairs / PPJoin family) + dictionary-encoded
     verification.
 
-    Plan shape (one pass over the corpus, no O(n²) stage except the
-    candidate verify, which the prefix filter bounds):
+    Plan shape (one pass over the corpus; the only super-linear stage is the
+    candidate verify, which the prefix + positional filters bound):
 
     1. Shingle-set per doc, then a global document-frequency count and a
-       dense integer id per shingle ordered rarest-first (``_vid``). The
-       vocab join broadcasts when small.
+       dense integer id per shingle ordered rarest-first (``_vid``).
     2. Each doc becomes a **sorted int array** (ascending ``_vid`` = global
-       rarity order). The AllPairs prefix is then just ``slice(ids, 1,
-       |S| − ⌈t·|S|⌉ + 1)``: two sets with J ≥ t must share a prefix
+       rarity order). The AllPairs prefix is ``slice(ids, 1,
+       |S| - ceil(t*|S|) + 1)``: two sets with J >= t must share a prefix
        element, so indexing only prefixes loses no true pair.
-    3. Candidates: self-equi-join of exploded prefixes on ``_vid`` with the
-       length filter ``t·|B| ≤ |A|`` (J ≥ t bounds the size ratio), then
-       pair-distinct.
-    4. Verify exactly. Degenerate corpora (tiny shingle vocabulary — every
-       doc shares the hot shingles, prefixes prune nothing; measured 10.7M
-       candidates over 5k docs at sf0.1) make per-pair set intersection the
-       bottleneck, so when the whole vocab fits in a fixed bitmap
-       (≤ ``_BITMAP_MAX_VOCAB`` bits) each doc is a ``V/64``-long bitmask
-       and overlap = Σ bit_count(a&b) — whole-stage-codegen JVM, ~100× over
-       string array_intersect (209 s → ~8 s at sf0.1). Otherwise (real
-       corpora: huge vocab, rare-heavy) verification joins the sorted int
-       arrays with array_intersect, where prefixes do prune.
+    3. Candidates: self-equi-join of pos-exploded prefixes on ``_vid`` with
+       the length filter ``t*|B| <= |A| <= |B|/t`` and the PPJoin positional
+       filter (inline comment below), then pair-distinct.
+    4. Verify exactly, switched on vocabulary size (``strategy='auto'``):
+       * **bitmap** (vocab <= ``_BITMAP_MAX_VOCAB``): each doc is a fixed
+         ``V/64``-long bitmask; overlap = zip_with/aggregate popcount fold.
+         (Unrolling the fold into V/64 element_at+bit_count terms measured
+         5x SLOWER -- the giant flat expression falls out of codegen; the
+         higher-order fold stays tight.) This is the degenerate-corpus
+         regime -- tiny vocab means every doc shares the hot shingles and
+         candidates stay in the millions, so per-pair cost is everything
+         (209 s -> ~3 s at sf0.1 vs the naive string-array plan).
+       * **array** (real corpora: huge vocab, Zipfian document frequency):
+         ``array_intersect`` on the sorted int arrays -- prefixes actually
+         prune there, and no fixed bitmap fits. This is the 100 TB path.
+
+    Plan-shape lessons baked in (measured at sf0.1, keep it this way):
+    evaluate the verify expression AFTER equi-joins on UNIQUE keys (one
+    probe-match per candidate => #evals == #candidates, whole-stage
+    codegen). All-pairs shapes that move the test into a nested-loop /
+    cartesian / coarse-band join condition evaluate it per ordered COMBO,
+    interpreted: 13-23 s for the same answer.
     """
     sh = _fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
@@ -130,70 +139,105 @@ def ngram_jaccard_pairs(
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_df"))
     ).persist()  # consumed twice: strategy-choice count + vocab id assignment
+    vocab_size = dfreq.count()
     if strategy == "auto":
-        vocab_size = dfreq.count()
         use_bitmap = vocab_size <= _BITMAP_MAX_VOCAB
     else:
         use_bitmap = strategy == "bitmap"
-        vocab_size = dfreq.count() if use_bitmap else 0
-    # dense id, rarest shingle first ⇒ sorted _vid array = AllPairs order.
-    # add_deterministic_id avoids the single-partition global-sort window —
-    # the vocab can be huge on real corpora (W1 scale path, operators/ids.py)
-    vocab = add_deterministic_id(dfreq, ["_df", "_s"], "_vid").select(
-        "_s", (F.col("_vid") - 1).alias("_vid")
-    )
-    if use_bitmap:
-        vocab = F.broadcast(vocab)  # fits by definition of the bitmap path
 
-    docs = (
-        sh.select("_id", F.explode("_sh").alias("_s"))
-        .join(vocab, "_s")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_list("_vid")).alias("_ids"))
-        .withColumn("_sz", F.size("_ids"))
-    ).persist()
+    # dense id, rarest shingle first => sorted _vid array = AllPairs order.
+    if use_bitmap:
+        # vocab fits a broadcast by definition; a single-partition
+        # row_number over <=16k rows beats the range-partitioned scale path
+        from pgdedupe_spark.operators.ids import add_row_number_id
+
+        vocab = F.broadcast(
+            add_row_number_id(dfreq, ["_df", "_s"], "_vid").select(
+                "_s", (F.col("_vid") - 1).alias("_vid")
+            )
+        )
+        nwords = (int(vocab_size) + 63) // 64
+        # one two-level aggregation produces BOTH verify representations:
+        # per-(doc, word) partial bitmasks + vid lists, then per-doc the
+        # dense V/64-long bitmask AND the sorted vid array (a separate
+        # bitmap-building subtree costs two more shuffle+agg stages).
+        docs = (
+            sh.select("_id", F.explode("_sh").alias("_s"))
+            .join(vocab, "_s")
+            .groupBy("_id", (F.col("_vid") / 64).cast("int").alias("_w"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_vid % 64 AS INT))")
+                ).alias("_m"),
+                F.collect_list("_vid").alias("_vw"),
+            )
+            .groupBy("_id")
+            .agg(
+                F.map_from_entries(F.collect_list(F.struct("_w", "_m"))).alias("_wm"),
+                F.sort_array(F.flatten(F.collect_list("_vw"))).alias("_ids"),
+            )
+            .select(
+                "_id",
+                "_ids",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(nwords - 1)),
+                    lambda w: F.coalesce(F.col("_wm")[w], F.lit(0).cast("long")),
+                ).alias("_bm"),
+            )
+            .withColumn("_sz", F.size("_ids"))
+        ).persist()
+    else:
+        # add_deterministic_id avoids the single-partition global-sort
+        # window -- the vocab can be huge on real corpora (W1 scale path)
+        vocab = add_deterministic_id(dfreq, ["_df", "_s"], "_vid").select(
+            "_s", (F.col("_vid") - 1).alias("_vid")
+        )
+
+        docs = (
+            sh.select("_id", F.explode("_sh").alias("_s"))
+            .join(vocab, "_s")
+            .groupBy("_id")
+            .agg(F.sort_array(F.collect_list("_vid")).alias("_ids"))
+            .withColumn("_sz", F.size("_ids"))
+        ).persist()
 
     plen = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(float(threshold))).cast("int") + 1
     prefix = docs.select(
-        "_id", "_sz", F.explode(F.slice("_ids", F.lit(1), plen)).alias("_vid")
+        "_id", "_sz", F.posexplode(F.slice("_ids", F.lit(1), plen)).alias("_p", "_vid")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     t = float(threshold)
+    # PPJoin positional filter. Both _ids arrays are sorted by the SAME
+    # global order, so common elements of any two docs appear in the same
+    # relative order ("aligned"); the required overlap for J >= t is
+    # alpha = ceil(t*(|A|+|B|)/(1+t)) (-eps so float rounding can't
+    # over-require). For a match at 0-indexed positions (i, j), alignment
+    # means every common element besides this one and its predecessors sits
+    # after (i, j) in BOTH arrays, so overlap <= min(|A|-i, |B|-j) and the
+    # FIRST match of a pair carries the largest such bound: keeping only
+    # matches with min(|A|-i, |B|-j) >= alpha drops no true pair while
+    # cutting the rows entering the pair-distinct shuffle ~3x.
+    alpha_join = F.ceil(
+        (F.col("a._sz") + F.col("b._sz")) * F.lit(t / (1.0 + t)) - F.lit(1e-9)
+    )
     cands = (
         a.join(
             b,
             (F.col("a._vid") == F.col("b._vid"))
             & (F.col("a._id") < F.col("b._id"))
-            # length filter: J ≥ t ⇒ t·max(|A|,|B|) ≤ min(|A|,|B|)
+            # length filter: J >= t => t*max(|A|,|B|) <= min(|A|,|B|)
             & (F.col("a._sz") >= F.lit(t) * F.col("b._sz"))
-            & (F.col("b._sz") >= F.lit(t) * F.col("a._sz")),
+            & (F.col("b._sz") >= F.lit(t) * F.col("a._sz"))
+            & (F.least(F.col("a._sz") - F.col("a._p"), F.col("b._sz") - F.col("b._p"))
+               >= alpha_join),
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
         .distinct()
     )
 
     if use_bitmap:
-        nwords = (int(vocab_size) + 63) // 64
-        # V/64-long fixed bitmask per doc: bit_or-agg per 64-bit word, then
-        # densify the sparse word map to a fixed array (all JVM-side)
-        pow2 = F.array(*[F.lit(v).cast("long") for v in _POW2])
-        words = (
-            docs.select("_id", "_sz", F.explode("_ids").alias("_vid"))
-            .groupBy("_id", "_sz", (F.col("_vid") / 64).cast("int").alias("_w"))
-            .agg(F.bit_or(F.element_at(pow2, (F.col("_vid") % 64 + 1).cast("int"))).alias("_m"))
-            .groupBy("_id", "_sz")
-            .agg(F.map_from_entries(F.collect_list(F.struct("_w", "_m"))).alias("_wm"))
-            .select(
-                "_id",
-                "_sz",
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(nwords - 1)),
-                    lambda w: F.coalesce(F.col("_wm")[w], F.lit(0).cast("long")),
-                ).alias("_bm"),
-            )
-        )
-        v1 = words.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"), F.col("_bm").alias("_bm1"))
-        v2 = words.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"), F.col("_bm").alias("_bm2"))
+        v1 = docs.select(F.col("_id").alias("id1"), F.col("_sz").alias("_sz1"), F.col("_bm").alias("_bm1"))
+        v2 = docs.select(F.col("_id").alias("id2"), F.col("_sz").alias("_sz2"), F.col("_bm").alias("_bm2"))
         common = F.aggregate(
             F.zip_with("_bm1", "_bm2", lambda x, y: F.bit_count(x.bitwiseAND(y))),
             F.lit(0),
