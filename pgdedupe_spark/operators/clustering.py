@@ -52,22 +52,32 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 
     sym.persist(StorageLevel.MEMORY_AND_DISK)
     for _ in range(max_iter):
-        # propagate: each vertex takes min(own label, neighbours' labels)
+        # propagate: each vertex takes min(own label, neighbours' labels,
+        # label-of-label). The third term is pointer doubling — label chains
+        # halve every round, so convergence takes O(log d) rounds instead of
+        # O(d) on high-diameter (chain-like) graphs; one extra small join on
+        # the label frame per round buys it.
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("component").alias("n_comp"))
         )
+        grand = labels.select(
+            F.col("id").alias("component"), F.col("component").alias("g_comp")
+        )
         # carry the old label through the propagation join so convergence is
         # read off the checkpointed frame directly — no extra join per round
         stepped = (
             labels.join(neigh.withColumnRenamed("src", "id"), "id", "left")
+            .join(grand, "component", "left")
             .select(
                 "id",
                 F.col("component").alias("_old"),
-                F.least(F.col("component"), F.coalesce("n_comp", "component")).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"),
+                    F.coalesce("n_comp", "component"),
+                    F.coalesce("g_comp", "component"),
+                ).alias("component"),
             )
         ).localCheckpoint(eager=True)
         changed = stepped.filter(F.col("component") < F.col("_old")).limit(1).count()

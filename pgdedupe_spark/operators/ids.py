@@ -34,6 +34,7 @@ def add_deterministic_id(
     order_cols: list[str],
     id_col: str = "_unique_id",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale path: ids equal to the global rank by ``order_cols`` without a
     single-partition sort.
@@ -44,10 +45,20 @@ def add_deterministic_id(
     3. Offset each partition by the total count of earlier partitions; the
        per-partition counts are tiny (one row per partition) and are joined
        back via broadcast.
+
+    ``materialize`` (default on) localCheckpoints the input first:
+    ``repartitionByRange`` runs a *sampling pass* over ``df`` to pick range
+    bounds, so a non-trivial upstream (an aggregation, a join) otherwise
+    executes twice — one executor-side materialization is cheaper (measured
+    2× on the collapse query's grouped frame). Turn it off when the input
+    is a bare scan that is cheaper to re-read than to cache; on clusters
+    with lossy executors swap for ``checkpoint()`` with a checkpoint dir.
     """
     sort_exprs = [F.col(c).asc_nulls_first() for c in order_cols]
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if materialize:
+        df = df.localCheckpoint(eager=True)
     ranged = df.repartitionByRange(num_partitions, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
