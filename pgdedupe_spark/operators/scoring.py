@@ -52,7 +52,59 @@ class LogisticRegressionClassifier:
         return 1.0 / (1.0 + np.exp(-z))
 
 
-CLASSIFIERS = {"logistic_regression": LogisticRegressionClassifier}
+class MLlibLogisticRegressionClassifier:
+    """Adapter over ``pyspark.ml.classification.LogisticRegression`` —
+    the same pluggable-classifier slot (D4), fitted through MLlib instead
+    of the driver-side numpy loop. After ``fit`` it exposes the identical
+    ``(weights, bias)`` surface, so SCORING still runs as the unrolled JVM
+    sigmoid expression (``score_expr``): MLlib's vector-UDT row path never
+    touches the hot candidate-pair scan, only the tiny labeled set.
+
+    Requires an active SparkSession at ``fit`` time (always true inside the
+    pipeline). L-BFGS converges to the same optimum as the numpy gradient
+    fit on these convex problems; coefficients differ only in tolerance.
+    """
+
+    def __init__(self, reg_param: float = 1e-3, max_iter: int = 100,
+                 elastic_net_param: float = 0.0):
+        self.reg_param = reg_param
+        self.max_iter = max_iter
+        self.elastic_net_param = elastic_net_param
+        self.weights: np.ndarray | None = None
+        self.bias: float = 0.0
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "MLlibLogisticRegressionClassifier":
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.linalg import Vectors
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("MLlib classifier needs an active SparkSession")
+        rows = [
+            (Vectors.dense([float(v) for v in row]), float(lbl))
+            for row, lbl in zip(np.asarray(X, dtype=np.float64), np.asarray(y))
+        ]
+        train = spark.createDataFrame(rows, ["features", "label"])
+        model = LogisticRegression(
+            regParam=self.reg_param,
+            maxIter=self.max_iter,
+            elasticNetParam=self.elastic_net_param,
+            standardization=False,
+        ).fit(train)
+        self.weights = np.asarray(model.coefficients.toArray(), dtype=np.float64)
+        self.bias = float(model.intercept)
+        return self
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = np.asarray(X) @ self.weights + self.bias
+        return 1.0 / (1.0 + np.exp(-z))
+
+
+CLASSIFIERS = {
+    "logistic_regression": LogisticRegressionClassifier,
+    "mllib_logistic_regression": MLlibLogisticRegressionClassifier,
+}
 
 
 def score_expr(weights: np.ndarray, bias: float, features_col: str = "features") -> Column:

@@ -166,30 +166,11 @@ def cosine_pairs(
     )
 
 
-def ivf_index(
-    embeddings: DataFrame,
-    id_col: str,
-    vec_col: str,
-    n_centroids: int = 16,
-    seed: int = 42,
-) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
-    """IVF coarse quantizer: assign every vector to its nearest of
-    ``n_centroids`` centroids. Centroids are a deterministic seeded sample
-    of the corpus (hash-ranked pick — the k-means|| seeding step without
-    the Lloyd refinement; good enough for a cell layout, refinable later).
-
-    Returns (indexed corpus with a ``cell`` column, centroid list). At
-    100 TB the indexed table is written once partitioned BY cell — probing
-    then prunes whole partitions at scan time (partition pruning is the
-    IVF win; the LSH variant gets the same effect from bucket ids)."""
-    ranked = embeddings.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"),
-    )
-    cents_rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
-    centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(cents_rows)]
-
+def _assign_cells(
+    embeddings: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid (cosine) assignment as one JVM argmax fold over the
+    centroid literal array — no shuffle, no Python in the row path."""
     cent_lit = F.array(
         *[
             F.struct(
@@ -206,7 +187,6 @@ def ivf_index(
         nc = F.sqrt(F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
         return dot / (nv * nc)
 
-    # argmax over the centroid array — one JVM fold, no shuffle
     best = F.aggregate(
         cent_lit,
         F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("s")),
@@ -215,7 +195,62 @@ def ivf_index(
             F.struct(c["cid"].alias("cid"), _cos(F.col(vec_col), c["cv"]).alias("s")),
         ).otherwise(acc),
     )
-    indexed = embeddings.withColumn("cell", best["cid"])
+    return embeddings.withColumn("cell", best["cid"])
+
+
+def ivf_index(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    refine_iters: int = 0,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """IVF coarse quantizer: assign every vector to its nearest of
+    ``n_centroids`` centroids. Centroids seed from a deterministic
+    hash-ranked sample of the corpus; ``refine_iters`` Lloyd iterations
+    (spherical k-means flavour: mean per cell, cosine assignment
+    renormalizes) tighten the cells — each iteration is one distributed
+    assignment + one per-dimension avg aggregation whose result (k×dim
+    values) collects to the driver to become the next centroid literal.
+    Default 0 keeps the layout bit-deterministic (float means depend on
+    partial-agg order); recall-sensitive deployments refine, determinism-
+    sensitive ones don't.
+
+    Returns (indexed corpus with a ``cell`` column, centroid list). At
+    100 TB the indexed table is written once partitioned BY cell — probing
+    then prunes whole partitions at scan time (partition pruning is the
+    IVF win; the LSH variant gets the same effect from bucket ids)."""
+    ranked = embeddings.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"),
+    )
+    cents_rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
+    centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(cents_rows)]
+
+    for _ in range(max(0, int(refine_iters))):
+        assigned = _assign_cells(embeddings, vec_col, centroids)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("_dim", "_x"))
+            .groupBy("cell", "_dim")
+            .agg(F.avg("_x").alias("_mu"))
+            .groupBy("cell")
+            .agg(F.map_from_entries(F.collect_list(F.struct("_dim", "_mu"))).alias("_m"))
+            .collect()
+        )
+        by_cell = {int(r.cell): r._m for r in means}
+        centroids = [
+            (
+                cid,
+                [float(by_cell[cid][d]) for d in range(len(vec))]
+                if cid in by_cell
+                else vec,  # empty cell keeps its seed centroid
+            )
+            for cid, vec in centroids
+        ]
+
+    indexed = _assign_cells(embeddings, vec_col, centroids)
     return indexed, centroids
 
 
@@ -227,13 +262,16 @@ def ivf_cosine_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    refine_iters: int = 0,
     query_filter: str = "vec_id < 10",
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per query,
     exact cosine re-rank inside. ``n_probe == n_centroids`` degrades to the
     exact brute force (pinned by test), which is the knob's whole point:
     recall vs cells-scanned, per query, at runtime."""
-    indexed, centroids = ivf_index(embeddings, id_col, vec_col, n_centroids, seed)
+    indexed, centroids = ivf_index(
+        embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
+    )
     indexed = indexed.persist()
 
     cent_lit = F.array(

@@ -145,3 +145,46 @@ def test_ivf_partial_probe_recall(spark, docs):
     assert recall >= 0.5, f"IVF recall@5 too low: {recall:.2f}"
     rows2 = ivf_cosine_topk(emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_lloyd_refinement(spark, docs):
+    """Lloyd refinement moves centroids but cannot break exactness under
+    full probing, and partial-probe recall stays useful."""
+    from pgdedupe_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    _, seeded = ivf_index(emb, "vec_id", "embedding", n_centroids=8, refine_iters=0)
+    _, refined = ivf_index(emb, "vec_id", "embedding", n_centroids=8, refine_iters=2)
+    assert len(refined) == len(seeded) == 8
+    assert any(
+        s_vec != r_vec for (_, s_vec), (_, r_vec) in zip(seeded, refined)
+    ), "two Lloyd iterations should move at least one centroid"
+
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_cosine_topk(
+            emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=8, refine_iters=2
+        ).collect()
+    }
+    assert full_probe == exact
+
+    got = {}
+    for r in ivf_cosine_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4, refine_iters=2
+    ).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    want = {}
+    for r in cosine_topk(emb, "vec_id", "embedding", k=5).collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(want[q] & got.get(q, set())) for q in want) / sum(
+        len(v) for v in want.values()
+    )
+    assert recall >= 0.5, f"refined IVF recall@5 too low: {recall:.2f}"

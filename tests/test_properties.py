@@ -78,6 +78,76 @@ texts_strategy = st.lists(
 )
 
 
+# --- exact-merge properties ------------------------------------------------
+
+
+def _ref_merge(rows, merge_cols):
+    """Pure-python mirror of merge_exact: rows = [(key, cluster, f1, f2)];
+    link clusters sharing non-NULL values on each subset, relabel to the
+    union-find min. Returns {key: cluster}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    fields = {"f1": 2, "f2": 3}
+    for cols in merge_cols:
+        groups = {}
+        for r in rows:
+            vals = tuple(r[fields[c]] for c in cols)
+            if any(v is None for v in vals):
+                continue
+            groups.setdefault(vals, []).append(r[1])
+        for members in groups.values():
+            for m in members[1:]:
+                union(members[0], m)
+    return {r[0]: find(r[1]) for r in rows}
+
+
+merge_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 20),  # cluster id
+        st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # f1
+        st.one_of(st.none(), st.sampled_from(["x", "y"])),  # f2
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=merge_rows_strategy)
+def test_merge_exact_matches_union_find_and_is_idempotent(spark, rows):
+    from pgdedupe_spark.operators.exact_merge import merge_exact
+
+    data = [(i, c, f1, f2) for i, (c, f1, f2) in enumerate(rows)]
+    entries = spark.createDataFrame(
+        [(k, f1, f2) for k, _, f1, f2 in data], "key long, f1 string, f2 string"
+    )
+    mapping = spark.createDataFrame(
+        [(k, c) for k, c, _, _ in data], "key long, cluster long"
+    )
+    merge_cols = [["f1"], ["f2"], ["f1", "f2"]]
+    merged = merge_exact(mapping, entries, "key", merge_cols)
+    got = {r.key: r.cluster for r in merged.collect()}
+    want = _ref_merge(data, merge_cols)
+    assert got == want
+
+    # idempotence: a second pass finds no new links (all group-mates already
+    # share a label), so the mapping is a fixpoint
+    again = merge_exact(merged, entries, "key", merge_cols)
+    assert {r.key: r.cluster for r in again.collect()} == got
+
+
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
 @given(texts=texts_strategy)
 def test_ngram_jaccard_both_strategies_match_brute_force(spark, texts):

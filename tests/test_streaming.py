@@ -110,3 +110,30 @@ def test_stateful_user_counts(spark, batch_events):
     )
     cols = ["user_id", "n_events", "last_seen"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_kafka_payload_roundtrip(spark, batch_events):
+    """The Kafka codec is pure DataFrame logic: encoding the canonical
+    events to wire rows and parsing them back must be the identity, so any
+    op downstream of read_events_kafka sees exactly what the file source
+    yields (broker-less test of the source wiring)."""
+    from pgdedupe_spark.streaming import event_payload, parse_event_payload
+
+    wire = event_payload(batch_events)
+    assert wire.columns == ["key", "value"]
+    back = parse_event_payload(wire)
+    cols = ["event_id", "event_time", "user_id", "event_type", "value"]
+    assert _rows(back, cols) == _rows(batch_events, cols)
+
+
+def test_kafka_parse_drops_poison(spark):
+    """Malformed payloads must be dropped, not fail the query."""
+    from pgdedupe_spark.streaming import parse_event_payload
+
+    raw = spark.createDataFrame(
+        [(None, b"{not json"), (None, b'{"event_id": 7, "ts": 1000000, '
+          b'"user_id": 1, "event_type": "click", "value": 2.5}')],
+        "key binary, value binary",
+    )
+    rows = parse_event_payload(raw).collect()
+    assert len(rows) == 1 and rows[0].event_id == 7
