@@ -91,7 +91,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
 def _hac_average_linkage(ids: np.ndarray, dist: dict, cutoff: float):
     """Average-linkage HAC over a sparse pairwise-distance dict; missing
     pairs are treated as distance 1.0 (max). Returns list of (cluster_ids,
-    per-record scores). Pure numpy/python — components are small."""
+    per-record scores). Pure numpy/python — components are bounded by
+    blocking, but a heap with lazy deletion keeps the merge loop
+    O(n² log n) instead of the O(n³) rescan, so an occasional huge block
+    degrades gracefully.
+
+    Tie-break contract (must stay deterministic across runs): among equal
+    distances the lexicographically-smallest (i, j) pair merges first —
+    heapq's tuple order gives exactly that."""
+    import heapq
+
     n = len(ids)
     # dense matrix; components are bounded by block size
     d = np.ones((n, n))
@@ -103,23 +112,27 @@ def _hac_average_linkage(ids: np.ndarray, dist: dict, cutoff: float):
     clusters = {i: [i] for i in range(n)}
     active = set(clusters)
     cd = d.copy()
-    while len(active) > 1:
-        best, bi, bj = None, None, None
-        act = sorted(active)
-        for x in range(len(act)):
-            for y in range(x + 1, len(act)):
-                i, j = act[x], act[y]
-                v = cd[i, j]
-                if best is None or v < best:
-                    best, bi, bj = v, i, j
-        if best is None or best > cutoff:
+    # heap entries: (dist, i, j, version_i, version_j); a stale version
+    # means cluster i or j merged since the entry was pushed — skip it
+    version = [0] * n
+    heap = [(cd[i, j], i, j, 0, 0) for i in range(n) for j in range(i + 1, n)]
+    heapq.heapify(heap)
+    while heap:
+        best, bi, bj, vi, vj = heapq.heappop(heap)
+        if bi not in active or bj not in active or version[bi] != vi or version[bj] != vj:
+            continue
+        if best > cutoff:
             break
         # merge bj into bi; average linkage update
         ni, nj = len(clusters[bi]), len(clusters[bj])
+        version[bi] += 1
         for k in active:
             if k in (bi, bj):
                 continue
-            cd[bi, k] = cd[k, bi] = (ni * cd[bi, k] + nj * cd[bj, k]) / (ni + nj)
+            nv = (ni * cd[bi, k] + nj * cd[bj, k]) / (ni + nj)
+            cd[bi, k] = cd[k, bi] = nv
+            lo, hi = (bi, k) if bi < k else (k, bi)
+            heapq.heappush(heap, (nv, lo, hi, version[lo], version[hi]))
         clusters[bi].extend(clusters[bj])
         active.discard(bj)
     out = []

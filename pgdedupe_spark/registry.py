@@ -480,6 +480,101 @@ def a9_union_distinct(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A10 — ROLLUP / grouping-sets subtotals (relational breadth beyond the
+# reference: the standard OLAP subtotal shape; Spark evaluates it as one
+# Expand + hash aggregate, i.e. a single shuffle for every grouping set).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_rollup",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey,
+           count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer
+    GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+)
+def a10_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("acctbal_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8/J9 — anti / semi joins (NOT EXISTS / EXISTS): the reference's
+# singleton-detection idiom generalized; Spark's dedicated LeftAnti/LeftSemi
+# build only the hash side, no payload shuffle of the probe side's columns.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j8_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j8_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "j9_semi_join",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j9_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# A11 — exact interpolated percentiles (median + quartiles) per group.
+# Spark's `percentile` and DuckDB's `quantile_cont` both do linear
+# interpolation; quantities are integer-valued doubles, so the interpolated
+# values land on exact binary fractions and hash identically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a11_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a11_percentiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(
+                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            ).alias("qty_quartiles")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 + F2 + F3 — array position / filter-smaller / explode round-trip
 # (run.py:81-89, 314-319, 473-475) phrased per customer over order ids.
 # ---------------------------------------------------------------------------

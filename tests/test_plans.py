@@ -68,3 +68,25 @@ def test_whole_stage_codegen_present(spark):
     df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
     r = plan_report(df, execute=True)
     assert r["codegen_stages"] >= 1
+
+
+def test_anti_semi_joins_are_dedicated_and_broadcast(spark):
+    """J8/J9 must plan as dedicated LeftAnti/LeftSemi broadcast hash joins:
+    only the build side materializes, the probe side streams — no payload
+    shuffle, no full outer-join fallback."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    for name, kind in (("j8_anti_join", "LeftAnti"), ("j9_semi_join", "LeftSemi")):
+        plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+        assert kind in plan, f"{name}: no {kind} join in plan"
+        assert "BroadcastHashJoin" in plan, f"{name}: expected broadcast"
+
+
+def test_rollup_is_single_expand_aggregate(spark):
+    """A10: ROLLUP must evaluate as one Expand + aggregate (one shuffle for
+    all grouping sets), not a union of per-set aggregations."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["a10_rollup"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")

@@ -162,3 +162,76 @@ def test_ngram_jaccard_both_strategies_match_brute_force(spark, texts):
             ).collect()
         }
         assert got == want, f"strategy={strategy}"
+
+
+# --- HAC heap implementation vs exhaustive-rescan reference ----------------
+
+
+def _ref_hac(ids, dist, cutoff):
+    """The O(n^3) rescan formulation (previous implementation) — kept as the
+    semantic reference for the heap-based merge loop."""
+    import numpy as np
+
+    n = len(ids)
+    d = np.ones((n, n)); np.fill_diagonal(d, 0.0)
+    pos = {v: i for i, v in enumerate(ids)}
+    for (a, b), v in dist.items():
+        i, j = pos[a], pos[b]
+        d[i, j] = d[j, i] = v
+    clusters = {i: [i] for i in range(n)}
+    active = set(clusters)
+    cd = d.copy()
+    while len(active) > 1:
+        best, bi, bj = None, None, None
+        act = sorted(active)
+        for x in range(len(act)):
+            for y in range(x + 1, len(act)):
+                i, j = act[x], act[y]
+                if best is None or cd[i, j] < best:
+                    best, bi, bj = cd[i, j], i, j
+        if best is None or best > cutoff:
+            break
+        ni, nj = len(clusters[bi]), len(clusters[bj])
+        for k in active:
+            if k in (bi, bj):
+                continue
+            cd[bi, k] = cd[k, bi] = (ni * cd[bi, k] + nj * cd[bj, k]) / (ni + nj)
+        clusters[bi].extend(clusters[bj])
+        active.discard(bj)
+    out = []
+    for i in sorted(active):
+        members = clusters[i]
+        if len(members) < 2:
+            continue
+        mids = [ids[m] for m in members]
+        scores = []
+        for m in members:
+            others = [d[m, o] for o in members if o != m]
+            scores.append(1.0 - float(np.mean(others)))
+        out.append((mids, scores))
+    return out
+
+
+hac_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9), st.floats(0.0, 1.0))
+    .filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=hac_strategy)
+def test_hac_heap_matches_rescan_reference(edges):
+    import numpy as np
+
+    from pgdedupe_spark.operators.clustering import _hac_average_linkage
+
+    dist = {}
+    for a, b, v in edges:
+        dist[(min(a, b), max(a, b))] = round(v, 3)
+    ids = np.unique([x for p in dist for x in p])
+    for cutoff in (0.25, 0.5, 0.9):
+        got = _hac_average_linkage(ids, dist, cutoff)
+        want = _ref_hac(ids, dist, cutoff)
+        assert got == want, (cutoff, dist)
