@@ -71,8 +71,12 @@ def merge_exact(
     relabel = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(cluster_col), F.col("component").alias("_new_cluster")
     )
+    # no broadcast hint: the relabel map is usually dim-sized (only clusters
+    # that changed label) and AQE broadcasts it from runtime stats, but on a
+    # merge-heavy 100 TB pass it can be a large fraction of the vertex set —
+    # forcing a broadcast there would OOM the driver. Let the planner decide.
     return (
-        mapping.join(F.broadcast(relabel), cluster_col, "left")
+        mapping.join(relabel, cluster_col, "left")
         .withColumn(cluster_col, F.coalesce("_new_cluster", cluster_col))
         .drop("_new_cluster")
     )

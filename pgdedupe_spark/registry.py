@@ -575,6 +575,113 @@ def a11_percentiles(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# W2 — window-function breadth: ranks, tiles, distribution, and offsets in
+# ONE window pass (a single sort within c_custkey partitions; Spark fuses
+# all five functions into one Window physical node — pinned cheap by plan).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w2_window_suite",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           dense_rank() OVER w AS rk,
+           ntile(4) OVER w AS quartile,
+           cume_dist() OVER w AS cd,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w2_window_suite(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).alias("rk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — string-function breadth: edit distance (the JVM-side cousin of the
+# reference's fuzzy comparators), split/pad/case ops. All codegen scalar
+# expressions — zero Python.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f9_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           upper(split_part(p_name, ' ', 1)) AS first_word,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_key,
+           length(p_name) - length(replace(p_name, ' ', '')) AS n_spaces
+    FROM part
+    """,
+)
+def f9_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.upper(F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_key"),
+        (
+            F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+        ).alias("n_spaces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — date/time breadth over the orders date column: truncation,
+# field extraction, interval arithmetic, epoch-day round trips.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f10_datetime_funcs",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           count(*) AS n,
+           CAST(CAST(min(o_orderdate + INTERVAL 30 DAY) AS DATE) AS VARCHAR)
+             AS min_due
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+)
+def f10_datetime_funcs(spark, sf_dir):
+    # dates compared as ISO strings: pandas coerces engine-side DATE types
+    # differently (date vs datetime64), strings are representation-stable
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .cast("string")
+            .alias("order_month"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_add(F.col("o_orderdate"), 30)).cast("string").alias("min_due"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 + F2 + F3 — array position / filter-smaller / explode round-trip
 # (run.py:81-89, 314-319, 473-475) phrased per customer over order ids.
 # ---------------------------------------------------------------------------
