@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pgdedupe_spark.operators.ids import add_row_number_id
+from pgdedupe_spark.operators.ids import add_deterministic_id, add_row_number_id
 
 # ---------------------------------------------------------------------------
 # Predicate library (dedupe's "simple predicates": pure functions of one
@@ -125,18 +125,29 @@ def blocking_map(entries: DataFrame, block_keys: Column, id_col: str = "_unique_
     )
 
 
-def plural_key(bmap: DataFrame) -> DataFrame:
+def plural_key(bmap: DataFrame, small_threshold: int = 5_000_000) -> DataFrame:
     """Block keys covering ≥2 records, with a deterministic serial block_id
-    [run.py:265-275; A2 + W1]. Output is small (distinct keys) → single
-    row_number window is fine; ordering by block_key is a total order."""
-    plural = bmap.groupBy("block_key").count().filter(F.col("count") > 1).drop("count")
-    return add_row_number_id(plural, ["block_key"], id_col="block_id")
+    [run.py:265-275; A2 + W1]. Ordering by block_key is a total order.
+
+    Size-adaptive id assignment (the ngram auto-strategy pattern): the frame
+    is persisted and counted once, then a single-partition ``row_number``
+    when it is dim-sized, else the range-partitioned scale path — at 100 TB
+    the distinct plural keys of a loose predicate can be billions of rows,
+    where a single-partition window sort is the job-killer."""
+    plural = (
+        bmap.groupBy("block_key").count().filter(F.col("count") > 1).drop("count")
+    ).persist()
+    if plural.count() <= small_threshold:
+        return add_row_number_id(plural, ["block_key"], id_col="block_id")
+    return add_deterministic_id(plural, ["block_key"], id_col="block_id")
 
 
 def plural_block(bmap: DataFrame, pkey: DataFrame) -> DataFrame:
     """blocking_map ⋈ plural_key → (block_id, _unique_id) [run.py:282-285, J1].
-    plural_key is the small side → broadcast hash join, no shuffle of bmap."""
-    return bmap.join(F.broadcast(pkey), "block_key").select("block_id", "_unique_id")
+    No forced broadcast: pkey is usually the dim side and AQE broadcasts it
+    from runtime stats, but a loose predicate can make it arbitrarily large
+    (same hazard class as the exact-merge relabel map)."""
+    return bmap.join(pkey, "block_key").select("block_id", "_unique_id")
 
 
 def covered_blocks(pblock: DataFrame) -> DataFrame:

@@ -34,8 +34,19 @@ def candidate_pairs(
     """
     cov = smaller
     if max_block_size is not None:
-        sizes = cov.groupBy("block_id").count().filter(F.col("count") <= max_block_size)
-        cov = cov.join(F.broadcast(sizes.select("block_id")), "block_id")
+        # window count, not a groupBy+join: the size filter then shares the
+        # block_id hash partitioning with the self-join below (one shuffle,
+        # reused exchange), and there is no broadcast of a block-id set that
+        # can be arbitrarily large at scale.
+        from pyspark.sql import Window
+
+        cov = (
+            cov.withColumn(
+                "_bsz", F.count(F.lit(1)).over(Window.partitionBy("block_id"))
+            )
+            .filter(F.col("_bsz") <= max_block_size)
+            .drop("_bsz")
+        )
 
     a = cov.alias("a")
     b = cov.alias("b")
