@@ -124,3 +124,27 @@ def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bpe.cast("bigint").alias("n_bpe_tokens"),
         F.length(t).cast("bigint").alias("n_chars"),
     )
+
+
+def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-(doc, term) smoothed TF-IDF: ``tf * (ln((N+1)/(df+1)) + 1)``
+    (scikit-style smoothing so unseen-term idf stays finite).
+
+    Plan: explode tokens → (doc, term) count (one shuffle, map-side
+    combine) → term document-frequency from the distinct (doc, term) frame
+    (second aggregation on the term key) → join tf⋈df on term (AQE
+    broadcasts the term dimension when it is small; on a web-scale corpus
+    it shuffles hash-partitioned by term, which is also the natural layout
+    for downstream per-term statistics). N is one count action over the
+    corpus scan."""
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)
+    return (
+        tf.join(dfreq, "term")
+        .select("doc", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
+    )

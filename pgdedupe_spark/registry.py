@@ -847,6 +847,79 @@ def _events(spark, sf_dir):
 
 
 @query(
+    "events_asof_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, c.ts_us,
+           p.purchase_id, p.ts_us AS purchase_ts_us
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/temporal.py): each click enriched
+    with the user's most recent prior-or-equal purchase. Oracle = DuckDB's
+    native ASOF LEFT JOIN; the Spark side is the union+window merge plan
+    (one shuffle on user_id)."""
+    from pgdedupe_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_us")
+        .agg(F.max("event_id").alias("purchase_id"))
+        .withColumn("purchase_ts_us", F.col("ts_us"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        order_col="ts_us",
+        value_cols=["purchase_id", "purchase_ts_us"],
+    )
+
+
+@query(
+    "events_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.05 * count(DISTINCT user_id) AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def events_approx_distinct(spark, sf_dir):
+    """Distinct-user sketch (HLL++): at 100 TB, count(DISTINCT) shuffles
+    every key while the sketch is a fixed few-KB accumulator with map-side
+    partial merge. Engines' sketches differ internally, so the oracle-checked
+    value is each engine's sketch judged against its OWN exact count — the
+    5%-accuracy contract is the cross-engine invariant (both run ≲1.6% rsd
+    here: Spark rsd=0.01, DuckDB default). Sketches are hash-deterministic,
+    merge-order independent."""
+    ev = _events(spark, sf_dir)  # sets the nanos-parquet read conf
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.count_distinct("user_id")
+            )
+            <= 0.05 * F.count_distinct("user_id")
+        ).alias("approx_ok"),
+    )
+
+
+@query(
     "events_hourly_rollup",
     oracle="""
     SELECT event_type,
@@ -1223,6 +1296,30 @@ def text_token_counts(spark, sf_dir):
     from pgdedupe_spark.operators.text import token_counts
 
     return token_counts(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc, term, tf,
+           tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf
+    FROM tf JOIN dfreq USING (term), n
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Smoothed TF-IDF per (doc, term) — the §7 phase-6 text-analysis op."""
+    from pgdedupe_spark.operators.text import tfidf
+
+    return tfidf(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

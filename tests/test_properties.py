@@ -235,3 +235,49 @@ def test_hac_heap_matches_rescan_reference(edges):
         got = _hac_average_linkage(ids, dist, cutoff)
         want = _ref_hac(ids, dist, cutoff)
         assert got == want, (cutoff, dist)
+
+
+# --- as-of join vs brute-force reference -----------------------------------
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=15
+    ),
+    st.lists(  # right: (key, t, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 20), st.integers(100, 999)),
+        min_size=0,
+        max_size=15,
+    ),
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=asof_strategy)
+def test_asof_join_matches_brute_force(spark, data):
+    from pgdedupe_spark.operators.temporal import asof_join
+
+    lrows, rrows = data
+    # right must be unique per (key, t): keep max payload (documented contract)
+    rbest = {}
+    for k, t, p in rrows:
+        rbest[(k, t)] = max(p, rbest.get((k, t), -1))
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, p) for (k, t), p in rbest.items()] or [(None, None, None)],
+        "k long, t long, payload long",
+    ).filter("k IS NOT NULL")
+    got = {
+        r.lid: r.payload
+        for r in asof_join(left, right, ["k"], "t", ["payload"]).collect()
+    }
+    want = {}
+    for i, (k, t) in enumerate(lrows):
+        best = None
+        for (rk, rt), p in rbest.items():
+            if rk == k and rt <= t and (best is None or rt > best[0]):
+                best = (rt, p)
+        want[i] = best[1] if best else None
+    assert got == want
