@@ -73,3 +73,41 @@ def asof_join(
     return filled.filter(F.col("_side") == 1).select(
         *lcols, *[F.col(f"_v_{v}").alias(v) for v in value_cols]
     )
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    key_cols: list[str],
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Point-in-interval join: every (point row, range row) pair with
+    ``lo <= point <= hi`` within ``key_cols`` — inclusive both ends.
+
+    A naive non-equi join plans as a nested loop (quadratic, interpreted
+    condition). The scale path buckets the axis: each range explodes to the
+    ``(hi - lo) / bucket_width + 1`` buckets it overlaps, each point maps to
+    exactly ONE bucket, and the join becomes an equi-join on
+    ``(keys..., bucket)`` followed by the exact BETWEEN filter in a codegen
+    stage. Each qualifying pair meets in exactly one bucket (the point's),
+    so no dedup pass is needed. Pick ``bucket_width`` near the typical range
+    span: output work is then O(pairs), not O(n·m).
+    """
+    b_point = F.floor(F.col(point_col) / F.lit(int(bucket_width)))
+    p = points.withColumn("_bkt", b_point)
+    r = ranges.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(int(bucket_width))),
+                F.floor(F.col(hi_col) / F.lit(int(bucket_width))),
+            )
+        ),
+    )
+    joined = p.join(r, key_cols + ["_bkt"]).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
+    )
+    return joined.drop("_bkt")

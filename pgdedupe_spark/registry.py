@@ -920,6 +920,55 @@ def events_approx_distinct(spark, sf_dir):
 
 
 @query(
+    "events_range_join",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS error_id, user_id,
+             epoch_us(ts) - 1800000000 AS lo_us,
+             epoch_us(ts) + 1800000000 AS hi_us
+      FROM events WHERE event_type = 'error'
+    ), v AS (
+      SELECT user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT err.error_id,
+           count(v.ts_us) AS n_views_nearby
+    FROM err LEFT JOIN v
+      ON err.user_id = v.user_id AND v.ts_us BETWEEN err.lo_us AND err.hi_us
+    GROUP BY err.error_id
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Point-in-interval join (operators/temporal.range_join): views within
+    ±30 min of each error event, per user. Bucketed-axis equi-join plan —
+    the naive BETWEEN join is a nested loop. Left-join semantics (errors
+    with zero nearby views kept) recovered by a left join back onto the
+    error set."""
+    from pgdedupe_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    half_win = 1_800_000_000  # 30 min in µs
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        (F.col("ts_us") - half_win).alias("lo_us"),
+        (F.col("ts_us") + half_win).alias("hi_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts_us")
+    pairs = range_join(
+        views, errors, ["user_id"], "ts_us", "lo_us", "hi_us",
+        bucket_width=2 * half_win,
+    )
+    counts = pairs.groupBy("error_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "error_id", F.coalesce("_n", F.lit(0)).alias("n_views_nearby")
+        )
+    )
+
+
+@query(
     "events_hourly_rollup",
     oracle="""
     SELECT event_type,

@@ -281,3 +281,33 @@ def test_asof_join_matches_brute_force(spark, data):
                 best = (rt, p)
         want[i] = best[1] if best else None
     assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=asof_strategy)
+def test_range_join_matches_brute_force(spark, data):
+    """Reuses the asof generator shapes: left rows become points, right rows
+    become [t, t+width] intervals; every inclusive containment pair must
+    surface exactly once."""
+    from pgdedupe_spark.operators.temporal import range_join
+
+    prows, rrows = data
+    points = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(prows)], "pid long, k long, t long"
+    )
+    ranges = spark.createDataFrame(
+        [(j, k, t, t + p % 7) for j, (k, t, p) in enumerate(rrows)]
+        or [(None, None, None, None)],
+        "rid long, k long, lo long, hi long",
+    ).filter("k IS NOT NULL")
+    got = sorted(
+        (r.pid, r.rid)
+        for r in range_join(points, ranges, ["k"], "t", "lo", "hi", bucket_width=5).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (pk, t) in enumerate(prows)
+        for j, (rk, rt, p) in enumerate(rrows)
+        if pk == rk and rt <= t <= rt + p % 7
+    )
+    assert got == want
