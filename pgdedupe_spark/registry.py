@@ -847,6 +847,106 @@ def _events(spark, sf_dir):
 
 
 @query(
+    "events_daily_from_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us,
+             event_type,
+             count(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,4))) AS sum_value_dec
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_us - hour_us % 86400000000 AS day_us,
+           event_type,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(sum_value_dec) AS DOUBLE) AS sum_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_daily_from_hourly(spark, sf_dir):
+    """Multi-resolution (hypertable-style) rollup: the DAILY aggregate is
+    re-aggregated FROM the hourly rollup, not from raw events — the
+    continuous-aggregate pattern where coarse resolutions read fine ones
+    (at 100 TB the hourly table is ~10⁴× smaller than raw). Sums stay in
+    DECIMAL until the final cast so sum-of-sums is exact; both levels
+    shuffle on the same leading time key."""
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            (F.col("ts_us") - F.col("ts_us") % F.lit(3_600_000_000)).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value_dec"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            (F.col("hour_us") - F.col("hour_us") % F.lit(86_400_000_000)).alias("day_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "events_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'error') AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def events_pivot(spark, sf_dir):
+    """Pivot (long→wide): explicit value list so the plan is a single hash
+    aggregate with one conditional counter per column — no second pass to
+    discover pivot values (which at scale is a full extra scan + collect)."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "error", "purchase", "signup", "view"]],
+    )
+
+
+@query(
+    "a12_setops",
+    oracle="""
+    SELECT o_custkey AS id FROM orders WHERE o_totalprice > 100000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def a12_setops(spark, sf_dir):
+    """INTERSECT (set semantics): high-value buyers who are also
+    high-balance customers."""
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("id"))
+    )
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    return big_orders.intersect(rich)
+
+
+@query(
     "events_asof_join",
     oracle="""
     WITH c AS (
