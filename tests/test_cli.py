@@ -63,3 +63,15 @@ def test_cli_end_to_end(spark, tmp_path):
     assert um.filter("dedupe_id is not null").count() == n_src
     n_entities = um.select("dedupe_id").distinct().count()
     assert 0 < n_entities < n_src
+
+
+def test_query_cli_list(capsys):
+    """`python -m pgdedupe_spark.query --list` enumerates the registry with
+    oracle marks — the user-facing index of SURVEY §2 coverage."""
+    from pgdedupe_spark.query import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "a1_exact_collapse" in out and "dedup_minhash_lsh" in out
+    assert out.count("✓") >= 45  # oracle-checked majority
+    assert main(["definitely_not_a_query"]) == 2
