@@ -19,9 +19,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def add_salt(df: DataFrame, unique_col: str, salt_n: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic salt in [0, salt_n) from a unique column's hash."""
-    return df.withColumn(salt_col, F.pmod(F.xxhash64(F.col(unique_col)), F.lit(salt_n)))
+def add_salt(
+    df: DataFrame, unique_col: str | list[str], salt_n: int, salt_col: str = "_salt"
+) -> DataFrame:
+    """Deterministic salt in [0, salt_n) from a unique column (or column
+    tuple) hash. The salt source must VARY WITHIN a hot key — salting by
+    the join/group key itself gives every row of the hot key the same salt
+    and spreads nothing."""
+    cols = [unique_col] if isinstance(unique_col, str) else list(unique_col)
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_n))
+    )
 
 
 def salted_aggregate(
@@ -58,3 +66,24 @@ def replicate_small_side(small: DataFrame, salt_n: int, salt_col: str = "_salt")
     return small.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)).cast("array<long>"))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    unique_col: str | list[str],
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Explicit salted equi-join for hot keys: the big side gets a
+    deterministic salt, the small side replicates ×``salt_n``, and the join
+    runs on ``keys + salt`` so one hot key spreads over ``salt_n`` reducers.
+
+    Exact for inner/left joins (each big row still meets every matching
+    small row exactly once — on its own salt). Use when AQE's runtime skew
+    split is unavailable (fixed production partitioning, non-AQE engines);
+    under AQE prefer the plain join and let the runtime split."""
+    b = add_salt(big, unique_col, salt_n)
+    s = replicate_small_side(small, salt_n)
+    return b.join(s, on + ["_salt"], how).drop("_salt")

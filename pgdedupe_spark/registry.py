@@ -1565,6 +1565,51 @@ def skew_salted_agg(spark, sf_dir):
     )
 
 
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Explicit salted join (operators/skew.py): fact side salted, dim side
+    replicated ×salt_n — must equal the plain join exactly (the oracle is
+    the UNSALTED SQL). The pattern for hot-key joins when AQE's runtime
+    skew split is unavailable."""
+    from pgdedupe_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # salt sources vary WITHIN each hot join key: line number within an
+    # order for the orderkey join, order id within a customer for the
+    # custkey join (salting by the key itself would spread nothing)
+    fact = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders,
+        on=["o_orderkey"],
+        unique_col=["o_orderkey", "l_linenumber"],
+        salt_n=8,
+    )
+    enriched = salted_join(
+        fact.withColumnRenamed("o_custkey", "c_custkey"),
+        cust,
+        on=["c_custkey"],
+        unique_col="o_orderkey",
+        salt_n=8,
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+    )
+
+
 @query("ann_ivf_topk")  # approximate (cell-probed) — rows-only
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (seeded-sample coarse quantizer, n_probe cells
