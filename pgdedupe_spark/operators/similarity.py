@@ -140,29 +140,41 @@ def cosine_pairs(
     This is the *verifier*; brute force is O(n²) in pairs. At scale, feed it
     candidates from :func:`random_hyperplane_buckets` instead of the full
     cross join — the plan below is the exact-answer baseline the approximate
-    path is measured against. The self-join shuffles on nothing (cartesian
-    with the `<` pruning); Spark executes it as a broadcast nested loop when
-    one side fits, which is the right plan for a query-set×corpus shape."""
+    path is measured against.
+
+    Plan shape (the measured lesson from the n-gram verifier): the nested
+    loop enumerates ONLY narrow id pairs — a post-join cosine filter would
+    be pushed into the non-equi join condition and evaluated interpreted
+    per ordered combo (2.3× slower measured). Payload vectors attach via
+    broadcast hash joins on the unique ids, and the cosine runs once per
+    pair inside a whole-stage-codegen filter stage."""
     from pgdedupe_spark.operators.dedup import _fan_out
 
     # fan out: a single-file corpus otherwise runs the whole pair loop in
     # one task (left side of the nested-loop join = one scan partition)
-    q = _fan_out(embeddings, id_col).select(
-        F.col(id_col).alias("_id"),
-        _quantize(F.col(vec_col)).alias("_q"),
-    ).withColumn("_n", F.sqrt(_dot_long(F.col("_q"), F.col("_q")).cast("double")))
-    a, b = q.alias("a"), q.alias("b")
+    q = (
+        _fan_out(embeddings, id_col)
+        .select(F.col(id_col).alias("_id"), _quantize(F.col(vec_col)).alias("_q"))
+        .withColumn("_n", F.sqrt(_dot_long(F.col("_q"), F.col("_q")).cast("double")))
+        .persist()  # consumed three times: id enumeration ×2 payload joins
+    )
+    ids = q.select("_id")
+    a, b = ids.alias("a"), ids.alias("b")
+    pairs = a.join(b, F.col("a._id") < F.col("b._id")).select(
+        F.col("a._id").alias("id1"), F.col("b._id").alias("id2")
+    )
+    v1 = q.select(F.col("_id").alias("id1"), F.col("_q").alias("_q1"), F.col("_n").alias("_n1"))
+    v2 = q.select(F.col("_id").alias("id2"), F.col("_q").alias("_q2"), F.col("_n").alias("_n2"))
     return (
-        a.join(b, F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id1"),
-            F.col("b._id").alias("id2"),
-            (
-                _dot_long(F.col("a._q"), F.col("b._q")).cast("double")
-                / (F.col("a._n") * F.col("b._n"))
-            ).alias("cosine"),
+        pairs.join(v1, "id1")
+        .join(v2, "id2")
+        .withColumn(
+            "cosine",
+            _dot_long(F.col("_q1"), F.col("_q2")).cast("double")
+            / (F.col("_n1") * F.col("_n2")),
         )
         .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
     )
 
 
