@@ -264,7 +264,15 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature_cols(shingle_col: str, num_hashes: int) -> list[Column]:
-    """k min-hashes, each min over xxhash64(seed_i, shingle). Pure JVM."""
+    """k min-hashes, each min over xxhash64(seed_i, shingle). Pure JVM.
+
+    Deliberately k separate string-hash passes: per-element work inside
+    higher-order functions is INTERPRETED, so what matters is expression
+    NODES per element, not abstract op cost. xxhash64(seed, s) is one
+    native node; the "cheaper" Carter-Wegman variant (one base hash + k
+    affine ``pmod(a*h+b, p)`` permutations over longs) is a 4-node tree
+    per element and measured 10x SLOWER (2 s -> 22 s at sf0.1), barrier or
+    not. Don't relearn this."""
     return [
         F.array_min(
             F.transform(F.col(shingle_col), lambda s, i=i: F.xxhash64(F.lit(i), s))
