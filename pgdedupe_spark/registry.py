@@ -1472,6 +1472,32 @@ def text_tfidf(spark, sf_dir):
 
 
 @query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id % 20 < (CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 6 ELSE 3 END)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified downsampling — the curation primitive for
+    rebalancing a training corpus (cap dominant languages, keep the tail).
+    Membership is pure integer arithmetic on the stable id (NOT rand():
+    re-runnable, engine-portable, and a WHERE clause so it pushes into the
+    scan). At 100 TB this is a full-scan filter with zero shuffle."""
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 6)
+        .otherwise(3)
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 20) < rate)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
     "dedup_embedding_cosine",
     oracle="""
     WITH q AS (
