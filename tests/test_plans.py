@@ -92,3 +92,23 @@ def test_rollup_is_single_expand_aggregate(spark):
     plan = explain_str(registry.QUERIES["a10_rollup"](spark, SF_DIR))
     assert "Expand" in plan
     assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_asof_join_is_single_shuffle_window(spark):
+    """The as-of join must plan as hash-partition + in-partition sort
+    (union → Window), never a nested loop or cartesian."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_asof_join"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must be a hash equi-join with the BETWEEN
+    residual as its condition — not a nested loop."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_range_join"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
