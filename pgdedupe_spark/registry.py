@@ -1472,6 +1472,46 @@ def text_tfidf(spark, sf_dir):
 
 
 @query(
+    "dedup_canonical_pick",
+    oracle="""
+    WITH g AS (
+      SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
+             doc_id, n_chars
+      FROM documents
+    )
+    SELECT norm,
+           max_by(doc_id, n_chars * 1000000000 + doc_id) AS keep_id,
+           count(*) AS n_members
+    FROM g GROUP BY norm HAVING count(*) > 1
+    """,
+)
+def dedup_canonical_pick(spark, sf_dir):
+    """Canonical-document selection: per duplicate group, KEEP the
+    highest-quality member (longest text, doc_id as the deterministic
+    tie-break) — the argmax-per-group (`max_by` over a struct) curation
+    step that follows duplicate detection. One hash aggregate, map-side
+    combinable; no window, no join."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            normalize_text(F.col("text")).alias("norm"), "doc_id", "n_chars"
+        )
+        .groupBy("norm")
+        .agg(
+            # composite numeric key (not a struct: DuckDB's max_by can't
+            # order structs) — n_chars dominates, doc_id breaks ties
+            F.max_by(
+                "doc_id", F.col("n_chars") * F.lit(1_000_000_000) + F.col("doc_id")
+            ).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+
+
+@query(
     "sample_stratified",
     oracle="""
     SELECT doc_id, lang, source
