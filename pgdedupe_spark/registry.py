@@ -46,12 +46,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT text, lang, source, n_chars,
-             array_agg(doc_id ORDER BY doc_id) AS src_ids
+             array_agg(doc_id ORDER BY doc_id) AS src_id_list
       FROM documents
       WHERE n_chars > 0
       GROUP BY text, lang, source, n_chars
     )
-    SELECT text, lang, source, n_chars, src_ids,
+    SELECT text, lang, source, n_chars,
+           coalesce(array_to_string(src_id_list, ','), '') AS src_ids,
            row_number() OVER (
              ORDER BY text NULLS FIRST, lang NULLS FIRST,
                       source NULLS FIRST, n_chars NULLS FIRST
@@ -63,12 +64,16 @@ def a1_exact_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgdedupe_spark.operators.collapse import collapse_exact_duplicates
 
     docs = _t(spark, sf_dir, "documents")
-    return collapse_exact_duplicates(
+    out = collapse_exact_duplicates(
         docs,
         field_cols=["text", "lang", "source", "n_chars"],
         key_col="doc_id",
         filter_condition="n_chars > 0",
     )
+    # The operator API stays array-typed; the driver's pandas canonicalizer
+    # can't sort list cells, so the query boundary emits the canonical
+    # comma-joined string form (verified byte-identical vs DuckDB).
+    return out.withColumn("src_ids", F.array_join(F.col("src_ids").cast("array<string>"), ","))
 
 
 # ---------------------------------------------------------------------------
@@ -177,13 +182,17 @@ def _customer_block_chain(spark, sf_dir):
     oracle=_BLOCK_CHAIN_SQL
     + """
     SELECT pb._unique_id, pb.block_id,
-           list_filter(cov.sorted_ids, x -> x < pb.block_id) AS smaller_ids
+           coalesce(array_to_string(
+             list_filter(cov.sorted_ids, x -> x < pb.block_id), ','), '') AS smaller_ids
     FROM pb JOIN cov USING (_unique_id)
     """,
 )
 def j2_smaller_coverage(spark, sf_dir):
     _, _, _, _, smaller = _customer_block_chain(spark, sf_dir)
-    return smaller
+    # Stringified at the query boundary (driver canonicalizer: no list cells).
+    return smaller.withColumn(
+        "smaller_ids", F.array_join(F.col("smaller_ids").cast("array<string>"), ",")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -557,18 +566,28 @@ def j9_semi_join(spark, sf_dir):
     "a11_percentiles",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles
+           array_to_string(list_transform(
+             quantile_cont(l_quantity, [0.25, 0.5, 0.75]),
+             x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS qty_quartiles
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def a11_percentiles(spark, sf_dir):
+    # Quartiles of integer-valued quantities land on exact quarter fractions
+    # (v_i + f*(v_{i+1}-v_i), f ∈ {0,.25,.5,.75}); DECIMAL(18,2) renders them
+    # identically in both engines ('24.75', '25.00'), so the stringified form
+    # is hash-stable for the driver's canonicalizer (no list cells).
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile(
-                "l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+            F.array_join(
+                F.transform(
+                    F.percentile("l_quantity", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
+                    lambda x: x.cast("decimal(18,2)").cast("string"),
+                ),
+                ",",
             ).alias("qty_quartiles")
         )
     )
@@ -1129,7 +1148,7 @@ def events_user_seq(spark, sf_dir):
       FROM documents
     )
     SELECT min(doc_id) AS canon_id,
-           array_agg(doc_id ORDER BY doc_id) AS dup_ids,
+           coalesce(array_to_string(array_agg(doc_id ORDER BY doc_id), ','), '') AS dup_ids,
            count(*) AS n_dups
     FROM n GROUP BY norm HAVING count(*) > 1
     """,
@@ -1137,7 +1156,9 @@ def events_user_seq(spark, sf_dir):
 def dedup_exact_norm(spark, sf_dir):
     from pgdedupe_spark.operators.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    out = exact_duplicate_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    # Stringified at the query boundary (driver canonicalizer: no list cells).
+    return out.withColumn("dup_ids", F.array_join(F.col("dup_ids").cast("array<string>"), ","))
 
 
 @query(
