@@ -1764,3 +1764,78 @@ def events_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D1 + D4 + D8 — the scoring spine of the reference pipeline in the hard
+# driver signal: candidate pairs (nation-blocked customer self-join) →
+# per-field comparator features (String levenshtein-sim ×2, Exact ×1;
+# run.py:50-55) → sigmoid(w·x + b) with FIXED weights (the classifier slot,
+# run.py:133-136) → threshold filter (run.py:178, threshold run.py:30).
+# Fixed weights make the arithmetic engine-reproducible; the fitted path is
+# pinned by tests/test_pipeline.py + test_learning.py. The score passes
+# through exp(), whose last-ulp may differ between libm and the JVM, so the
+# boundary emits DECIMAL(18,6) in both engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d4_pair_scores",
+    oracle="""
+    WITH p AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             1.0 - levenshtein(a.c_name, b.c_name)::DOUBLE
+                   / greatest(length(a.c_name), length(b.c_name)) AS name_sim,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE 0.0 END AS seg_same,
+             CASE WHEN a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+                  THEN 1.0 ELSE 0.0 END AS is_b,
+             CASE WHEN a.c_mktsegment = 'AUTOMOBILE' AND b.c_mktsegment = 'AUTOMOBILE'
+                  THEN 1.0 ELSE 0.0 END AS is_a
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ), s AS (
+      SELECT id1, id2,
+             1.0 / (1.0 + exp(-((0.0 + 4.0*name_sim + 1.5*seg_same + 0.5*is_b
+                                 + 0.25*is_a + 1.0*(seg_same*name_sim)) + -3.0))) AS score
+      FROM p
+    )
+    SELECT id1, id2, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+    FROM s WHERE score >= 0.5
+    """,
+)
+def d4_pair_scores(spark, sf_dir):
+    import numpy as np
+
+    from pgdedupe_spark.operators.features import FieldDef, assemble_features
+    from pgdedupe_spark.operators.scoring import score_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("c_name_1"),
+        F.col("c_mktsegment").alias("c_mktsegment_1"),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("c_name_2"),
+        F.col("c_mktsegment").alias("c_mktsegment_2"),
+    )
+    pairs = left.join(right, "nk").filter(F.col("id1") < F.col("id2"))
+    feats, _names = assemble_features(
+        pairs,
+        [
+            FieldDef("c_name"),
+            FieldDef("c_mktsegment", type="Categorical",
+                     categories=["BUILDING", "AUTOMOBILE"]),
+        ],
+        interactions=[("c_mktsegment", "c_name")],
+    )
+
+    class _Fixed:  # the D4 classifier surface (weights, bias) with pinned values
+        weights = np.array([4.0, 1.5, 0.5, 0.25, 1.0])
+        bias = -3.0
+
+    scored = score_pairs(feats, _Fixed(), threshold=0.5)
+    return scored.withColumn("score", F.col("score").cast("decimal(18,6)").cast("double"))
