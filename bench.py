@@ -48,6 +48,7 @@ HEADLINE = [
     "events_json_props",
     "events_sessionize",
     "skew_salted_agg",
+    "dedup_ngram_zipf",
 ]
 
 

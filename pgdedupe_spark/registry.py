@@ -1839,3 +1839,28 @@ def d4_pair_scores(spark, sf_dir):
 
     scored = score_pairs(feats, _Fixed(), threshold=0.5)
     return scored.withColumn("score", F.col("score").cast("decimal(18,6)").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Bench-only: ngram-Jaccard ARRAY path on a NON-degenerate Zipfian corpus
+# (VERDICT r1 watch item a). The driver's `documents` table has a ~2k-shingle
+# vocabulary, which keeps the verify in the bitmap regime; this generates a
+# Heaps-law corpus (vocab ∝ docs) with >1e5 distinct shingles at sf0.1 and
+# runs the sorted-int-array path end-to-end. No parquet input and xxhash64
+# isn't reproducible in DuckDB → excluded from the driver contract
+# (__spark_entry__._BENCH_ONLY); exactness is pinned vs brute force in
+# tests/test_ngram_zipf.py.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_ngram_zipf")
+def dedup_ngram_zipf(spark, sf_dir):
+    from pgdedupe_spark.corpus import zipf_corpus
+    from pgdedupe_spark.operators.dedup import ngram_jaccard_pairs
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_docs = max(500, int(40_000 * sf))
+    corpus = zipf_corpus(
+        spark, n_docs=n_docs, doc_len=110, vocab=400 * n_docs, dup_every=10, mutate_pct=5
+    )
+    return ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.8, strategy="array")
