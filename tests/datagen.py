@@ -45,40 +45,101 @@ def _dob(rng: random.Random) -> str:
     return f"{rng.randint(1940, 2005)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
 
 
-def generate_population(n_people: int, seed: int = 0, mean_records: float = 4.0):
-    """Returns (rows, truth): rows of (entry_id, first_name, last_name, ssn,
-    sex, dob), truth entry_id → person_id."""
+def _ssn_off_by_one(ssn: str) -> str:
+    digits = str(int(ssn.replace("-", "")) + 1).zfill(9)
+    return f"{digits[:3]}-{digits[3:5]}-{digits[5:]}"
+
+
+def generate_population(
+    n_people: int,
+    seed: int = 0,
+    mean_records: float = 4.0,
+    twin_rate: float = 0.0,
+    married_rate: float = 0.0,
+):
+    """Returns (rows, truth, twins): rows of (entry_id, first_name,
+    last_name, ssn, sex, dob), truth entry_id → person_id, twins a list of
+    (person_id, person_id) sibling pairs.
+
+    Hard cases from the reference generator (generate_fake_dataset.py):
+    * ``twin_rate``: a DIFFERENT person with the same last name and dob,
+      SSN off by one, different first name/sex (``Person.twin``,
+      generate_fake_dataset.py:171-183) — the classic precision trap;
+    * ``married_rate``: the SAME person whose later records carry a new
+      last name (the reference's munged-lname married-name branch) — the
+      classic recall trap.
+    """
     rng = random.Random(seed)
-    rows, truth = [], {}
+    rows, truth, twins = [], {}, []
     entry_id = 0
+    people = []
     for pid in range(n_people):
-        first = rng.choice(FIRST)
-        last = rng.choice(LAST)
-        ssn = _ssn(rng)
-        sex = rng.choice("MF")
-        dob = _dob(rng)
+        person = {
+            "pid": pid,
+            "first": rng.choice(FIRST),
+            "last": rng.choice(LAST),
+            "ssn": _ssn(rng),
+            "sex": rng.choice("MF"),
+            "dob": _dob(rng),
+            "married_last": None,
+        }
+        people.append(person)
+        if rng.random() < twin_rate:
+            other_first = rng.choice([f for f in FIRST if f != person["first"]])
+            sibling = {
+                "pid": n_people + len(twins),
+                "first": other_first,
+                "last": person["last"],
+                "ssn": _ssn_off_by_one(person["ssn"]),
+                "sex": "F" if person["sex"] == "M" else "M",
+                "dob": person["dob"],
+                "married_last": None,
+            }
+            people.append(sibling)
+            twins.append((person["pid"], sibling["pid"]))
+    for person in people:
+        if rng.random() < married_rate:
+            person["married_last"] = rng.choice(
+                [ln for ln in LAST if ln != person["last"]]
+            )
+    for person in people:
         n_rec = 1 + int(rng.expovariate(1.0 / mean_records))
-        for _ in range(n_rec):
-            f = first
+        for i in range(n_rec):
+            first, last = person["first"], person["last"]
+            # married-name change applies to the later half of the records
+            if person["married_last"] is not None and i >= (n_rec + 1) // 2:
+                last = person["married_last"]
             if rng.random() < 0.2 and first in NICK:
-                f = NICK[first]
-            f = _typo(rng, f)
+                first = NICK[first]
+            f = _typo(rng, first)
             l = _typo(rng, last)
-            s = None if rng.random() < 0.15 else ssn
-            sx = None if rng.random() < 0.05 else sex
-            d = None if rng.random() < 0.05 else dob
+            s = None if rng.random() < 0.15 else person["ssn"]
+            sx = None if rng.random() < 0.05 else person["sex"]
+            d = None if rng.random() < 0.05 else person["dob"]
             entry_id += 1
             rows.append((entry_id, f, l, s, sx, d))
-            truth[entry_id] = pid
-    return rows, truth
+            truth[entry_id] = person["pid"]
+    return rows, truth, twins
 
 
 def training_pairs(rng_seed: int = 1, n: int = 60):
     """Labeled pairs in the reference's training-JSON shape, synthesized
-    from the same noise model (replaces the active-learning console loop)."""
+    from the same noise model (replaces the active-learning console loop).
+
+    Includes the hard cases a human labeler would hit in dedupe's console
+    loop against the reference generator's population
+    (generate_fake_dataset.py:171-183): twin NEGATIVES (same last name and
+    dob, SSN off by one, different first name and sex) and married-name
+    POSITIVES (same person, later records under a new last name). Without
+    these the classifier learns last_name+dob agreement alone implies a
+    match and merges twins. Hard cases are a MINORITY (1 in 6 pairs):
+    measured driver-side, a 50% hard mix drives the last_name weight
+    negative and dob to zero, and strangers sharing a first name merge
+    (base-corpus purity 0.85+ → 0.66); at 1-in-6 the boundary is clean
+    (same 100% / twin 0.5% / married 100% / stranger 3% above threshold)."""
     rng = random.Random(rng_seed)
     match, distinct = [], []
-    for _ in range(n):
+    for i in range(n):
         first, last = rng.choice(FIRST), rng.choice(LAST)
         ssn, sex, dob = _ssn(rng), rng.choice("MF"), _dob(rng)
         a = {"first_name": first, "last_name": last, "ssn": ssn, "sex": sex, "dob": dob}
@@ -89,4 +150,24 @@ def training_pairs(rng_seed: int = 1, n: int = 60):
         c = {"first_name": rng.choice(FIRST), "last_name": rng.choice(LAST),
              "ssn": _ssn(rng), "sex": rng.choice("MF"), "dob": _dob(rng)}
         distinct.append((a, c))
+        if i % 3 == 1:
+            # namesake negative: same first name, all else random. Without
+            # these the married positives make first-name agreement carry
+            # the match and namesakes merge at a measured 75% rate.
+            nk = {"first_name": first, "last_name": rng.choice(LAST),
+                  "ssn": _ssn(rng),
+                  "sex": sex if rng.random() < 0.5 else ("F" if sex == "M" else "M"),
+                  "dob": _dob(rng)}
+            distinct.append((a, nk))
+        if i % 6 == 0:
+            # hard negative: the twin
+            twin = {"first_name": rng.choice([f for f in FIRST if f != first]),
+                    "last_name": last, "ssn": _ssn_off_by_one(ssn),
+                    "sex": "F" if sex == "M" else "M", "dob": dob}
+            distinct.append((a, twin))
+            # hard positive: married-name change (new last name, same rest)
+            married = {"first_name": NICK.get(first, first) if rng.random() < 0.3 else first,
+                       "last_name": rng.choice([ln for ln in LAST if ln != last]),
+                       "ssn": ssn, "sex": sex, "dob": dob}
+            match.append((a, married))
     return {"match": match, "distinct": distinct}

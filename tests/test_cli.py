@@ -40,7 +40,7 @@ def test_missing_required_args_fail():
 
 
 def test_cli_end_to_end(spark, tmp_path):
-    rows, _ = generate_population(60, seed=3)
+    rows, _, _ = generate_population(60, seed=3)
     src = spark.createDataFrame(
         rows,
         "entry_id long, first_name string, last_name string, ssn string, sex string, dob string",

@@ -45,7 +45,7 @@ def test_unreachable_recall_stops(spark):
 
 
 def test_sample_pairs_deterministic_and_bounded(spark):
-    rows, _ = generate_population(100, seed=0)
+    rows, _, _ = generate_population(100, seed=0)
     df = spark.createDataFrame(
         rows,
         "entry_id long, first_name string, last_name string, ssn string, sex string, dob string",

@@ -17,7 +17,7 @@ N_PEOPLE = 150
 
 @pytest.fixture(scope="module")
 def source(spark):
-    rows, truth = generate_population(N_PEOPLE, seed=0)
+    rows, truth, _ = generate_population(N_PEOPLE, seed=0)
     df = spark.createDataFrame(
         rows, "entry_id long, first_name string, last_name string, ssn string, sex string, dob string"
     )
@@ -62,6 +62,45 @@ def test_quality(spark, source):
         .mean()
     )
     assert purity > 0.85, f"cluster purity too low: {purity:.3f}"
+
+
+def test_quality_hard_cases(spark):
+    """The reference generator's precision traps (VERDICT r1 item 5):
+    twins (same last name + dob, SSN off by one, different first/sex —
+    generate_fake_dataset.py:171-183) must NOT merge, and married-name
+    changes (same person, new last name on later records) must not
+    collapse precision."""
+    rows, truth, twins = generate_population(
+        N_PEOPLE, seed=0, twin_rate=0.15, married_rate=0.2
+    )
+    df = spark.createDataFrame(
+        rows, "entry_id long, first_name string, last_name string, ssn string, sex string, dob string"
+    )
+    res = run_pipeline(df, _config(), training_pairs())
+    um = res.unique_map.toPandas()
+    um["person"] = um["entry_id"].map(truth)
+
+    # precision proxy must hold even with twins in the population
+    purity = (
+        um.groupby("dedupe_id")["person"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .mean()
+    )
+    assert purity > 0.8, f"cluster purity too low with twins: {purity:.3f}"
+
+    # no twin pair may share a cluster (each such merge is a wrong entity)
+    clusters_of = um.groupby("person")["dedupe_id"].agg(set)
+    assert len(twins) >= 10, "fixture must actually plant twins"
+    merged = sum(
+        1
+        for a, b in twins
+        if a in clusters_of.index
+        and b in clusters_of.index
+        and clusters_of[a] & clusters_of[b]
+    )
+    assert merged <= 0.1 * len(twins), (
+        f"{merged}/{len(twins)} twin pairs wrongly merged"
+    )
 
 
 def test_determinism(spark, source):
