@@ -26,15 +26,33 @@ from pgdedupe_spark.operators.blocking import PREDICATES
 from pgdedupe_spark.operators.ids import add_deterministic_id
 
 # (predicate, extra_args) templates instantiated per field to form the
-# candidate rule space — the cheap/simple subset of dedupe's predicate zoo
+# candidate rule space — mirrors dedupe's simple-predicate zoo
+# (dedupe/predicates.py; wired in reference run.py:213-222)
 DEFAULT_TEMPLATES: list[tuple[str, tuple]] = [
     ("whole_field", ()),
     ("first_chars", (3,)),
     ("first_chars", (5,)),
+    ("first_chars", (7,)),
     ("last_chars", (3,)),
     ("first_token", ()),
     ("tokens", ()),
     ("char_ngrams", (4,)),
+    ("common_integers", ()),
+    ("first_integer", ()),
+    ("near_integers", ()),
+    ("alpha_numeric", ()),
+    ("suffixes", (5,)),
+    ("fingerprint", ()),
+    ("one_gram_fingerprint", ()),
+    ("two_gram_fingerprint", ()),
+    ("sorted_acronym", ()),
+    ("common_two_tokens", ()),
+    ("common_three_tokens", ()),
+    ("soundex_code", ()),
+    ("soundex_tokens", ()),
+    ("exists_field", ()),
+    ("hundred_ints", ()),
+    ("round_magnitude", ()),
 ]
 
 
@@ -49,7 +67,17 @@ def _coverage_matrix(
     rules: list[tuple[str, str, tuple]],
 ) -> list[list[bool]]:
     """One row per labeled pair, one boolean column per candidate rule:
-    True iff the rule emits a shared block key for the pair."""
+    True iff the rule emits a shared block key for the pair.
+
+    CONTRACT: the collect() is bounded by the *labeled* pair count — the
+    human-labeled training set (hundreds of pairs, same driver-side scale
+    as the reference's dedupe.train at run.py:175-178), never the corpus.
+    The guard below makes the bound explicit rather than an OOM."""
+    if len(pairs) > 100_000:
+        raise ValueError(
+            f"{len(pairs)} labeled pairs exceeds the driver-side coverage-"
+            "matrix bound (100k); labeled sets are human-scale by contract"
+        )
     rows = [
         tuple(a.get(f) for f in fields) + tuple(b.get(f) for f in fields)
         for a, b in pairs

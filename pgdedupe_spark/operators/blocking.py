@@ -85,6 +85,138 @@ def common_integers(col: Column) -> Column:
     return _nonnull(col, F.array_distinct(F.regexp_extract_all(col.cast("string"), F.lit(r"\d+"), 0)))
 
 
+def first_integer(col: Column) -> Column:
+    """First integer substring (dedupe's firstIntegerPredicate); empty when
+    the field has no digits."""
+    first = F.regexp_extract(col.cast("string"), r"\d+", 0)
+    return _nonnull(col, F.filter(F.array(first), lambda t: t != ""))
+
+
+def near_integers(col: Column) -> Column:
+    """For every integer i in the field: {i-1, i, i+1} (dedupe's
+    nearIntegersPredicate) — blocks off-by-one ids like twin SSNs.
+    ``try_cast`` guards ANSI overflow on digit runs longer than a long."""
+    def spread(t: Column) -> Column:
+        n = t.try_cast("long")
+        return F.when(n.isNull(), F.array(t)).otherwise(
+            F.array((n - 1).cast("string"), n.cast("string"), (n + 1).cast("string"))
+        )
+
+    return _nonnull(col, F.array_distinct(F.flatten(F.transform(common_integers(col), spread))))
+
+
+def alpha_numeric(col: Column) -> Column:
+    """All alphanumeric tokens (dedupe's alphaNumericPredicate)."""
+    return _nonnull(
+        col, F.array_distinct(F.regexp_extract_all(col.cast("string"), F.lit(r"[A-Za-z0-9]+"), 0))
+    )
+
+
+def suffixes(col: Column, min_len: int = 5) -> Column:
+    """All suffixes of length ≥ ``min_len`` (dedupe's suffixArray)."""
+    s = col.cast("string")
+    sfx = F.transform(
+        F.sequence(F.lit(1), F.length(s) - (min_len - 1)),
+        lambda i: F.substring(s, i, 1_000_000),
+    )
+    # sequence(1, n) counts DOWN when n < 1 — gate short strings explicitly
+    return _nonnull(col, F.when(F.length(s) >= min_len, sfx).otherwise(F.array().cast("array<string>")))
+
+
+def fingerprint(col: Column) -> Column:
+    """Sorted distinct whitespace tokens, concatenated (dedupe's
+    fingerprint): word-order- and duplication-insensitive whole-field key."""
+    return _nonnull(col, F.array(F.array_join(F.array_sort(tokens(col)), "")))
+
+
+def one_gram_fingerprint(col: Column) -> Column:
+    """Sorted distinct characters of the field, whitespace removed
+    (dedupe's oneGramFingerprint)."""
+    chars = F.split(F.regexp_replace(col.cast("string"), r"\s+", ""), "")
+    key = F.array_join(F.array_sort(F.array_distinct(F.filter(chars, lambda c: c != ""))), "")
+    return _nonnull(col, F.array(key))
+
+
+def two_gram_fingerprint(col: Column) -> Column:
+    """Sorted distinct character 2-grams, concatenated (dedupe's
+    twoGramFingerprint)."""
+    return _nonnull(col, F.array(F.array_join(F.array_sort(char_ngrams(col, 2)), "")))
+
+
+def sorted_acronym(col: Column) -> Column:
+    """Sorted first letters of the tokens (dedupe's sortedAcronym)."""
+    initials = F.transform(tokens(col), lambda t: F.substring(t, 1, 1))
+    return _nonnull(col, F.array(F.array_join(F.array_sort(initials), "")))
+
+
+def common_two_tokens(col: Column) -> Column:
+    """Consecutive token bigrams (dedupe's commonTwoTokens)."""
+    toks = F.filter(F.split(col.cast("string"), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return _nonnull(
+        col, F.when(F.size(toks) >= 2, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def common_three_tokens(col: Column) -> Column:
+    """Consecutive token trigrams (dedupe's commonThreeTokens)."""
+    toks = F.filter(F.split(col.cast("string"), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return _nonnull(
+        col, F.when(F.size(toks) >= 3, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def soundex_code(col: Column) -> Column:
+    """Phonetic key of the whole field. Spark-native deviation: dedupe uses
+    doubleMetaphone (C extension); ``F.soundex`` is the JVM-side phonetic
+    hash with the same blocking role — both collapse spelling variants of
+    the same-sounding name into one key."""
+    return _nonnull(col, F.array(F.soundex(col.cast("string"))))
+
+
+def soundex_tokens(col: Column) -> Column:
+    """Phonetic key per token (dedupe's metaphoneToken, via soundex)."""
+    return _nonnull(col, F.array_distinct(F.transform(tokens(col), F.soundex)))
+
+
+def exists_field(col: Column) -> Column:
+    """Presence/absence key (dedupe's existsPredicate). Unlike every other
+    predicate, NULL produces a key ("0") rather than no key."""
+    return F.when(
+        col.isNull() | (F.trim(col.cast("string")) == ""), F.array(F.lit("0"))
+    ).otherwise(F.array(F.lit("1")))
+
+
+def hundred_ints(col: Column) -> Column:
+    """Integers of the field rounded to the hundred (dedupe's
+    hundredIntPredicate)."""
+    def bucket(t: Column) -> Column:
+        n = t.try_cast("long")
+        return F.when(n.isNull(), t).otherwise((n - n % 100).cast("string"))
+
+    return _nonnull(col, F.array_distinct(F.transform(common_integers(col), bucket)))
+
+
+def round_magnitude(col: Column) -> Column:
+    """Numeric field rounded to one significant digit (dedupe's roundTo1).
+    Non-numeric and empty fields produce no key; log10 of a non-positive
+    number is NULL in Spark, so zero is keyed explicitly."""
+    d = col.try_cast("double")
+    power = F.floor(F.log10(F.abs(d)))
+    rounded = F.round(d / F.pow(F.lit(10.0), power)) * F.pow(F.lit(10.0), power)
+    key = F.when(d == 0.0, F.lit("0")).otherwise(rounded.cast("long").cast("string"))
+    return F.when(d.isNull(), F.array().cast("array<string>")).otherwise(F.array(key))
+
+
 PREDICATES: dict[str, Callable[..., Column]] = {
     "whole_field": whole_field,
     "first_chars": first_chars,
@@ -92,6 +224,22 @@ PREDICATES: dict[str, Callable[..., Column]] = {
     "tokens": tokens,
     "first_token": first_token,
     "char_ngrams": char_ngrams,
+    "common_integers": common_integers,
+    "first_integer": first_integer,
+    "near_integers": near_integers,
+    "alpha_numeric": alpha_numeric,
+    "suffixes": suffixes,
+    "fingerprint": fingerprint,
+    "one_gram_fingerprint": one_gram_fingerprint,
+    "two_gram_fingerprint": two_gram_fingerprint,
+    "sorted_acronym": sorted_acronym,
+    "common_two_tokens": common_two_tokens,
+    "common_three_tokens": common_three_tokens,
+    "soundex_code": soundex_code,
+    "soundex_tokens": soundex_tokens,
+    "exists_field": exists_field,
+    "hundred_ints": hundred_ints,
+    "round_magnitude": round_magnitude,
 }
 
 
@@ -178,3 +326,43 @@ def blocking_chain(entries: DataFrame, block_keys: Column, id_col: str = "_uniqu
     covered = covered_blocks(pblock)
     smaller = smaller_coverage(pblock, covered)
     return bmap, pkey, pblock, covered, smaller
+
+
+# ---------------------------------------------------------------------------
+# Index predicates (dedupe's TfidfTextCanopyPredicate family, run.py:213-222):
+# predicates that need corpus statistics, not just the row. The canopy's job
+# is "block on *informative* terms only"; the Spark-idiomatic equivalent is a
+# document-frequency cut — identical selectivity contract, no per-row index
+# lookups, two shuffles total (token agg + token join).
+# ---------------------------------------------------------------------------
+
+
+def rare_token_blocking_map(
+    entries: DataFrame,
+    field: str,
+    id_col: str = "_unique_id",
+    max_df: int = 100,
+    min_df: int = 2,
+) -> DataFrame:
+    """Blocking map keyed on the field's RARE tokens only.
+
+    TF-IDF canopy analog: a token whose document frequency is in
+    [min_df, max_df] is informative enough to define a block; hot tokens
+    (df > max_df — the "the"/"inc" class that canopies exist to suppress)
+    produce no keys, so no pathological blocks form. ``tokens`` already
+    dedups per document, so df = plain count. At 100 TB both steps are
+    plain key-partitioned shuffles on the token; the df side is a
+    token-dictionary-sized aggregate that AQE broadcasts when small."""
+    toks = entries.select(
+        F.col(id_col), F.explode(tokens(F.col(field))).alias("tok")
+    )
+    informative = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= min_df) & (F.col("df") <= max_df))
+        .select("tok")
+    )
+    return toks.join(informative, "tok").select(
+        F.concat(F.lit(f"rare:{field}:"), F.col("tok")).alias("block_key"),
+        F.col(id_col),
+    )

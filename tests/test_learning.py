@@ -36,8 +36,9 @@ def test_unreachable_recall_stops(spark):
     """If no candidate rule covers the matches, the greedy loop must
     terminate (reference behavior: dedupe raises/underachieves, never
     spins)."""
+    # opposite null-masks so even exists_field ("0" vs "1") can't cover
     tp = {
-        "match": [({"first_name": "ab", "last_name": None}, {"first_name": "zq", "last_name": None})],
+        "match": [({"first_name": "ab", "last_name": None}, {"first_name": None, "last_name": "zq"})],
         "distinct": [],
     }
     rules = learn_blocking_rules(spark, tp, ["first_name", "last_name"], recall=1.0)
@@ -61,6 +62,9 @@ def test_sample_pairs_deterministic_and_bounded(spark):
 
 
 def test_candidate_rule_space_shape():
+    from pgdedupe_spark.ml.learning import DEFAULT_TEMPLATES
+
     rules = candidate_rules(FIELDS)
-    assert len(rules) == 7 * len(FIELDS)
+    assert len(DEFAULT_TEMPLATES) >= 20, "predicate zoo regressed"
+    assert len(rules) == len(DEFAULT_TEMPLATES) * len(FIELDS)
     assert all(len(r) == 3 for r in rules)

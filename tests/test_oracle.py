@@ -34,3 +34,18 @@ def test_oracle_match(spark, sf_dir, name):
 def test_rows_only(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.count() >= 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_driver_canonicalizable_schema(spark, sf_dir, name):
+    """The driver's canonicalizer pandas-sorts every output column; array/
+    map/struct columns crash it (CORRECTNESS_r01: a1/j2/a11 TypeError:
+    unhashable type 'list'). Pin that every registered query emits only
+    atomic column types — arrays must be stringified at the query boundary."""
+    from pyspark.sql import types as T
+
+    schema = QUERIES[name](spark, sf_dir).schema
+    for field in schema:
+        assert not isinstance(
+            field.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ), f"{name}.{field.name} is {field.dataType.simpleString()}"
