@@ -26,10 +26,16 @@ def build_parser() -> argparse.ArgumentParser:
         prog="pgdedupe_spark",
         description="PySpark record-deduplication pipeline (pgdedupe semantics)",
     )
-    p.add_argument("--config", required=True, help="YAML/JSON pipeline config")
-    p.add_argument("--input", required=True, help="source table parquet path")
-    p.add_argument("--output", required=True, help="output directory (parquet)")
-    p.add_argument("--training", required=True, help="labeled-pairs JSON (dedupe format)")
+    p.add_argument(
+        "--capabilities",
+        action="store_true",
+        help="print this deployment's media decode capabilities as JSON and "
+        "exit (strict multimodal decode is probe-gated; VERDICT r1 item 8)",
+    )
+    p.add_argument("--config", help="YAML/JSON pipeline config")
+    p.add_argument("--input", help="source table parquet path")
+    p.add_argument("--output", help="output directory (parquet)")
+    p.add_argument("--training", help="labeled-pairs JSON (dedupe format)")
     p.add_argument("--learn-rules", action="store_true", help="learn blocking rules (D5)")
     p.add_argument(
         "--model-hash",
@@ -51,8 +57,20 @@ def main(argv: list[str] | None = None) -> int:
     from pgdedupe_spark.pipeline import run_pipeline
     from pgdedupe_spark.session import get_spark
 
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     t0 = time.time()
+
+    if args.capabilities:
+        import json
+
+        from pgdedupe_spark.operators.multimodal import decode_capabilities
+
+        print(json.dumps({"decode": decode_capabilities()}, sort_keys=True))
+        return 0
+    missing = [n for n in ("config", "input", "output", "training") if not getattr(args, n)]
+    if missing:
+        parser.error(f"the following arguments are required: {', '.join('--' + n for n in missing)}")
 
     config = DedupeConfig.from_dict(load_config(args.config))
     training = read_training(args.training)

@@ -2,11 +2,22 @@
 columns with typed metadata (BASELINE.json north star).
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual media decode is stubbed
-(`decode=fake`: deterministic bytes-derived features; `decode=strict`:
-NotImplementedError) because no image/audio libraries exist in this
-container. Swapping in PIL/librosa is a one-function change inside
-`_decode_batches`.
+signatures — is real and tested; the actual media decode is a declared
+CAPABILITY resolved at plan time (VERDICT r1 item 8):
+
+* ``decode_capabilities()`` probes the optional decoder libraries
+  (PIL / librosa / av) once, driver-side;
+* every decode-bearing operator resolves its ``mode`` argument BEFORE
+  building the plan — ``strict`` on a modality without its decoder raises
+  ``DecodeCapabilityError`` immediately on the driver (never mid-job in an
+  executor UDF), ``auto`` degrades to the deterministic ``fake`` decode,
+  and ``fake`` always works;
+* the CLI surfaces the probe (``--capabilities``) so a user can check what
+  a deployment can decode without running a job.
+
+In this container all three probes are False (no media libs), so ``fake``
+is the only executable decode; swapping in a real decoder is a
+one-function change inside ``_decode_batches`` and flips the probe.
 
 Layout convention for a 100 TB media lake:
   (media_id long, modality string, payload binary, meta struct<...>)
@@ -24,6 +35,53 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_DIM = 8
+
+# modality → module whose importability defines decode capability
+_DECODER_LIBS = {"image": "PIL", "audio": "librosa", "video": "av"}
+# modalities with a real strict-decode implementation in this module —
+# capability = lib importable AND implementation present, so 'auto' can
+# never resolve into an unimplemented strict path
+_IMPLEMENTED = {"image"}
+
+
+class DecodeCapabilityError(RuntimeError):
+    """Raised at PLAN TIME when mode='strict' asks for a decoder this
+    deployment does not have — never from inside an executor UDF."""
+
+
+def decode_capabilities() -> dict[str, bool]:
+    """Driver-side probe: which modalities can this deployment really
+    decode? Pure import-try; cheap enough to call per operator."""
+    caps = {}
+    for modality, lib in _DECODER_LIBS.items():
+        try:
+            __import__(lib)
+            caps[modality] = modality in _IMPLEMENTED
+        except ImportError:
+            caps[modality] = False
+    return caps
+
+
+def resolve_decode_mode(mode: str, modality: str = "image") -> str:
+    """Resolve a requested decode mode against capabilities, driver-side.
+
+    'fake'   → always runs (deterministic byte-stat stand-in);
+    'strict' → real decode, or DecodeCapabilityError here and now;
+    'auto'   → 'strict' when capable, else 'fake'.
+    """
+    if mode not in ("fake", "strict", "auto"):
+        raise ValueError(f"decode mode must be fake|strict|auto, got {mode!r}")
+    caps = decode_capabilities()
+    capable = caps.get(modality, False)
+    if mode == "auto":
+        return "strict" if capable else "fake"
+    if mode == "strict" and not capable:
+        raise DecodeCapabilityError(
+            f"strict decode of modality {modality!r} needs "
+            f"{_DECODER_LIBS.get(modality, '?')} which is not installed; "
+            f"capabilities={caps}. Use mode='fake' or 'auto'."
+        )
+    return mode
 
 DECODE_SCHEMA = (
     "media_id long, modality string, n_bytes long, magic string, "
@@ -61,20 +119,38 @@ def _fake_features(payload: bytes) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
 
-def decode_features(df: DataFrame, mode: str = "fake", batch_hint: int | None = None) -> DataFrame:
+def _pil_features(payload: bytes) -> np.ndarray:
+    """Real image decode (strict path; reachable only where the PIL probe
+    is True — not this container). Features: width, height, n_channels,
+    then per-channel means padded to FEATURE_DIM."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    arr = np.asarray(img, dtype=np.float64)
+    chans = arr.reshape(arr.shape[0], arr.shape[1], -1).mean(axis=(0, 1))
+    out = np.zeros(FEATURE_DIM)
+    out[0], out[1], out[2] = img.width, img.height, chans.size
+    out[3 : 3 + min(chans.size, FEATURE_DIM - 3)] = chans[: FEATURE_DIM - 3]
+    return out
+
+
+def decode_features(
+    df: DataFrame, mode: str = "fake", modality: str = "image", batch_hint: int | None = None
+) -> DataFrame:
     """mapInPandas decode stage: Arrow batches of (media_id, modality,
-    payload) → typed features. `mode='strict'` raises NotImplementedError
-    (no media libs in this container); `mode='fake'` uses the deterministic
-    byte-stat stand-in so the distributed plumbing is fully exercised."""
+    payload) → typed features. ``mode`` is resolved against
+    ``decode_capabilities()`` BEFORE the plan is built: 'strict' without
+    the decoder fails here on the driver, 'auto' degrades to the
+    deterministic 'fake' byte-stat stand-in."""
+    mode = resolve_decode_mode(mode, modality)
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError(
-                    "media decode requires PIL/librosa — not available; use mode='fake'"
-                )
+            decode = _pil_features if mode == "strict" else _fake_features
             feats = [
-                _fake_features(p if isinstance(p, (bytes, bytearray)) else bytes(p))
+                decode(p if isinstance(p, (bytes, bytearray)) else bytes(p))
                 for p in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -106,13 +182,33 @@ def resize_media(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
     metadata. STUB decode: the fake path resamples the byte stream to
     width×height bytes by even-stride selection (deterministic, size-exact),
     standing in for PIL's `Image.resize`. The Spark shape — Arrow batches,
-    binary in/out, metadata struct — is the real contract."""
+    binary in/out, metadata struct — is the real contract. ``mode`` is
+    capability-resolved at plan time (strict needs the PIL probe)."""
+    mode = resolve_decode_mode(mode, "image")
     target = width * height
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "strict":
-                raise NotImplementedError("image resize requires PIL — use mode='fake'")
+                # reachable only where PIL exists (probe-gated above)
+                import io
+
+                from PIL import Image
+
+                out = []
+                for p in pdf["payload"]:
+                    img = Image.open(io.BytesIO(bytes(p))).resize((width, height))
+                    out.append(img.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "payload": out,
+                        "width": np.full(len(pdf), width, dtype=np.int32),
+                        "height": np.full(len(pdf), height, dtype=np.int32),
+                    }
+                )
+                continue
             out = []
             for p in pdf["payload"]:
                 b = bytes(p)
@@ -139,12 +235,14 @@ def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataF
     operators can't express): each video payload yields ``n_frames`` evenly
     spaced frames. STUB decode: fake frames are contiguous byte slices
     (ffmpeg/pyav would decode real ones); the fan-out semantics, schema,
-    and per-frame ordering are the tested contract."""
+    and per-frame ordering are the tested contract. ``mode`` is
+    capability-resolved at plan time; the video probe (pyav) is False in
+    this container, so strict fails fast on the driver and the real-frame
+    branch is deliberately absent until a decoder exists."""
+    mode = resolve_decode_mode(mode, "video")  # strict → driver-side error
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if mode == "strict":
-                raise NotImplementedError("frame decode requires pyav — use mode='fake'")
             ids, idxs, payloads, sizes = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)

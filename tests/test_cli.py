@@ -34,9 +34,19 @@ def test_help_exits_zero():
 
 
 def test_missing_required_args_fail():
+    # requiredness is enforced in main (after the --capabilities early
+    # exit), still as an argparse SystemExit before any Spark work
     with pytest.raises(SystemExit) as e:
-        build_parser().parse_args([])
+        main([])
     assert e.value.code != 0
+
+
+def test_capabilities_flag(capsys):
+    """--capabilities surfaces the media-decode probe as JSON and exits
+    without needing config/input/output/training (VERDICT r1 item 8)."""
+    assert main(["--capabilities"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out == {"decode": {"audio": False, "image": False, "video": False}}
 
 
 def test_cli_end_to_end(spark, tmp_path):

@@ -1,19 +1,21 @@
 """Multimodal plumbing: the Spark-side contracts (schema, Arrow batch
-shape, 1→N fan-out, determinism, strict-mode stub) are fully tested; the
-decode itself is a documented deterministic stand-in."""
+shape, 1→N fan-out, determinism, capability-gated strict mode) are fully
+tested; the decode itself is a documented deterministic stand-in."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
-from pyspark.sql.utils import PythonException
 
 from pgdedupe_spark.operators.multimodal import (
     FEATURE_DIM,
+    DecodeCapabilityError,
     attach_binary_payload,
     binary_metadata,
+    decode_capabilities,
     decode_features,
     resize_media,
+    resolve_decode_mode,
     sample_frames,
 )
 
@@ -42,9 +44,35 @@ def test_decode_features_shape_and_determinism(spark, media):
     assert a[3] == [0.0] * FEATURE_DIM  # empty payload → zero features
 
 
-def test_decode_strict_raises(spark, media):
-    with pytest.raises(PythonException, match="NotImplementedError"):
-        decode_features(media, mode="strict").collect()
+def test_capability_probe_shape():
+    caps = decode_capabilities()
+    assert set(caps) == {"image", "audio", "video"}
+    assert all(isinstance(v, bool) for v in caps.values())
+    # this container ships no media libs — every probe is False
+    assert not any(caps.values())
+
+
+def test_decode_strict_fails_at_plan_time(spark, media):
+    """VERDICT r1 item 8: strict without the decoder must fail driver-side
+    BEFORE any job — DecodeCapabilityError, not an executor UDF traceback."""
+    with pytest.raises(DecodeCapabilityError, match="capabilities"):
+        decode_features(media, mode="strict")  # no .collect(): plan time
+    with pytest.raises(DecodeCapabilityError):
+        resize_media(media, 4, 3, mode="strict")
+    with pytest.raises(DecodeCapabilityError):
+        sample_frames(media, mode="strict")
+
+
+def test_decode_auto_degrades_to_fake(spark, media):
+    assert resolve_decode_mode("auto", "image") == "fake"
+    got = {r.media_id: r.features for r in decode_features(media, mode="auto").collect()}
+    want = {r.media_id: r.features for r in decode_features(media, mode="fake").collect()}
+    assert got == want
+
+
+def test_decode_mode_validated():
+    with pytest.raises(ValueError, match="fake|strict|auto"):
+        resolve_decode_mode("yolo")
 
 
 def test_resize_exact_output_size(spark, media):
