@@ -40,6 +40,7 @@ _PRIORITY = [
     "a11_percentiles",  # changed r2: stringified
     "dedup_exact_norm",  # changed r2: stringified (latent, 0 rows at sf0.01)
     "d4_pair_scores",  # new r2: D1/D4/D8 scoring in the hard signal
+    "d3_uncertain_pairs",  # new r2: D3 uncertainty selection in the hard signal
     "skew_salted_agg",  # ↓ the 7 with no CORRECTNESS_r01 row
     "skew_salted_join",
     "events_json_props",

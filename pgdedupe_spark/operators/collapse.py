@@ -39,7 +39,7 @@ def collapse_exact_duplicates(
     Returns columns: ``*field_cols, src_ids ArrayType(Long), _unique_id``.
     """
     return add_deterministic_id(
-        df.filter(F.expr(filter_condition))
+        df.filter(F.expr(filter_condition or "1=1"))
         .groupBy(*field_cols)
         .agg(F.sort_array(F.collect_list(F.col(key_col))).alias("src_ids")),
         order_cols=field_cols,

@@ -4,8 +4,9 @@ Stage map vs the reference (``pgdedupe/run.py`` / ``cli.py``):
 
   1. preprocess      → collapse_exact_duplicates          (run.py:62-99)
   2. train           → fit_classifier on training JSON    (run.py:102-183;
-                        active-learning console loop is out of scope — we
-                        consume the same labeled-pair JSON, SURVEY D3)
+                        the active-learning loop (D3) lives in
+                        ml/active.py — uncertainty top-k + pluggable
+                        labeler; the pipeline consumes its output JSON)
   3. create_blocking → blocking_chain                     (run.py:187-321)
   4. cluster         → candidate_pairs → features → score → CC + HAC
                                                            (run.py:362-379)

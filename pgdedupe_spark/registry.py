@@ -1842,6 +1842,79 @@ def d4_pair_scores(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D3 — active-learning SELECTION in the hard driver signal: the loop's
+# distributed "which pairs should a human label next" step (reference
+# run.py:161-173, dedupe uncertainPairs). Same fixed-weight scored pairs as
+# d4; top-25 by |score − 0.5| with a deterministic id tie-break. Uncertainty
+# is compared on the DECIMAL(18,6)-rounded score so the two engines order
+# identically at libm-vs-JVM last-ulp ties. The interactive labeling +
+# refit loop is pinned by tests/test_active.py (a truth-oracle "human").
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d3_uncertain_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+             1.0 - levenshtein(a.c_name, b.c_name)::DOUBLE
+                   / greatest(length(a.c_name), length(b.c_name)) AS name_sim,
+             CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1.0 ELSE 0.0 END AS seg_same,
+             CASE WHEN a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+                  THEN 1.0 ELSE 0.0 END AS is_b,
+             CASE WHEN a.c_mktsegment = 'AUTOMOBILE' AND b.c_mktsegment = 'AUTOMOBILE'
+                  THEN 1.0 ELSE 0.0 END AS is_a
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ), s AS (
+      SELECT id1, id2,
+             CAST(1.0 / (1.0 + exp(-((0.0 + 4.0*name_sim + 1.5*seg_same + 0.5*is_b
+                                 + 0.25*is_a + 1.0*(seg_same*name_sim)) + -3.0)))
+                  AS DECIMAL(18,6)) AS score
+      FROM p
+    )
+    SELECT id1, id2, CAST(score AS DOUBLE) AS score
+    FROM s ORDER BY abs(score - 0.5) ASC, id1 ASC, id2 ASC LIMIT 25
+    """,
+)
+def d3_uncertain_pairs(spark, sf_dir):
+    import numpy as np
+
+    from pgdedupe_spark.ml.active import uncertain_pairs
+    from pgdedupe_spark.operators.features import FieldDef, assemble_features
+    from pgdedupe_spark.operators.scoring import score_expr
+
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("c_name_1"),
+        F.col("c_mktsegment").alias("c_mktsegment_1"),
+    )
+    right = cust.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("c_name_2"),
+        F.col("c_mktsegment").alias("c_mktsegment_2"),
+    )
+    pairs = left.join(right, "nk").filter(F.col("id1") < F.col("id2"))
+    feats, _names = assemble_features(
+        pairs,
+        [
+            FieldDef("c_name"),
+            FieldDef("c_mktsegment", type="Categorical",
+                     categories=["BUILDING", "AUTOMOBILE"]),
+        ],
+        interactions=[("c_mktsegment", "c_name")],
+    )
+    w, b = np.array([4.0, 1.5, 0.5, 0.25, 1.0]), -3.0
+    scored = feats.select(
+        "id1", "id2", score_expr(w, b).cast("decimal(18,6)").alias("score")
+    )
+    return uncertain_pairs(scored, 25).withColumn("score", F.col("score").cast("double"))
+
+
+# ---------------------------------------------------------------------------
 # Bench-only: ngram-Jaccard ARRAY path on a NON-degenerate Zipfian corpus
 # (VERDICT r1 watch item a). The driver's `documents` table has a ~2k-shingle
 # vocabulary, which keeps the verify in the bitmap regime; this generates a
