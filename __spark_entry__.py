@@ -41,6 +41,7 @@ _PRIORITY = [
     "dedup_exact_norm",  # changed r2: stringified (latent, 0 rows at sf0.01)
     "d4_pair_scores",  # new r2: D1/D4/D8 scoring in the hard signal
     "d3_uncertain_pairs",  # new r2: D3 uncertainty selection in the hard signal
+    "d6_rare_token_blocks",  # new r2: index-predicate (TF-IDF canopy analog)
     "skew_salted_agg",  # ↓ the 7 with no CORRECTNESS_r01 row
     "skew_salted_join",
     "events_json_props",

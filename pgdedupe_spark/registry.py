@@ -1915,6 +1915,39 @@ def d3_uncertain_pairs(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# D6/D7 index predicate — the TF-IDF-canopy analog in the hard signal: block
+# documents on informative (mid-document-frequency) tokens only. Hot tokens
+# (df > 25) are the canopy-suppression case; hapaxes (df < 2) block nothing.
+# Two key-partitioned shuffles (token df agg + token join) — the 100 TB shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d6_rare_token_blocks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(text, '\\s+'), t -> t <> ''))) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS df FROM toks GROUP BY tok
+      HAVING count(*) BETWEEN 2 AND 25
+    )
+    SELECT 'rare:text:' || t.tok AS block_key, t.doc_id AS _unique_id
+    FROM toks t JOIN freq USING (tok)
+    """,
+)
+def d6_rare_token_blocks(spark, sf_dir):
+    from pgdedupe_spark.operators.blocking import rare_token_blocking_map
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_unique_id"), "text"
+    )
+    return rare_token_blocking_map(docs, "text", max_df=25, min_df=2)
+
+
+# ---------------------------------------------------------------------------
 # Bench-only: ngram-Jaccard ARRAY path on a NON-degenerate Zipfian corpus
 # (VERDICT r1 watch item a). The driver's `documents` table has a ~2k-shingle
 # vocabulary, which keeps the verify in the bitmap regime; this generates a

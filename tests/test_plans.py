@@ -59,6 +59,9 @@ def test_no_python_udf_in_relational_path(spark):
         "text_quality_stats",
         "text_language_id",
         "ann_cosine_topk",
+        "d3_uncertain_pairs",
+        "d4_pair_scores",
+        "d6_rare_token_blocks",
     ):
         r = _report(spark, name)
         assert not r["python_udf"], f"{name} plan contains a Python UDF node"
