@@ -92,7 +92,7 @@ def test_multimodal_decode_plumbing(spark, docs):
     import pytest as _pytest
     from py4j.protocol import Py4JJavaError  # noqa: F401
 
-    with _pytest.raises(Exception, match="NotImplementedError|media decode"):
+    with _pytest.raises(Exception, match="strict decode|NotImplementedError|media decode"):
         decode_features(media, mode="strict").collect()
 
 
