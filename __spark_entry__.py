@@ -42,6 +42,12 @@ _PRIORITY = [
     "d4_pair_scores",  # new r2: D1/D4/D8 scoring in the hard signal
     "d3_uncertain_pairs",  # new r2: D3 uncertainty selection in the hard signal
     "d6_rare_token_blocks",  # new r2: index-predicate (TF-IDF canopy analog)
+    "decontaminate_ngrams",  # new r2: curation family ↓
+    "text_repetition_signals",
+    "pii_redact_ids",
+    "corpus_quota_sample",
+    "embedding_label_centroids",
+    "dedup_near_clusters",
     "skew_salted_agg",  # ↓ the 7 with no CORRECTNESS_r01 row
     "skew_salted_join",
     "events_json_props",

@@ -1,0 +1,217 @@
+"""Training-data curation operators: decontamination, repetition signals,
+PII redaction, quota (balance) sampling, and embedding-centroid analytics.
+
+These extend the reference's dedup pipeline (dssg/pgdedupe, run.py:62-99's
+collapse + dedupe-library matching) with the curation stages a large-scale
+LLM training-data pipeline runs between ingest and tokenization. Everything
+is pure DataFrame expressions (JVM codegen, no Python UDFs); every operator
+has a DuckDB-checkable oracle in the registry.
+
+Scale design (100 TB):
+* decontamination — the benchmark side is bounded (eval suites are tiny
+  relative to a corpus), so the n-gram membership join's small side stays
+  broadcastable; we leave the choice to AQE rather than forcing broadcast
+  on a data-dependent frame. Corpus side is one explode + one hash agg
+  keyed by doc id (map-side combine applies).
+* repetition signals — per-doc expressions + one explode/agg pair keyed by
+  doc id; no global state, embarrassingly parallel.
+* PII redaction — pure per-row regexp expressions inside codegen.
+* quota sampling — per-group window sort; groups (languages/sources) are
+  few but large, so at extreme scale pre-filter by hash-threshold (quota/n
+  quantile of the hash) before the exact window to avoid sorting whole
+  groups. The hash order is md5-based and engine-portable.
+* centroids — k sum-aggregates over quantized longs (exact integer sums ⇒
+  order-independent, deterministic); one shuffle keyed by label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.operators.dedup import word_tokens
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct space-joined word n-grams of lowercased [a-z0-9]+ tokens;
+    empty array when the text has fewer than n tokens. Matches the DuckDB
+    oracle definition (generate_series + list slice) exactly."""
+    w = word_tokens(col)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold_pct: int = 20,
+) -> DataFrame:
+    """Flag corpus documents whose word-n-gram overlap with a benchmark set
+    exceeds ``threshold_pct`` percent — the GPT-3-style n-gram
+    decontamination check, phrased as one explode + membership join + agg.
+
+    The threshold compare is exact integer arithmetic
+    (100*hits >= pct*ngrams): no float in the contract. Documents with
+    fewer than n tokens have zero n-grams and are kept (never flagged).
+    """
+    bench_ng = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("ng")).distinct()
+    )
+    corpus_ng = corpus.select(
+        F.col(id_col), F.explode_outer(word_ngrams(F.col(text_col), n)).alias("ng")
+    )
+    hits = corpus_ng.join(bench_ng.withColumn("_hit", F.lit(1)), "ng", "left")
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count("ng").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hits"),
+        )
+        .withColumn(
+            "contaminated",
+            (
+                (F.col("n_ngrams") > 0)
+                & (F.col("n_hits") * 100 >= F.col("n_ngrams") * threshold_pct)
+            ).cast("int"),
+        )
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition measures: token counts,
+    distinct-token counts, bigram total and top-bigram count, plus integer
+    flags `dup_word_heavy` (distinct*2 <= tokens) and `top_bigram_heavy`
+    (top bigram covers >= 20% of bigrams). All integer outputs — no float
+    hashing concerns in the driver contract."""
+    w = word_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        word_ngrams(F.col(text_col), 2).alias("_bgs"),
+        w.alias("_w"),
+    )
+    # bigram occurrence counts need the NON-distinct stream
+    bg = F.when(
+        F.size(F.col("_w")) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_w")) - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select(
+        id_col, "n_tokens", "n_distinct", F.explode_outer(bg).alias("bigram")
+    )
+    per_bigram = exploded.groupBy(id_col, "n_tokens", "n_distinct", "bigram").agg(
+        F.count("bigram").alias("_n")
+    )
+    return (
+        per_bigram.groupBy(id_col, "n_tokens", "n_distinct")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.max("_n"), F.lit(0)).alias("top_bigram_n"),
+        )
+        .withColumn(
+            "dup_word_heavy", (F.col("n_distinct") * 2 <= F.col("n_tokens")).cast("int")
+        )
+        .withColumn(
+            "top_bigram_heavy",
+            (
+                (F.col("top_bigram_n") >= 2)
+                & (F.col("top_bigram_n") * 5 >= F.col("n_bigrams"))
+            ).cast("int"),
+        )
+    )
+
+
+# Default PII-ish shape: runs of >= 6 digits (ids, SSN-like, phone-like).
+# Deliberately lookahead-free so the same pattern runs under Java regex
+# (Spark) and RE2 (DuckDB oracle).
+_ID_RUN_RE = "[0-9]{6,}"
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    pattern: str = _ID_RUN_RE,
+    replacement: str = "[ID]",
+) -> DataFrame:
+    """Mask PII-shaped spans (default: long digit runs) in a column. Pure
+    codegen regexp; the hit count comes from the pre-redaction extract so
+    the redaction is auditable."""
+    c = F.col(col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(c, pattern, replacement).alias(f"{col}_redacted"),
+        F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).alias("n_pii_hits"),
+    )
+
+
+def quota_sample(
+    df: DataFrame, group_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Deterministic per-group quota sample (corpus balancing): rank rows
+    inside each group by an engine-portable pseudo-random order
+    (md5 of the id, ties by id) and keep the first ``quota``.
+
+    100 TB note: the window sorts each group; when groups are huge relative
+    to the quota, pre-filter by a hash threshold near quota/|group| (e.g.
+    from approx quantiles of the md5 key) so the exact window only sorts
+    survivors. The md5 order is identical in Spark and DuckDB, which is
+    what makes this oracle-checkable."""
+    order = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.select(group_col, id_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= quota)
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10000,
+) -> DataFrame:
+    """Per-label embedding centroid statistics: member count, centroid L2
+    norm (times n — i.e. ||sum||/(n*scale)), and mean first component.
+    Vectors are quantized to longs (round(x*scale)) so sums are exact
+    integers — order-independent across partitions, hence deterministic;
+    the norm is sqrt of an exact integer sum-of-squares divided by exact
+    ints, so BOTH engines produce the bit-identical double. k
+    sum-aggregates in one pass (no explode: column width = dim, rows stay
+    rows). Long sums hold to ~1e9 rows/label at scale=1e4; beyond that use
+    decimal(38,0) sums."""
+    q = [
+        F.round(F.col(vec_col)[i] * scale).cast("long").alias(f"_q{i}")
+        for i in range(dim)
+    ]
+    agg = df.select(F.col(label_col), *q).groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        *[F.sum(f"_q{i}").alias(f"_s{i}") for i in range(dim)],
+    )
+    sum_sq = None
+    for i in range(dim):
+        term = F.col(f"_s{i}") * F.col(f"_s{i}")
+        sum_sq = term if sum_sq is None else sum_sq + term
+    return agg.select(
+        label_col,
+        "n_vecs",
+        (F.sqrt(sum_sq.cast("double")) / (F.col("n_vecs") * scale)).alias(
+            "centroid_norm"
+        ),
+        (F.col("_s0").cast("double") / (F.col("n_vecs") * scale)).alias("mean_c0"),
+    )

@@ -435,3 +435,40 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-duplicate clustering: exact-Jaccard pair graph → weak
+# connected components → per-document cluster labels. The full curation
+# pipeline shape (pairs alone aren't actionable; cluster labels are what a
+# keep-one-per-cluster policy consumes). At 100 TB the pair stage is the
+# bucketed inverted-index/LSH plan and CC is O(log d) pointer-doubling
+# rounds — both already scale-shaped; this composition adds no new shuffle
+# beyond the CC fixpoint.
+# ---------------------------------------------------------------------------
+
+
+def near_duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """(doc_id, cluster, cluster_size) for every document that has at least
+    one near-duplicate: exact n-gram Jaccard pairs (>= threshold) fed into
+    distributed connected components (min-id labeling, matching the
+    reference's exact_matches.py merge semantics at cluster level)."""
+    from pgdedupe_spark.operators.clustering import connected_components
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    comps = connected_components(pairs.select("id1", "id2"))
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+        )
+    )

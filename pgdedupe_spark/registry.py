@@ -1970,3 +1970,210 @@ def dedup_ngram_zipf(spark, sf_dir):
         spark, n_docs=n_docs, doc_len=110, vocab=400 * n_docs, dup_every=10, mutate_pct=5
     )
     return ngram_jaccard_pairs(corpus, "doc_id", "text", n=5, threshold=0.8, strategy="array")
+
+
+# ===========================================================================
+# Curation family (round 2): the stages an LLM training-data pipeline runs
+# between ingest and tokenization — decontamination, repetition signals,
+# PII redaction, corpus balancing, embedding-centroid analytics, and
+# end-to-end near-dup clustering. All pure-codegen plans with full DuckDB
+# oracles (operators/curation.py, operators/dedup.py).
+# ===========================================================================
+
+# Shared oracle fragment: distinct word n-grams per document (lower,
+# [a-z0-9]+ tokens, space-joined n-grams; empty when < n tokens) — matches
+# curation.word_ngrams exactly.
+_NG_TOK = """
+    tok AS (
+      SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    )
+"""
+
+
+@query(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH {_NG_TOK},
+    ng AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(w)-2),
+                       i -> array_to_string(w[i:i+2], ' ')))
+                  ELSE []::VARCHAR[] END AS ngs
+      FROM tok
+    ),
+    bng AS (SELECT DISTINCT unnest(ngs) AS ng FROM ng WHERE source = 'src0'),
+    ex AS (SELECT doc_id, unnest(ngs) AS ng FROM ng WHERE source <> 'src0'),
+    cnt AS (
+      SELECT doc_id, count(*) AS n_ngrams,
+             CAST(coalesce(sum(CASE WHEN ng IN (SELECT ng FROM bng) THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM ex GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(c.n_ngrams, 0) AS n_ngrams,
+           coalesce(c.n_hits, 0) AS n_hits,
+           CAST(coalesce(c.n_ngrams, 0) > 0
+                AND coalesce(c.n_hits, 0) * 100 >= coalesce(c.n_ngrams, 0) * 20
+                AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def decontaminate_ngrams(spark, sf_dir):
+    """GPT-3-style benchmark decontamination: flag corpus docs whose word-
+    3-gram overlap with the benchmark slice (source='src0') is >= 20%."""
+    from pgdedupe_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id", "text", n=3, threshold_pct=20,
+    )
+
+
+@query(
+    "text_repetition_signals",
+    oracle=f"""
+    WITH {_NG_TOK},
+    base AS (
+      SELECT doc_id,
+             CAST(len(w) AS INT) AS n_tokens,
+             CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(generate_series(1, len(w)-1),
+                       i -> array_to_string(w[i:i+1], ' '))
+                  ELSE []::VARCHAR[] END AS bgs
+      FROM tok
+    ),
+    ex AS (SELECT doc_id, unnest(bgs) AS bigram FROM base),
+    pb AS (SELECT doc_id, bigram, count(*) AS _n FROM ex GROUP BY doc_id, bigram),
+    agg AS (
+      SELECT doc_id, CAST(sum(_n) AS BIGINT) AS n_bigrams,
+             CAST(max(_n) AS BIGINT) AS top_bigram_n
+      FROM pb GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_distinct,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.top_bigram_n, 0) AS top_bigram_n,
+           CAST(b.n_distinct * 2 <= b.n_tokens AS INT) AS dup_word_heavy,
+           CAST(coalesce(a.top_bigram_n, 0) >= 2
+                AND coalesce(a.top_bigram_n, 0) * 5 >= coalesce(a.n_bigrams, 0)
+                AS INT) AS top_bigram_heavy
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_repetition_signals(spark, sf_dir):
+    """Gopher-style within-doc repetition measures (integer contract)."""
+    from pgdedupe_spark.operators.curation import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "pii_redact_ids",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]{6,}', '[ID]', 'g') AS c_name_redacted,
+           CAST(len(regexp_extract_all(c_name, '[0-9]{6,}')) AS INT) AS n_pii_hits
+    FROM customer
+    """,
+)
+def pii_redact_ids(spark, sf_dir):
+    """Regex PII masking (long digit runs — ids/SSN-like spans) — pure
+    codegen regexp_replace; the hit count is auditable pre-redaction.
+    Lookahead-free pattern so Java regex (Spark) and RE2 (oracle) agree."""
+    from pgdedupe_spark.operators.curation import pii_redact
+
+    return pii_redact(_t(spark, sf_dir, "customer"), "c_custkey", "c_name")
+
+
+@query(
+    "corpus_quota_sample",
+    oracle="""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 20
+    """,
+)
+def corpus_quota_sample(spark, sf_dir):
+    """Corpus balancing: deterministic 20-doc quota per language via an
+    engine-portable md5 pseudo-random order."""
+    from pgdedupe_spark.operators.curation import quota_sample
+
+    return quota_sample(_t(spark, sf_dir, "documents"), "lang", "doc_id", quota=20)
+
+
+@query(
+    "embedding_label_centroids",
+    oracle="""
+    WITH q AS (
+      SELECT label, list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, i, qv[i] AS v
+      FROM q CROSS JOIN generate_series(1, 64) AS t(i)
+    ),
+    dims AS (
+      SELECT label, i, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+      FROM ex GROUP BY label, i
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT) AS n_vecs,
+           sqrt(CAST(sum(s*s) AS DOUBLE)) / (max(n) * 10000) AS centroid_norm,
+           CAST(max(CASE WHEN i = 1 THEN s END) AS DOUBLE) / (max(n) * 10000) AS mean_c0
+    FROM dims GROUP BY label
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid stats over quantized-long sums: exact integer
+    arithmetic until the final sqrt/division ⇒ bit-identical across
+    engines."""
+    from pgdedupe_spark.operators.curation import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding", dim=64)
+
+
+@query(
+    "dedup_near_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
+                           i -> substr(text, i::int, 5))) AS ss
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND len(list_intersect(a.ss, b.ss))::DOUBLE /
+              (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.6
+    ),
+    sym AS (SELECT id1 AS s, id2 AS d FROM pairs UNION SELECT id2, id1 FROM pairs),
+    reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s
+    ),
+    comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+    SELECT doc_id, cluster,
+           count(*) OVER (PARTITION BY cluster) AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_near_clusters(spark, sf_dir):
+    """End-to-end near-dup clustering: exact 5-gram Jaccard pairs (>=0.6)
+    -> distributed CC (min-id labels) -> per-doc cluster + size."""
+    from pgdedupe_spark.operators.dedup import near_duplicate_clusters
+
+    return near_duplicate_clusters(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.6
+    )

@@ -1,0 +1,128 @@
+"""Semantic unit tests for the curation operator family
+(pgdedupe_spark/operators/curation.py + dedup.near_duplicate_clusters) on
+hand-built micro-corpora with known answers. The registry oracle queries
+cover the same operators against DuckDB at scale; these pin the contracts
+on crafted edge cases (planted contamination, short docs, transitivity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.operators.curation import (
+    decontaminate,
+    label_centroids,
+    pii_redact,
+    quota_sample,
+    repetition_signals,
+    word_ngrams,
+)
+from pgdedupe_spark.operators.dedup import near_duplicate_clusters
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = _docs(spark, [(1, "one two"), (2, "a b c d"), (3, "")])
+    out = {
+        r.doc_id: r.ngs
+        for r in df.select("doc_id", word_ngrams(F.col("text"), 3).alias("ngs")).collect()
+    }
+    assert out[1] == []  # 2 tokens < n
+    assert out[2] == ["a b c", "b c d"]
+    assert out[3] == []
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta zeta"),  # shares 2 of 3 3-grams -> flagged
+            (2, "one two three four five"),  # disjoint -> clean
+            (3, "x y"),  # too short: zero ngrams -> clean, kept
+        ],
+    )
+    out = {r.doc_id: r for r in decontaminate(corpus, bench, "doc_id", "text", n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated == 1 and out[1].n_hits == 2 and out[1].n_ngrams == 3
+    assert out[2].contaminated == 0 and out[2].n_hits == 0
+    assert out[3].contaminated == 0 and out[3].n_ngrams == 0
+
+
+def test_repetition_signals_counts(spark):
+    df = _docs(spark, [(1, "go go go go stop"), (2, "all words here differ"), (3, "x")])
+    out = {r.doc_id: r for r in repetition_signals(df, "doc_id", "text").collect()}
+    # doc 1: tokens=5 distinct=2; bigrams: "go go"x3, "go stop"x1
+    assert out[1].n_tokens == 5 and out[1].n_distinct == 2
+    assert out[1].n_bigrams == 4 and out[1].top_bigram_n == 3
+    assert out[1].dup_word_heavy == 1 and out[1].top_bigram_heavy == 1
+    assert out[2].dup_word_heavy == 0 and out[2].top_bigram_heavy == 0
+    # single-token doc: zero bigrams, never bigram-heavy
+    assert out[3].n_bigrams == 0 and out[3].top_bigram_heavy == 0
+
+
+def test_pii_redact_digit_runs(spark):
+    df = spark.createDataFrame(
+        [(1, "call 1234567 or 987654321 now"), (2, "no ids, just 12345")],
+        "id long, body string",
+    )
+    out = {r.id: r for r in pii_redact(df, "id", "body").collect()}
+    assert out[1].body_redacted == "call [ID] or [ID] now"
+    assert out[1].n_pii_hits == 2
+    assert out[2].body_redacted == "no ids, just 12345"  # 5 digits: below run length
+    assert out[2].n_pii_hits == 0
+
+
+def test_quota_sample_bound_and_determinism(spark):
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out1 = quota_sample(df, "grp", "doc_id", quota=5)
+    counts = {r.grp: r.n for r in out1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"g0": 5, "g1": 5, "g2": 5}
+    assert sorted(map(tuple, out1.collect())) == sorted(
+        map(tuple, quota_sample(df, "grp", "doc_id", quota=5).collect())
+    )
+
+
+def test_label_centroids_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 4)).round(3)
+    labels = [int(i % 3) for i in range(30)]
+    df = spark.createDataFrame(
+        [(labels[i], [float(x) for x in vecs[i]]) for i in range(30)],
+        "label int, embedding array<double>",
+    )
+    out = {r.label: r for r in label_centroids(df, "label", "embedding", dim=4).collect()}
+    for lab in range(3):
+        q = np.round(vecs[np.array(labels) == lab] * 10000)
+        s = q.sum(axis=0)
+        n = (np.array(labels) == lab).sum()
+        want_norm = math.sqrt(float((s * s).sum())) / (n * 10000)
+        assert out[lab].n_vecs == n
+        assert abs(out[lab].centroid_norm - want_norm) < 1e-12
+        assert abs(out[lab].mean_c0 - s[0] / (n * 10000)) < 1e-12
+
+
+def test_near_dup_clusters_transitive(spark):
+    # a~b and b~c by 5-gram Jaccard, a!~c directly; one cluster of 3 expected
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = _docs(
+        spark,
+        [
+            (1, base),
+            (2, base + " x"),
+            (3, base + " x y"),
+            (4, "completely unrelated text about spark query engines at scale"),
+        ],
+    )
+    out = near_duplicate_clusters(df, "doc_id", "text", n=5, threshold=0.6).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert 4 not in by_id
+    assert {by_id[i].cluster for i in (1, 2, 3)} == {1}
+    assert all(by_id[i].cluster_size == 3 for i in (1, 2, 3))
