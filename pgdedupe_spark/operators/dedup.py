@@ -329,7 +329,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey"))
+    # persist: the self-join below reads `buckets` once per branch, and
+    # without a materialization barrier each branch would re-evaluate the
+    # k minhash passes — the single most expensive expression in the plan
+    # (measured ~2x end-to-end at sf0.1). Same rule as the SimHash join.
+    buckets = sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey")).persist()
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cands = (
@@ -344,11 +348,18 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    s1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
-    s2 = sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
+    # Verify against shingles recomputed ONLY for candidate rows: join the
+    # (tiny, AQE-broadcastable) candidate id pairs to the raw text payload
+    # and shingle AFTER the joins — projecting shingles before the join
+    # would evaluate them for every corpus row (projections fuse below the
+    # probe in codegen), i.e. two more full-corpus shingle passes.
+    t1 = df.select(F.col(id_col).alias("id1"), F.col(text_col).alias("_t1"))
+    t2 = df.select(F.col(id_col).alias("id2"), F.col(text_col).alias("_t2"))
     return (
-        cands.join(s1, "id1")
-        .join(s2, "id2")
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("_sh1", char_shingles(F.col("_t1"), n))
+        .withColumn("_sh2", char_shingles(F.col("_t2"), n))
         .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
         .withColumn(
             "jaccard",
