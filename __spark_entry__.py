@@ -48,6 +48,7 @@ _PRIORITY = [
     "corpus_quota_sample",
     "embedding_label_centroids",
     "dedup_near_clusters",
+    "dedup_incremental",
     "skew_salted_agg",  # ↓ the 7 with no CORRECTNESS_r01 row
     "skew_salted_join",
     "events_json_props",

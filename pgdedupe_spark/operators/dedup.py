@@ -483,3 +483,77 @@ def near_duplicate_clusters(
             "cluster_size",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus. The recurring-crawl
+# shape: each increment is deduped against the standing corpus WITHOUT
+# recomputing corpus self-pairs. At production scale the corpus shingle
+# frame is materialized once (write_bucketed on the id) and reused across
+# increments — pass it via `corpus_shingles`; candidates are an
+# inverted-index equi-join (shuffle keyed by shingle), never an all-pairs
+# product, and verification runs only on candidate rows.
+# ---------------------------------------------------------------------------
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """(_id, _sh, _sz): the per-doc shingle-set frame incremental dedup
+    joins against. Materialize this once per corpus snapshot."""
+    return (
+        _fan_out(df, id_col)
+        .select(F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .withColumn("_sz", F.size("_sh"))
+    )
+
+
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.6,
+    corpus_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cross-set near-dup pairs (new_id, corpus_id, jaccard >= t).
+
+    Plan: shingle both sides (corpus side reusable via `corpus_shingles`),
+    explode to inverted postings, equi-join new postings against corpus
+    postings with the Jaccard length filter (t*|A| <= |B| <= |A|/t) inside
+    the join condition, pair-distinct, then verify with array_intersect
+    only on candidates. New-within-new duplicates are the batch operator's
+    job (`ngram_jaccard_pairs`); this op is deliberately cross-set only.
+    """
+    t = float(threshold)
+    c_sh = (corpus_shingles if corpus_shingles is not None
+            else shingle_index(corpus, id_col, text_col, n)).persist()
+    n_sh = shingle_index(new_batch, id_col, text_col, n).persist()
+
+    c_post = c_sh.select(F.col("_id").alias("corpus_id"), F.col("_sz").alias("_csz"),
+                         F.explode("_sh").alias("_s"))
+    n_post = n_sh.select(F.col("_id").alias("new_id"), F.col("_sz").alias("_nsz"),
+                         F.explode("_sh").alias("_s"))
+    cands = (
+        n_post.alias("n")
+        .join(
+            c_post.alias("c"),
+            (F.col("n._s") == F.col("c._s"))
+            & (F.col("c._csz") >= F.lit(t) * F.col("n._nsz"))
+            & (F.col("n._nsz") >= F.lit(t) * F.col("c._csz")),
+        )
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    v_new = n_sh.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh1"),
+                        F.col("_sz").alias("_sz1"))
+    v_cor = c_sh.select(F.col("_id").alias("corpus_id"), F.col("_sh").alias("_sh2"),
+                        F.col("_sz").alias("_sz2"))
+    return (
+        cands.join(v_new, "new_id")
+        .join(v_cor, "corpus_id")
+        .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
+        .withColumn("jaccard", F.col("_common") / (F.col("_sz1") + F.col("_sz2") - F.col("_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )

@@ -2177,3 +2177,35 @@ def dedup_near_clusters(spark, sf_dir):
     return near_duplicate_clusters(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=5, threshold=0.6
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
+                           i -> substr(text, i::int, 5))) AS ss
+      FROM documents
+    )
+    SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+           len(list_intersect(n.ss, c.ss))::DOUBLE /
+             (len(n.ss) + len(c.ss) - len(list_intersect(n.ss, c.ss))) AS jaccard
+    FROM sh n, sh c
+    WHERE n.source = 'src19' AND c.source <> 'src19'
+      AND len(list_intersect(n.ss, c.ss))::DOUBLE /
+            (len(n.ss) + len(c.ss) - len(list_intersect(n.ss, c.ss))) >= 0.6
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup: the source='src19' slice plays the new crawl
+    increment, deduped against the standing corpus (every other source)
+    without recomputing corpus self-pairs."""
+    from pgdedupe_spark.operators.dedup import incremental_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_jaccard_pairs(
+        docs.filter(F.col("source") != "src19"),
+        docs.filter(F.col("source") == "src19"),
+        "doc_id", "text", n=5, threshold=0.6,
+    )

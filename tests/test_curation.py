@@ -126,3 +126,42 @@ def test_near_dup_clusters_transitive(spark):
     assert 4 not in by_id
     assert {by_id[i].cluster for i in (1, 2, 3)} == {1}
     assert all(by_id[i].cluster_size == 3 for i in (1, 2, 3))
+
+
+def test_incremental_jaccard_cross_set_only(spark):
+    from pgdedupe_spark.operators.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = _docs(spark, [(1, base), (2, base + " extra"), (3, "nothing like the others at all")])
+    new = _docs(spark, [(10, base + " x"), (11, "totally fresh content never seen before")])
+
+    out = sorted(
+        (r.new_id, r.corpus_id) for r in
+        incremental_jaccard_pairs(corpus, new, "doc_id", "text", n=5, threshold=0.6).collect()
+    )
+    # new doc 10 is near base docs 1 and 2; doc 11 matches nothing; no
+    # corpus-corpus (1,2) pair may appear (cross-set contract)
+    assert out == [(10, 1), (10, 2)]
+
+    # parity with the batch operator run on the union, restricted cross-set
+    both = corpus.union(new)
+    union_pairs = {
+        tuple(sorted((r.id1, r.id2)))
+        for r in ngram_jaccard_pairs(both, "doc_id", "text", n=5, threshold=0.6).collect()
+    }
+    cross_union = {p for p in union_pairs if (p[0] <= 3) != (p[1] <= 3)}
+    assert {tuple(sorted(p)) for p in out} == cross_union
+
+    # precomputed-index path gives identical answers
+    idx = shingle_index(corpus, "doc_id", "text", n=5)
+    out2 = sorted(
+        (r.new_id, r.corpus_id) for r in
+        incremental_jaccard_pairs(
+            corpus, new, "doc_id", "text", n=5, threshold=0.6, corpus_shingles=idx
+        ).collect()
+    )
+    assert out2 == out
