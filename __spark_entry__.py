@@ -49,6 +49,7 @@ _PRIORITY = [
     "embedding_label_centroids",
     "dedup_near_clusters",
     "dedup_incremental",
+    "text_duplicated_spans",
     "skew_salted_agg",  # ↓ the 7 with no CORRECTNESS_r01 row
     "skew_salted_join",
     "events_json_props",

@@ -215,3 +215,53 @@ def label_centroids(
         ),
         (F.col("_s0").cast("double") / (F.col("n_vecs") * scale)).alias("mean_c0"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Cross-document duplicated spans (the substring-dedup signal of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better", re-expressed relationally): positional word-k-grams, keep
+    those whose k-gram occurs in >1 document, then merge consecutive
+    positions per doc into maximal spans via gaps-and-islands
+    (pos - row_number = island key). Output (doc, span_start 1-based,
+    span_len in tokens, n_kgrams).
+
+    Scale: k-gram explode is the TF-IDF shuffle class; the duplicated-
+    k-gram set is an agg keyed by k-gram (map-side combine); the
+    membership join shuffles on k-gram; the island window sorts only
+    within a document. No global sorts, no driver state."""
+    w = word_tokens(F.col(text_col))
+    pos_kg = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_w")) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)),
+                )
+            ).alias("_p0", "kg"),
+        )
+        .select(id_col, (F.col("_p0") + 1).cast("int").alias("pos"), "kg")
+    )
+    dup_kg = (
+        pos_kg.groupBy("kg")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("kg")
+    )
+    d = pos_kg.join(dup_kg, "kg").select(id_col, "pos")
+    win = Window.partitionBy(id_col).orderBy("pos")
+    isl = d.withColumn("_g", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+            F.count(F.lit(1)).alias("n_kgrams"),
+        )
+        .drop("_g")
+    )

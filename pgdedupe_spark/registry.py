@@ -2209,3 +2209,36 @@ def dedup_incremental(spark, sf_dir):
         docs.filter(F.col("source") == "src19"),
         "doc_id", "text", n=5, threshold=0.6,
     )
+
+
+@query(
+    "text_duplicated_spans",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u['pos'] AS pos, u['kg'] AS kg FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(len(w)-4, 0)),
+                      i -> {'pos': CAST(i AS INT), 'kg': array_to_string(w[i:i+4], ' ')})) AS u
+        FROM tok)
+    ),
+    dup AS (SELECT kg FROM pos GROUP BY kg HAVING count(DISTINCT doc_id) > 1),
+    d AS (SELECT doc_id, pos FROM pos WHERE kg IN (SELECT kg FROM dup)),
+    isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM d)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) - min(pos) + 5 AS INT) AS span_len,
+           CAST(count(*) AS BIGINT) AS n_kgrams
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def text_duplicated_spans(spark, sf_dir):
+    """Substring-dedup signal: maximal cross-document duplicated word-
+    5-gram spans per document (gaps-and-islands merge)."""
+    from pgdedupe_spark.operators.curation import duplicated_spans
+
+    return duplicated_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)

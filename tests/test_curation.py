@@ -165,3 +165,26 @@ def test_incremental_jaccard_cross_set_only(spark):
         ).collect()
     )
     assert out2 == out
+
+
+def test_duplicated_spans_islands(spark):
+    from pgdedupe_spark.operators.curation import duplicated_spans
+
+    shared = "one two three four five six seven"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " tail a b c d e f g h i j " + shared),
+            (2, shared + " something else entirely here now ok"),
+            (3, "no overlap with anything at all whatsoever friends"),
+        ],
+    )
+    out = duplicated_spans(df, "doc_id", "text", k=5).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len, r.n_kgrams))
+    # the 7-token shared run appears twice in doc 1 (positions 1 and 18+)
+    assert 3 not in spans
+    assert sorted(spans[1])[0] == (1, 7, 3)  # 3 k-grams: pos 1..3 -> len 7
+    assert len(spans[1]) == 2
+    assert spans[2] == [(1, 7, 3)]
