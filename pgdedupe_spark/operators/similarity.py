@@ -132,6 +132,7 @@ def cosine_pairs(
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (id1 < id2) with
     cosine ≥ threshold — exact, via the quantized-integer dot product
@@ -149,6 +150,19 @@ def cosine_pairs(
     broadcast hash joins on the unique ids, and the cosine runs once per
     pair inside a whole-stage-codegen filter stage."""
     from pgdedupe_spark.operators.dedup import _fan_out
+
+    # O(n²) guard: this operator's declared role is exact verification of
+    # candidate subsets; a full 100 TB corpus must come through the LSH /
+    # IVF front-ends. The count is one cheap job against a silent
+    # quadratic blow-up; pass max_rows=None to opt out deliberately.
+    if max_rows is not None:
+        n_rows = embeddings.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"cosine_pairs got {n_rows} rows (> max_rows={max_rows}); "
+                "it is the O(n²) exact verifier — feed it LSH/IVF candidates "
+                "or pass max_rows=None to force the full cross product"
+            )
 
     # fan out: a single-file corpus otherwise runs the whole pair loop in
     # one task (left side of the nested-loop join = one scan partition)

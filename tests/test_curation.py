@@ -188,3 +188,34 @@ def test_duplicated_spans_islands(spark):
     assert sorted(spans[1])[0] == (1, 7, 3)  # 3 k-grams: pos 1..3 -> len 7
     assert len(spans[1]) == 2
     assert spans[2] == [(1, 7, 3)]
+
+
+def test_csv_source_roundtrip(spark, tmp_path):
+    """S4: typed CSV load (reference tests/initialize_db.py:20-37)."""
+    from pgdedupe_spark.sources.io import read_csv_source
+
+    p = str(tmp_path / "people.csv")
+    with open(p, "w") as f:
+        f.write("uuid,first_name,ssn,entry_id\n")
+        f.write("u1,ann,123-45-6789,1\n")
+        f.write("u2,,987-65-4321,2\n")  # empty -> NULL
+    df = read_csv_source(
+        spark, p, "uuid string, first_name string, ssn string, entry_id int"
+    )
+    rows = {r.uuid: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows["u2"].first_name is None
+    assert rows["u1"].entry_id == 1 and isinstance(rows["u1"].entry_id, int)
+
+
+def test_cosine_pairs_guard(spark):
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="O\\(n²\\) exact verifier|max_rows"):
+        cosine_pairs(df, "vec_id", "embedding", max_rows=10)
+    assert cosine_pairs(df, "vec_id", "embedding", max_rows=100).count() == 435
