@@ -850,19 +850,36 @@ def q5_regional_revenue(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    """`events.ts` is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-    timestamp type, so we read it as a nanos-since-epoch long
-    (`spark.sql.legacy.parquet.nanosAsLong`, runtime-settable) and do exact
-    integer time arithmetic; DuckDB mirrors via epoch_ns(). Lossless in both
-    engines. For oracle-checked queries we floor to µs (`ts_us`) because
-    DuckDB 1.0 itself truncates nanos parquet columns to µs TIMESTAMP at
-    scan time — the µs view is what the oracle can see."""
+    """Load `events` and normalize `ts` to `ts_us`, an exact BIGINT
+    microseconds-since-epoch column, so every downstream query does integer
+    time arithmetic (doubles lose precision above 2^53; DuckDB oracles
+    mirror via `epoch_us(ts)`).
+
+    The parquet physical type of `ts` has changed across testdata
+    generations (TIMESTAMP(NANOS) → timestamp[us]), so we branch on the
+    dtype Spark actually resolved rather than assuming one encoding:
+
+    * ``bigint`` — nanos-as-long legacy read
+      (`spark.sql.legacy.parquet.nanosAsLong`): floor-divide to µs.
+    * ``timestamp_ntz`` — tz-independent µs via ``timestampdiff`` against
+      the NTZ epoch literal. Deliberately NOT ``unix_micros(cast(ts as
+      timestamp))``: that reinterprets the naive value in the session
+      timezone, silently shifting every epoch in a non-UTC session, while
+      DuckDB's `epoch_us` stays UTC-naive.
+    * ``timestamp`` — `unix_micros` directly (already an absolute instant).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        _t(spark, sf_dir, "events")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns DIV 1000"))  # integer div: ns > 2^53 breaks double math
-    )
+    df = _t(spark, sf_dir, "events")
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        ts_us = F.expr("ts DIV 1000")  # integer div: ns > 2^53 breaks double math
+    elif dtype == "timestamp_ntz":
+        ts_us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        ts_us = F.unix_micros("ts")
+    return df.withColumn("ts_us", ts_us.cast("long")).drop("ts")
 
 
 @query(

@@ -31,6 +31,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def event_time_col(dtype: str):
+    """Column expression turning the events `ts` column (whatever encoding
+    this testdata generation uses — nanos-as-long BIGINT, timestamp_ntz, or
+    timestamp) into a watermarkable TIMESTAMP named for the µs instant.
+    Shared by the stream reader and the batch-parity fixtures so both sides
+    of the stream/batch contract use one derivation. tz note: the NTZ
+    branch goes through an epoch-µs integer (tz-independent) and
+    `timestamp_micros` (UTC-instant), never a session-tz cast."""
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr("ts DIV 1000"))
+    if dtype == "timestamp_ntz":
+        return F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
+    return F.col("ts").cast("timestamp")
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -57,9 +74,10 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     sdf = reader.parquet(path)
+    dtype = {f.name: f.dataType.simpleString() for f in schema.fields}["ts"]
     return sdf.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+        event_time_col(dtype).alias("event_time"),
         "user_id",
         "event_type",
         "value",

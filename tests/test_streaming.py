@@ -18,6 +18,7 @@ from pgdedupe_spark.streaming import (
     sessionize_stream,
     stateful_user_counts,
 )
+from pgdedupe_spark.streaming.ops import event_time_col
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -25,15 +26,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="module")
 def batch_events(spark):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .select(
-            "event_id",
-            F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
-            "user_id",
-            "event_type",
-            "value",
-        )
+    df = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    dtype = dict(df.dtypes)["ts"]
+    return df.select(
+        "event_id",
+        event_time_col(dtype).alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
     )
 
 
