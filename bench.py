@@ -64,31 +64,39 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        for timings in (cold, warm):
-            t0 = time.perf_counter()
-            # count() forces full execution of every operator in the plan
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+        # fault isolation: a broken query must cost one null entry, never
+        # the whole artifact — the JSON line always prints
+        try:
+            for timings in (cold, warm):
+                t0 = time.perf_counter()
+                # count() forces full execution of every operator in the plan
+                fn(spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            cold.pop(name, None)
+            warm.pop(name, None)
         # drop any caches the first run left behind so the two runs are
         # independent and memory doesn't accumulate across queries
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "value_cold": round(sum(cold.values()), 3),
-                "queries_cold": cold,
-                "timing": "warm = second run (steady-state); cold = first run",
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "timing": "warm = second run (steady-state); cold = first run",
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+        out["queries"] = {**warm, **{n: None for n in errors}}
+    print(json.dumps(out))
     spark.stop()
 
 
