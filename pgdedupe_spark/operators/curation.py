@@ -188,15 +188,25 @@ def label_centroids(
 ) -> DataFrame:
     """Per-label embedding centroid statistics: member count, centroid L2
     norm (times n — i.e. ||sum||/(n*scale)), and mean first component.
-    Vectors are quantized to longs (round(x*scale)) so sums are exact
-    integers — order-independent across partitions, hence deterministic;
-    the norm is sqrt of an exact integer sum-of-squares divided by exact
-    ints, so BOTH engines produce the bit-identical double. k
-    sum-aggregates in one pass (no explode: column width = dim, rows stay
-    rows). Long sums hold to ~1e9 rows/label at scale=1e4; beyond that use
-    decimal(38,0) sums."""
+    Vectors are quantized to longs (floor(cast(x as double)*scale + 0.5))
+    so sums are exact integers — order-independent across partitions, hence
+    deterministic; the norm is sqrt of an exact integer sum-of-squares
+    divided by exact ints, so BOTH engines produce the bit-identical
+    double. The quantizer is deliberately floor(double(x)*scale + 0.5),
+    NOT round(): Spark's round (BigDecimal HALF_UP) and DuckDB's round can
+    break .5 ties differently, and without the explicit double cast DuckDB
+    evaluates float32 embeddings in float32 end-to-end while Spark
+    promotes to double — either way a one-quantum skew that flips the
+    value hash. float→double is exact and double arithmetic is
+    IEEE-identical across engines; oracle SQL must quantize with the same
+    floor(CAST(x AS DOUBLE)*scale + 0.5) expression. k sum-aggregates in
+    one pass (no explode: column width = dim, rows stay rows). Long sums
+    hold to ~1e9 rows/label at scale=1e4; beyond that use decimal(38,0)
+    sums."""
     q = [
-        F.round(F.col(vec_col)[i] * scale).cast("long").alias(f"_q{i}")
+        F.floor(F.col(vec_col)[i].cast("double") * scale + F.lit(0.5))
+        .cast("long")
+        .alias(f"_q{i}")
         for i in range(dim)
     ]
     agg = df.select(F.col(label_col), *q).groupBy(label_col).agg(

@@ -20,7 +20,16 @@ from pyspark.sql import functions as F
 
 
 def _quantize(col: Column, scale: int = 10000) -> Column:
-    return F.transform(col, lambda x: F.round(x * scale).cast("bigint"))
+    # floor(cast(x as double)*scale + 0.5), not round(): Spark's HALF_UP
+    # and DuckDB's round can break .5 ties differently, and without the
+    # explicit double cast DuckDB runs the whole expression in float32
+    # while Spark promotes to double — either way a one-quantum skew that
+    # flips value hashes. float→double is exact and double arithmetic is
+    # IEEE-identical across engines; oracle SQL must use the same
+    # expression: floor(CAST(x AS DOUBLE)*scale + 0.5)
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint")
+    )
 
 
 def _dot_long(a: Column, b: Column) -> Column:

@@ -1313,11 +1313,11 @@ def text_fingerprint(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT vec_id AS query_id,
-             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
       FROM embeddings WHERE vec_id < 10
     ), c AS (
       SELECT vec_id AS neighbor_id,
-             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS cv
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS cv
       FROM embeddings
     ), scored AS (
       SELECT query_id, neighbor_id,
@@ -1580,7 +1580,7 @@ def sample_stratified(spark, sf_dir):
     oracle="""
     WITH q AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS v
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS v
       FROM embeddings
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -2131,7 +2131,7 @@ def corpus_quota_sample(spark, sf_dir):
     "embedding_label_centroids",
     oracle="""
     WITH q AS (
-      SELECT label, list_transform(embedding, x -> CAST(round(x*10000) AS BIGINT)) AS qv
+      SELECT label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
       FROM embeddings
     ),
     ex AS (
