@@ -162,13 +162,14 @@ def cosine_pairs(
 
     # O(n²) guard: this operator's declared role is exact verification of
     # candidate subsets; a full 100 TB corpus must come through the LSH /
-    # IVF front-ends. The count is one cheap job against a silent
-    # quadratic blow-up; pass max_rows=None to opt out deliberately.
+    # IVF front-ends. limit(max_rows+1).count() stops the probe scan after
+    # max_rows+1 rows instead of counting the whole input — the guard must
+    # stay cheap on exactly the oversized inputs it exists to reject. Pass
+    # max_rows=None to opt out deliberately.
     if max_rows is not None:
-        n_rows = embeddings.count()
-        if n_rows > max_rows:
+        if embeddings.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
-                f"cosine_pairs got {n_rows} rows (> max_rows={max_rows}); "
+                f"cosine_pairs got more than max_rows={max_rows} rows; "
                 "it is the O(n²) exact verifier — feed it LSH/IVF candidates "
                 "or pass max_rows=None to force the full cross product"
             )

@@ -1160,9 +1160,13 @@ def events_user_seq(spark, sf_dir):
 @query(
     "dedup_exact_norm",
     oracle="""
-    WITH n AS (
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE source = 'src0'
+    ), n AS (
       SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
-      FROM documents
+      FROM corpus
     )
     SELECT min(doc_id) AS canon_id,
            coalesce(array_to_string(array_agg(doc_id ORDER BY doc_id), ','), '') AS dup_ids,
@@ -1171,9 +1175,24 @@ def events_user_seq(spark, sf_dir):
     """,
 )
 def dedup_exact_norm(spark, sf_dir):
+    """Exact-dup groups over corpus ∪ re-crawled shard: the synthetic
+    documents table has no exact duplicates at any SF (probed — even
+    stripping all non-alphanumerics leaves every text unique), which made
+    this row vacuously green. Model the real scenario exact dedup exists
+    for instead: a re-crawl of one source shard (src0, new doc_ids)
+    appended to the standing corpus — every re-crawled doc must collapse
+    into a group with its original."""
     from pgdedupe_spark.operators.dedup import exact_duplicate_groups
 
-    out = exact_duplicate_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    out = exact_duplicate_groups(
+        docs.select("doc_id", "text").unionByName(recrawl.select("doc_id", "text")),
+        "text",
+        "doc_id",
+    )
     # Stringified at the query boundary (driver canonicalizer: no list cells).
     return out.withColumn("dup_ids", F.array_join(F.col("dup_ids").cast("array<string>"), ","))
 
@@ -1590,16 +1609,24 @@ def sample_stratified(spark, sf_dir):
     FROM q a, q b
     WHERE a.vec_id < b.vec_id
       AND list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.8
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
     """,
 )
-def dedup_embedding_cosine(spark, sf_dir):
+def dedup_embedding_cosine(spark, sf_dir, max_rows=100_000):
     """Embedding-cosine near-dup pairs (exact threshold join; the LSH
-    bucket path generates candidates for this verifier at scale)."""
+    bucket path generates candidates for this verifier at scale).
+    Threshold 0.4: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.5 at sf0.01), so the old 0.8 cut matched nothing
+    and the oracle row was vacuously green. ``max_rows`` threads through
+    to the operator's O(n²) guard so callers can tighten or lift it."""
     from pgdedupe_spark.operators.similarity import cosine_pairs
 
     return cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.8
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.4,
+        max_rows=max_rows,
     )
 
 
@@ -2211,20 +2238,23 @@ def dedup_near_clusters(spark, sf_dir):
     FROM sh n, sh c
     WHERE n.source = 'src19' AND c.source <> 'src19'
       AND len(list_intersect(n.ss, c.ss))::DOUBLE /
-            (len(n.ss) + len(c.ss) - len(list_intersect(n.ss, c.ss))) >= 0.6
+            (len(n.ss) + len(c.ss) - len(list_intersect(n.ss, c.ss))) >= 0.3
     """,
 )
 def dedup_incremental(spark, sf_dir):
     """Incremental dedup: the source='src19' slice plays the new crawl
     increment, deduped against the standing corpus (every other source)
-    without recomputing corpus self-pairs."""
+    without recomputing corpus self-pairs. Threshold 0.3: the generator
+    plants near-dup pairs within a source but the cross-source overlap
+    tops out just above 0.3 (probed at sf0.01), so the old 0.6 cut
+    matched nothing and this row was vacuously green."""
     from pgdedupe_spark.operators.dedup import incremental_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return incremental_jaccard_pairs(
         docs.filter(F.col("source") != "src19"),
         docs.filter(F.col("source") == "src19"),
-        "doc_id", "text", n=5, threshold=0.6,
+        "doc_id", "text", n=5, threshold=0.3,
     )
 
 
