@@ -97,6 +97,23 @@ def random_hyperplane_buckets(
     return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id for one table: bit b = (v·plane_b) > 0."""
+    sign_bits = []
+    for b, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec_col), lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sign_bits.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = sign_bits[0]
+    for sb in sign_bits[1:]:
+        bucket = bucket + sb
+    return bucket
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     id_col: str,
@@ -106,17 +123,68 @@ def lsh_cosine_topk(
     dim: int = 64,
     seed: int = 42,
     query_filter: str = "vec_id < 10",
+    n_tables: int = 1,
+    n_flip_probes: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket, exact cosine
-    re-rank within. Scale path for the brute-force cosine_topk."""
-    planes = hyperplanes(dim, n_planes, seed)
-    bucketed = random_hyperplane_buckets(embeddings, id_col, vec_col, planes)
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    ``n_tables`` independent hyperplane tables (E2LSH-style), optionally
+    widened by multi-probe (the query additionally probes the
+    ``n_flip_probes`` Hamming-1 buckets per table — one sign bit flipped);
+    exact cosine re-rank over the deduplicated candidate union.
+
+    Recall math that picks the knobs: a neighbor at cosine s agrees with
+    the query on one hyperplane with p = 1 − arccos(s)/π, lands in the
+    same bucket with p^b, and in the Hamming-≤1 probe set with
+    p^b + f·p^(b−1)(1−p) (f = flipped bits); recall over L tables is
+    1 − (1 − p_table)^L. One table of 6 planes catches a cos≈0.3
+    neighbor 0.6⁶ ≈ 5% of the time — the honest reason the defaults are
+    parameters, not constants: multiple tables / probes are how LSH
+    actually reaches a recall target, at a measured candidate-fraction
+    cost.
+
+    Plan shape: ONE corpus scan computes all L bucket ids (posexplode to
+    (table, bucket) rows — no per-table rescan), candidates come from the
+    (table, bucket) equi-join, are deduplicated to (query, neighbor) pairs
+    BEFORE scoring (a pair found by 3 tables scores once), and payload
+    vectors re-attach via a broadcast join on the bounded query set plus
+    an equi-join on the corpus. At 100 TB the bucketed frame is the thing
+    you'd persist partitioned by (table, bucket)."""
+    table_planes = [
+        hyperplanes(dim, n_planes, seed if t == 0 else seed + 7919 * t)
+        for t in range(max(1, n_tables))
+    ]
+    buckets = F.array(*[_bucket_expr(vec_col, p) for p in table_planes])
+    bucketed = embeddings.select(
+        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
+    )
+
     q = bucketed.filter(F.expr(query_filter)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "bucket"
+        F.col(id_col).alias("query_id"), "table", "bucket"
     )
-    c = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "bucket"
+    if n_flip_probes > 0:
+        # multi-probe: query also visits the buckets one bit-flip away
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(n_flip_probes, n_planes))
+            ],
+        )
+        q = q.select(
+            "query_id", "table", F.explode(probe_buckets).alias("bucket")
+        )
+    c = bucketed.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
+    cand = (
+        q.join(c, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
+
+    qv = embeddings.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     dot = F.aggregate(
         F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -124,8 +192,8 @@ def lsh_cosine_topk(
         F.aggregate(F.zip_with(c_, c_, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
     scored = (
-        q.join(c, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("sim", dot / (norm(F.col("_qv")) * norm(F.col("_cv"))))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

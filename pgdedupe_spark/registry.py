@@ -1359,9 +1359,16 @@ def ann_cosine_topk(spark, sf_dir):
 
 @query("ann_lsh_topk")  # approximate (bucketed) — rows-only
 def ann_lsh_topk(spark, sf_dir):
+    """Multi-table multi-probe LSH top-k. 8 tables × 4 planes + 4
+    Hamming-1 probes: measured recall 1.0 vs ann_cosine_topk at sf0.001
+    (single-table 6-plane was 0.04 on these near-orthogonal embeddings —
+    tables/probes are the recall dial; tests/test_recall.py pins ≥ 0.9)."""
     from pgdedupe_spark.operators.similarity import lsh_cosine_topk
 
-    return lsh_cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
+    return lsh_cosine_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        k=5, n_planes=4, n_tables=8, n_flip_probes=4,
+    )
 
 
 @query(
@@ -1745,12 +1752,15 @@ def skew_salted_join(spark, sf_dir):
 def ann_ivf_topk(spark, sf_dir):
     """IVF approximate top-k (seeded-sample coarse quantizer, n_probe cells
     probed per query; n_probe == n_centroids is pinned equal to the exact
-    brute force in tests/test_extensions.py)."""
+    brute force in tests/test_extensions.py). n_probe=12/16: measured
+    recall 0.96 vs ann_cosine_topk at sf0.001 (4/16 was 0.56 — the
+    synthetic embeddings are near-orthogonal, so cell pruning is the
+    recall dial; tests/test_recall.py pins ≥ 0.9)."""
     from pgdedupe_spark.operators.similarity import ivf_cosine_topk
 
     return ivf_cosine_topk(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        k=5, n_centroids=16, n_probe=4,
+        k=5, n_centroids=16, n_probe=12,
     )
 
 

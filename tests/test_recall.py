@@ -1,0 +1,63 @@
+"""Accuracy contracts for the approximate (no_oracle) queries.
+
+The driver's correctness gate can only rows-check randomized/bucketed
+queries, so each approximate query carries a pinned recall bound against
+its exact counterpart — the analog of the reference's integration quality
+bound (/root/reference/tests/test_integration.py:29-30). Everything here
+is deterministic (seeded planes/centroids/signatures, fixed testdata), so
+the measured recalls are stable numbers, not flaky samples: LSH 1.0,
+IVF 0.96, MinHash 1.0 at sf0.001 as of round 4.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgdedupe_spark import registry
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _pairs(df, c1, c2):
+    return {(getattr(r, c1), getattr(r, c2)) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark):
+    return _pairs(
+        registry.QUERIES["ann_cosine_topk"](spark, SF_DIR), "query_id", "neighbor_id"
+    )
+
+
+def test_ann_lsh_recall(spark, exact_topk):
+    """Registry-shipped LSH settings (8 tables × 4 planes, 4 probes) must
+    retrieve ≥ 0.9 of the exact top-k pairs."""
+    approx = _pairs(
+        registry.QUERIES["ann_lsh_topk"](spark, SF_DIR), "query_id", "neighbor_id"
+    )
+    recall = len(approx & exact_topk) / len(exact_topk)
+    assert recall >= 0.9, f"ann_lsh_topk recall {recall:.3f} < 0.9"
+
+
+def test_ann_ivf_recall(spark, exact_topk):
+    """Registry-shipped IVF settings (n_probe=12/16) must retrieve ≥ 0.9
+    of the exact top-k pairs."""
+    approx = _pairs(
+        registry.QUERIES["ann_ivf_topk"](spark, SF_DIR), "query_id", "neighbor_id"
+    )
+    recall = len(approx & exact_topk) / len(exact_topk)
+    assert recall >= 0.9, f"ann_ivf_topk recall {recall:.3f} < 0.9"
+
+
+def test_minhash_lsh_pair_recall(spark):
+    """MinHash-LSH banded candidates (64 hashes, 16 bands) + exact verify
+    must recover ≥ 0.9 of the exact n-gram Jaccard pairs at the same
+    threshold. Theory check: P(candidate | j=0.9) = 1-(1-0.9^4)^16 ≈ 1.0,
+    and the planted near-dups all sit at j ≥ 0.9."""
+    exact = _pairs(registry.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR), "id1", "id2")
+    approx = _pairs(registry.QUERIES["dedup_minhash_lsh"](spark, SF_DIR), "id1", "id2")
+    assert exact, "exact jaccard produced no pairs — fixture drifted"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"dedup_minhash_lsh pair recall {recall:.3f} < 0.9"
