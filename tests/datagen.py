@@ -50,12 +50,44 @@ def _ssn_off_by_one(ssn: str) -> str:
     return f"{digits[:3]}-{digits[3:5]}-{digits[5:]}"
 
 
+def _munge_dob(rng: random.Random, dob: str) -> str:
+    """The reference's DOB-noise cascade, branch for branch
+    (``Person.munged_dob``, generate_fake_dataset.py:137-159): day/month
+    transposition, ±1 month, ±1 day, ±10 days, ±1 year, and the common
+    N(0, 6 months) birthday drift; ~85% of draws return the true date."""
+    from datetime import date, timedelta
+
+    y, m, d = map(int, dob.split("-"))
+    dt = date(y, m, d)
+    r = rng.random()
+    if dt.day <= 12 and r < 0.01:
+        dt = date(dt.year, dt.day, dt.month)
+    elif dt.month < 12 and r < 0.02:
+        dt = date(dt.year, dt.month + 1, min(dt.day, 28))
+    elif dt.month > 1 and r < 0.03:
+        dt = date(dt.year, dt.month - 1, min(dt.day, 28))
+    elif dt.day < 28 and r < 0.04:
+        dt = date(dt.year, dt.month, dt.day + 1)
+    elif dt.day > 1 and r < 0.05:
+        dt = date(dt.year, dt.month, dt.day - 1)
+    elif dt.day > 10 and r < 0.06:
+        dt = date(dt.year, dt.month, dt.day - 10)
+    elif dt.day < 19 and r < 0.07:
+        dt = date(dt.year, dt.month, dt.day + 10)
+    elif r < 0.09:
+        dt = date(dt.year + rng.choice((-1, 1)), dt.month, min(dt.day, 28))
+    elif r < 0.15:
+        dt = dt + timedelta(days=rng.normalvariate(0, 365 / 2))
+    return dt.isoformat()
+
+
 def generate_population(
     n_people: int,
     seed: int = 0,
     mean_records: float = 4.0,
     twin_rate: float = 0.0,
     married_rate: float = 0.0,
+    dob_noise: bool = False,
 ):
     """Returns (rows, truth, twins): rows of (entry_id, first_name,
     last_name, ssn, sex, dob), truth entry_id → person_id, twins a list of
@@ -67,7 +99,11 @@ def generate_population(
       generate_fake_dataset.py:171-183) — the classic precision trap;
     * ``married_rate``: the SAME person whose later records carry a new
       last name (the reference's munged-lname married-name branch) — the
-      classic recall trap.
+      classic recall trap;
+    * ``dob_noise``: per-record DOB perturbation via the reference's
+      ``munged_dob`` cascade (generate_fake_dataset.py:137-159) — the
+      recall trap where the same person's records disagree on dob.
+      Opt-in so pre-existing seeded fixtures keep their exact streams.
     """
     rng = random.Random(seed)
     rows, truth, twins = [], {}, []
@@ -116,6 +152,8 @@ def generate_population(
             s = None if rng.random() < 0.15 else person["ssn"]
             sx = None if rng.random() < 0.05 else person["sex"]
             d = None if rng.random() < 0.05 else person["dob"]
+            if d is not None and dob_noise:
+                d = _munge_dob(rng, d)
             entry_id += 1
             rows.append((entry_id, f, l, s, sx, d))
             truth[entry_id] = person["pid"]

@@ -69,9 +69,12 @@ def test_quality_hard_cases(spark):
     twins (same last name + dob, SSN off by one, different first/sex —
     generate_fake_dataset.py:171-183) must NOT merge, and married-name
     changes (same person, new last name on later records) must not
-    collapse precision."""
+    collapse precision. DOB noise (the reference's munged_dob cascade —
+    day/month swaps, ±1 day/month/year, N(0, 6 mo) drift) is ON, so the
+    gate also proves dob disagreement between a person's own records
+    doesn't break the boundary."""
     rows, truth, twins = generate_population(
-        N_PEOPLE, seed=0, twin_rate=0.15, married_rate=0.2
+        N_PEOPLE, seed=0, twin_rate=0.15, married_rate=0.2, dob_noise=True
     )
     df = spark.createDataFrame(
         rows, "entry_id long, first_name string, last_name string, ssn string, sex string, dob string"
