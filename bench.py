@@ -44,6 +44,8 @@ HEADLINE = [
     "text_fingerprint",
     "text_token_counts",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "multimodal_binary_stats",
     "events_json_props",
     "events_sessionize",
