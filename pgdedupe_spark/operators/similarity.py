@@ -148,31 +148,15 @@ def lsh_cosine_topk(
     BEFORE scoring (a pair found by 3 tables scores once), and payload
     vectors re-attach via a broadcast join on the bounded query set plus
     an equi-join on the corpus. At 100 TB the bucketed frame is the thing
-    you'd persist partitioned by (table, bucket)."""
-    table_planes = [
-        hyperplanes(dim, n_planes, seed if t == 0 else seed + 7919 * t)
-        for t in range(max(1, n_tables))
-    ]
-    buckets = F.array(*[_bucket_expr(vec_col, p) for p in table_planes])
-    bucketed = embeddings.select(
-        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
-    )
+    you'd persist partitioned by (table, bucket) — see
+    :func:`write_lsh_index` / :func:`lsh_topk_from_index`."""
+    table_planes = _table_planes(dim, n_planes, n_tables, seed)
+    bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
 
     q = bucketed.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"), "table", "bucket"
     )
-    if n_flip_probes > 0:
-        # multi-probe: query also visits the buckets one bit-flip away
-        probe_buckets = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(min(n_flip_probes, n_planes))
-            ],
-        )
-        q = q.select(
-            "query_id", "table", F.explode(probe_buckets).alias("bucket")
-        )
+    q = _widen_probes(q, n_flip_probes, n_planes)
     c = bucketed.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
     cand = (
         q.join(c, ["table", "bucket"])
@@ -180,7 +164,51 @@ def lsh_cosine_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
 
+
+def _table_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[np.ndarray]:
+    return [
+        hyperplanes(dim, n_planes, seed if t == 0 else seed + 7919 * t)
+        for t in range(max(1, n_tables))
+    ]
+
+
+def _bucketize(
+    embeddings: DataFrame, id_col: str, vec_col: str, table_planes: list[np.ndarray]
+) -> DataFrame:
+    """One scan → (id, table, bucket) rows for every table."""
+    buckets = F.array(*[_bucket_expr(vec_col, p) for p in table_planes])
+    return embeddings.select(
+        F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
+    )
+
+
+def _widen_probes(q: DataFrame, n_flip_probes: int, n_planes: int) -> DataFrame:
+    """Multi-probe: the query additionally visits buckets one bit-flip away."""
+    if n_flip_probes <= 0:
+        return q
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << b))
+            for b in range(min(n_flip_probes, n_planes))
+        ],
+    )
+    return q.select("query_id", "table", F.explode(probe_buckets).alias("bucket"))
+
+
+def _score_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cand: DataFrame,
+    k: int,
+    query_filter: str,
+) -> DataFrame:
+    """Exact cosine re-rank of candidate (query_id, neighbor_id) pairs:
+    payload vectors re-attach via a broadcast join on the bounded query
+    set plus an equi-join on the corpus; top-k per query."""
     qv = embeddings.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
@@ -202,6 +230,93 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> None:
+    """Materialize the LSH layout on disk: write-once, query-many.
+
+    The index holds ONLY (id) rows under a ``table=<t>/bucket=<b>``
+    parquet partition layout — L × n rows of ids, NOT L copies of the
+    vectors (index size ≈ L·n·8 B; payload vectors stay in the base
+    table and re-attach at query time via the id equi-join the in-memory
+    path already uses). Probing then turns into *partition pruning*: a
+    query set touching P (table, bucket) pairs scans P directories, not
+    the corpus. A one-row ``/meta`` parquet records (n_planes, n_tables,
+    dim, seed) so readers regenerate the identical hyperplanes —
+    the index is self-describing."""
+    spark = embeddings.sparkSession
+    table_planes = _table_planes(dim, n_planes, n_tables, seed)
+    bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
+    (
+        bucketed.repartition("table", "bucket")
+        .write.partitionBy("table", "bucket")
+        .mode("overwrite")
+        .parquet(path + "/buckets")
+    )
+    meta = [(int(n_planes), int(n_tables), int(dim), int(seed))]
+    spark.createDataFrame(
+        meta, "n_planes int, n_tables int, dim int, seed int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_filter: str = "vec_id < 10",
+    n_flip_probes: int = 0,
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_lsh_index` layout.
+
+    The query set (bounded by construction — this is the serving path)
+    computes its probe (table, bucket) pairs with the planes regenerated
+    from ``/meta``, and those pairs are collected and pushed as a static
+    filter on the index's PARTITION columns — `.explain` shows them under
+    ``PartitionFilters``, so Spark never opens the non-probed directories.
+    That scan-pruning is the whole point of persisting the index: work is
+    O(probed buckets), not O(corpus), before the exact re-rank."""
+    m = spark.read.parquet(index_path + "/meta").collect()[0]
+    table_planes = _table_planes(m.dim, m.n_planes, m.n_tables, m.seed)
+
+    q = (
+        _bucketize(embeddings.filter(F.expr(query_filter)), id_col, vec_col, table_planes)
+        .withColumnRenamed(id_col, "query_id")
+    )
+    q = _widen_probes(q, n_flip_probes, m.n_planes)
+
+    # probe set: |queries| × L × (1 + flips) pairs — bounded, so the
+    # collect is cheap and buys static partition pruning on the index scan
+    by_table: dict[int, set[int]] = {}
+    for r in q.select("table", "bucket").distinct().collect():
+        by_table.setdefault(int(r.table), set()).add(int(r.bucket))
+    pred = None
+    for t, bs in sorted(by_table.items()):
+        clause = (F.col("table") == t) & F.col("bucket").isin(sorted(bs))
+        pred = clause if pred is None else pred | clause
+    if pred is None:  # empty query set
+        empty = "query_id bigint, neighbor_id bigint, sim double, rank int"
+        return spark.createDataFrame([], empty)
+
+    idx = spark.read.parquet(index_path + "/buckets").filter(pred)
+    cand = (
+        q.join(idx.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
 
 
 def cosine_pairs(
