@@ -493,31 +493,10 @@ def ivf_cosine_topk(
     )
     indexed = indexed.persist()
 
-    cent_lit = F.array(
-        *[
-            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
-            for cid, vec in centroids
-        ]
-    )
     q = indexed.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    # rank cells per query by centroid cosine, keep n_probe
-    probes = (
-        q.select("query_id", "_qv", F.explode(cent_lit).alias("_c"))
-        .withColumn(
-            "_cs",
-            F.aggregate(F.zip_with("_qv", F.col("_c.cv"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x),
-        )
-        .withColumn(
-            "_pr",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("_c.cid"))
-            ),
-        )
-        .filter(F.col("_pr") <= n_probe)
-        .select("query_id", "_qv", F.col("_c.cid").alias("cell"))
-    )
+    probes = _rank_cells(q, centroids, n_probe)
     c = indexed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
     dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     nrm = lambda cc: F.sqrt(  # noqa: E731
@@ -534,3 +513,117 @@ def ivf_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def _rank_cells(
+    q: DataFrame, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> DataFrame:
+    """Rank cells per query by centroid dot product, keep ``n_probe``.
+    Input (query_id, _qv) → output (query_id, _qv, cell)."""
+    cent_lit = F.array(
+        *[
+            F.struct(F.lit(cid).alias("cid"), F.array(*[F.lit(x) for x in vec]).alias("cv"))
+            for cid, vec in centroids
+        ]
+    )
+    return (
+        q.select("query_id", "_qv", F.explode(cent_lit).alias("_c"))
+        .withColumn(
+            "_cs",
+            F.aggregate(
+                F.zip_with("_qv", F.col("_c.cv"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_cs").desc(), F.col("_c.cid"))
+            ),
+        )
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qv", F.col("_c.cid").alias("cell"))
+    )
+
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    refine_iters: int = 0,
+) -> None:
+    """Materialize the IVF layout on disk: write-once, query-many — the
+    partitioned twin of :func:`write_lsh_index`.
+
+    ``/cells`` holds ONLY (id) rows under a ``cell=<c>`` parquet partition
+    layout (vectors stay in the base table; IVF assigns each vector to
+    exactly one cell, so the index is n rows — no replication at all,
+    unlike LSH's L tables). ``/centroids`` stores the coarse quantizer as
+    (cid, cv) rows, making the index self-describing: readers rebuild the
+    probe ranking from the persisted centroids, not from re-running the
+    sampler."""
+    indexed, centroids = ivf_index(
+        embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
+    )
+    (
+        indexed.select(F.col(id_col), "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path + "/cells")
+    )
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_ivf_index` layout.
+
+    Probe cells come from ranking the persisted centroids per query; the
+    probed cell ids (≤ n_centroids, bounded) are collected and pushed as a
+    static filter on the index's PARTITION column — `.explain` shows them
+    under ``PartitionFilters``, so only the probed ``cell=`` directories
+    are ever opened. Work is O(vectors in probed cells), not O(corpus)."""
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cv])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    ]
+    centroids.sort(key=lambda cv: cv[0])
+
+    q = embeddings.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = _rank_cells(q, centroids, n_probe).select("query_id", "cell")
+
+    cells = sorted({int(r.cell) for r in probes.select("cell").distinct().collect()})
+    if not cells:  # empty query set
+        empty = "query_id bigint, neighbor_id bigint, sim double, rank int"
+        return spark.createDataFrame([], empty)
+
+    idx = (
+        spark.read.parquet(index_path + "/cells")
+        .filter(F.col("cell").isin(cells))
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+    cand = (
+        probes.join(idx, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
