@@ -72,6 +72,10 @@ _PRIORITY = [
     "f10_datetime_funcs",
     "j8_anti_join",
     "j9_semi_join",
+    # -- new in r4: mixing, time-weighted avg, funnel (first driver rows) --
+    "corpus_mix_weighted",
+    "events_time_weighted",
+    "events_funnel",
     # -- r3-green fill: core operator families stay under driver watch --
     "p2_filter_projection",
     "j1_plural_block",
@@ -81,20 +85,20 @@ _PRIORITY = [
     "j5_exact_edges",
     "g1_connected_components",
     "a8_ratio_metrics",
-    "a10_rollup",
     "a11_percentiles",
     "w1_serial_ids",
     "w2_window_suite",
-    "f_array_ops",
     "q1_pricing_summary",
     "q5_regional_revenue",
-    "a12_setops",
     "d4_pair_scores",
     "d3_uncertain_pairs",
     "d6_rare_token_blocks",
 ]
 _TAIL = [
     # green in r3 — rotate back into the window in r5
+    "a10_rollup",
+    "a12_setops",
+    "f_array_ops",
     "decontaminate_ngrams",
     "text_repetition_signals",
     "pii_redact_ids",

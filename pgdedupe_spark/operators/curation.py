@@ -275,3 +275,33 @@ def duplicated_spans(
         )
         .drop("_g")
     )
+
+
+def weighted_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Corpus mixing: deterministically downsample each group to a target
+    keep-rate — the data-mixing stage that rebalances source proportions
+    to a training recipe (e.g. crawl 10%, curated sources 100%) without an
+    RNG, a shuffle, or a second pass.
+
+    keep ⇔ u32(md5(salt‖id)) < rate·2³², where u32 is the first 8 hex
+    digits of the md5 as an integer. The hash is engine-portable (pinned
+    vs DuckDB), the decision is per-row scan-local (predicate pushes into
+    the scan; zero shuffles), reproducible under re-runs AND stable under
+    corpus growth: a kept id stays kept when new rows arrive, so
+    incremental pipelines don't churn their sample. Groups absent from
+    ``rates`` fall back to ``default_rate``."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
+    return df.filter(bucket < (rate * F.lit(float(2**32))).cast("bigint"))

@@ -111,3 +111,109 @@ def range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) <= F.col(hi_col))
     )
     return joined.drop("_bkt")
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    scale: int = 10000,
+) -> DataFrame:
+    """Per-key time-weighted average via trapezoidal integration — the
+    hypertable-style `time_weight('Linear')` aggregate: irregular samples
+    weighted by how long each value held, not how often it was sampled.
+
+    Exactness contract (the cross-engine double rule): values quantize to
+    longs (floor(double(v)*scale + 0.5), the shared quantizer convention),
+    each trapezoid contributes the INTEGER (q_i + q_{i+1})·Δt, and both
+    the area and time sums accumulate as DECIMAL(38,0) — order-independent
+    across partitions, overflow-safe past int64, exact in Spark and DuckDB
+    (HUGEINT there). The single final division produces the double:
+    twa = Σ(q_i+q_{i+1})·Δt_i / (2·scale·ΣΔt_i). Keys whose samples all
+    share one timestamp have zero integration span → NULL twa (emitted,
+    not dropped — the caller decides the fallback).
+
+    One shuffle (hash by key) + in-partition sort for the lead window; the
+    aggregation reuses the window's partitioning (no second exchange).
+    ``tiebreak_col`` makes equal-timestamp ordering deterministic; dt=0
+    segments contribute zero area either way."""
+    q = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("long")
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    seg = (
+        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_q"))
+        .withColumn("_nq", F.lead("_q").over(w))
+        .withColumn("_dt", (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long"))
+    )
+    area = ((F.col("_q") + F.col("_nq")) * F.col("_dt")).cast("decimal(38,0)")
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(area).alias("_area2"),
+            F.sum(F.col("_dt").cast("decimal(38,0)")).alias("_span"),
+        )
+        .select(
+            key_col,
+            "n_samples",
+            F.when(
+                F.col("_span") > 0,
+                F.col("_area2").cast("double")
+                / (F.lit(2.0) * scale * F.col("_span").cast("double")),
+            ).alias("twa_value"),
+        )
+    )
+
+
+def ordered_funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered conversion funnel: for each stage s_i, count the keys whose
+    FIRST s_i event occurs at-or-after their first occurrences of every
+    earlier stage (the classic product-analytics funnel, here as one
+    conditional-aggregation pass + an iterated as-of comparison, no joins
+    per stage).
+
+    Plan: one groupBy(key) computes min(ts) per stage via
+    conditional aggregation (single shuffle, map-side combine); the
+    stage-ordering predicate is then pure row-local arithmetic, and the
+    final stage counts come from one more tiny aggregation. At 100 TB:
+    2 shuffles total, state = one row per key, never per event."""
+    firsts = df.groupBy(key_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    # reached stage i ⇔ every first-occurrence chain t0 ≤ t1 ≤ … ≤ ti holds
+    reached = [F.col("_t0").isNotNull()]
+    for i in range(1, len(stages)):
+        reached.append(
+            reached[i - 1]
+            & F.col(f"_t{i}").isNotNull()
+            & (F.col(f"_t{i}") >= F.col(f"_t{i-1}"))
+        )
+    counted = firsts.select(
+        *[F.when(reached[i], 1).otherwise(0).alias(f"_r{i}") for i in range(len(stages))]
+    ).agg(*[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(stages))])
+    # long form: (stage_no, stage, n_keys) — one row per stage
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("stage_no"),
+                F.lit(s).alias("stage"),
+                F.col(f"_n{i}").alias("n_keys"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return counted.select(F.explode(rows).alias("_s")).select(
+        F.col("_s.stage_no").alias("stage_no"),
+        F.col("_s.stage").alias("stage"),
+        F.col("_s.n_keys").alias("n_keys"),
+    )

@@ -2299,3 +2299,108 @@ def text_duplicated_spans(spark, sf_dir):
     from pgdedupe_spark.operators.curation import duplicated_spans
 
     return duplicated_spans(_t(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+# ===========================================================================
+# Round 4 extensions: corpus mixing (data-mixing recipe), time-weighted
+# average (hypertable-style temporal aggregate), ordered conversion funnel.
+# ===========================================================================
+
+
+@query(
+    "corpus_mix_weighted",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                              WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+                 * 4294967296.0 AS UBIGINT)
+    """,
+)
+def corpus_mix_weighted(spark, sf_dir):
+    """Data-mixing recipe: keep src0 at 100%, src1 at 50%, src2 at 25%,
+    everything else at 10% — deterministic hash-threshold sampling, so the
+    mix is reproducible and stable under corpus growth (a kept doc stays
+    kept when new rows arrive). Zero shuffles: the decision is a per-row
+    predicate on md5(salt‖id) that pushes to the scan."""
+    from pgdedupe_spark.operators.curation import weighted_mix
+
+    return weighted_mix(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        rates={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_rate=0.1,
+    ).select("doc_id", "source")
+
+
+@query(
+    "events_time_weighted",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT) AS q,
+             lead(CAST(floor(CAST(value AS DOUBLE)*10000 + 0.5) AS BIGINT))
+               OVER w AS nq,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_samples,
+           CASE WHEN SUM(dt) > 0
+                THEN CAST(SUM((q + nq) * dt) AS DOUBLE)
+                     / (2.0 * 10000 * CAST(SUM(dt) AS DOUBLE))
+           END AS twa_value
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted(spark, sf_dir):
+    """Hypertable-style time-weighted average of `value` per user:
+    trapezoidal integration over irregular samples, exact integer
+    accumulation (quantized values × µs gaps summed as decimal(38,0)) so
+    both engines produce the identical double in ONE final division."""
+    from pgdedupe_spark.operators.temporal import time_weighted_avg
+
+    return time_weighted_avg(
+        _events(spark, sf_dir), "user_id", "ts_us", "value", tiebreak_col="event_id"
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t2
+      FROM events GROUP BY user_id
+    ), reach AS (
+      SELECT CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END AS r0,
+             CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                  THEN 1 ELSE 0 END AS r1,
+             CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL AND t1 >= t0
+                       AND t2 IS NOT NULL AND t2 >= t1
+                  THEN 1 ELSE 0 END AS r2
+      FROM firsts
+    )
+    SELECT stage_no, stage, n_keys FROM (
+      SELECT 1 AS stage_no, 'signup' AS stage, CAST(SUM(r0) AS BIGINT) AS n_keys FROM reach
+      UNION ALL
+      SELECT 2, 'view', CAST(SUM(r1) AS BIGINT) FROM reach
+      UNION ALL
+      SELECT 3, 'purchase', CAST(SUM(r2) AS BIGINT) FROM reach
+    )
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered signup→view→purchase funnel: per-stage user counts where
+    each stage's first event is at-or-after the first of every earlier
+    stage. One conditional-aggregation shuffle + one tiny count agg."""
+    from pgdedupe_spark.operators.temporal import ordered_funnel
+
+    return ordered_funnel(
+        _events(spark, sf_dir), "user_id", "ts_us", "event_type",
+        stages=["signup", "view", "purchase"],
+    )
