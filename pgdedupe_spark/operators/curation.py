@@ -292,8 +292,8 @@ def weighted_mix(
 
     keep ⇔ u32(md5(salt‖id)) < rate·2³², where u32 is the first 8 hex
     digits of the md5 as an integer. The hash is engine-portable (pinned
-    vs DuckDB), the decision is per-row scan-local (predicate pushes into
-    the scan; zero shuffles), reproducible under re-runs AND stable under
+    vs DuckDB), the decision is per-row scan-local (a codegen filter right
+    on the scan — zero shuffles, pinned), reproducible under re-runs AND stable under
     corpus growth: a kept id stays kept when new rows arrive, so
     incremental pipelines don't churn their sample. Groups absent from
     ``rates`` fall back to ``default_rate``."""

@@ -2321,8 +2321,8 @@ def corpus_mix_weighted(spark, sf_dir):
     """Data-mixing recipe: keep src0 at 100%, src1 at 50%, src2 at 25%,
     everything else at 10% — deterministic hash-threshold sampling, so the
     mix is reproducible and stable under corpus growth (a kept doc stays
-    kept when new rows arrive). Zero shuffles: the decision is a per-row
-    predicate on md5(salt‖id) that pushes to the scan."""
+    kept when new rows arrive). Zero shuffles (pinned): the decision is a
+    per-row md5(salt‖id) predicate evaluated in the scan's codegen stage."""
     from pgdedupe_spark.operators.curation import weighted_mix
 
     return weighted_mix(

@@ -115,3 +115,43 @@ def test_range_join_is_equi_join(spark):
     plan = explain_str(registry.QUERIES["events_range_join"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Count physical Exchange nodes once (the formatted plan names each
+    node in both the tree and the details section; details lines are
+    unique per node id)."""
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_weighted_mix_is_scan_local(spark):
+    """Corpus mixing must be a zero-shuffle scan filter: the hash-threshold
+    decision is per-row, so the plan may contain no Exchange at all."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["corpus_mix_weighted"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """TWA must hash-partition ONCE: the lead window and the per-key
+    aggregation share the same partitioning, so the aggregate adds no
+    second exchange."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_time_weighted"](spark, SF_DIR))
+    assert "Window" in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_funnel_is_two_aggregations(spark):
+    """The ordered funnel is one conditional-agg shuffle (per key) plus the
+    single-row stage-count aggregation — two exchanges, no joins."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_funnel"](spark, SF_DIR))
+    assert _n_exchanges(plan) <= 2, plan
+    assert "Join" not in plan
