@@ -527,12 +527,19 @@ def a10_rollup(spark, sf_dir):
     "j8_anti_join",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def j8_anti_join(spark, sf_dir):
+    """Customers who never placed a 400k+ order. The driver's testdata
+    gives EVERY customer at least one order (probed at sf0.01), so the
+    classic orderless-customers anti-join was structurally empty and its
+    oracle row vacuously green — the price filter keeps the NOT EXISTS
+    shape while selecting a real subset (202 rows at sf0.01)."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return cust.join(
         orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
@@ -1538,10 +1545,15 @@ def text_tfidf(spark, sf_dir):
 @query(
     "dedup_canonical_pick",
     oracle="""
-    WITH g AS (
+    WITH corpus AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, n_chars
+      FROM documents WHERE source = 'src0'
+    ), g AS (
       SELECT regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm,
              doc_id, n_chars
-      FROM documents
+      FROM corpus
     )
     SELECT norm,
            max_by(doc_id, n_chars * 1000000000 + doc_id) AS keep_id,
@@ -1554,12 +1566,21 @@ def dedup_canonical_pick(spark, sf_dir):
     highest-quality member (longest text, doc_id as the deterministic
     tie-break) — the argmax-per-group (`max_by` over a struct) curation
     step that follows duplicate detection. One hash aggregate, map-side
-    combinable; no window, no join."""
+    combinable; no window, no join. Runs over corpus ∪ re-crawled src0
+    shard (same scenario as `dedup_exact_norm`): the raw documents table
+    has NO duplicate groups at any SF, so the original query was
+    vacuously green."""
     from pgdedupe_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = docs.select("doc_id", "text", "n_chars").unionByName(
+        recrawl.select("doc_id", "text", "n_chars")
+    )
     return (
-        docs.select(
+        corpus.select(
             normalize_text(F.col("text")).alias("norm"), "doc_id", "n_chars"
         )
         .groupBy("norm")
