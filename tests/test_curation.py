@@ -208,6 +208,36 @@ def test_csv_source_roundtrip(spark, tmp_path):
     assert rows["u1"].entry_id == 1 and isinstance(rows["u1"].entry_id, int)
 
 
+def test_jsonl_source_roundtrip(spark, tmp_path):
+    """JSONL (the LLM-corpus interchange format): typed load with explicit
+    schema — malformed lines yield all-NULL rows rather than failing the
+    read (poison-pill tolerance), and a full write→read roundtrip of the
+    documents shape is lossless."""
+    from pgdedupe_spark.sources.io import read_json_source
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "source": "src0", "text": "hello world", "n_chars": 11}\n')
+        f.write('{"doc_id": 2, "source": "src1", "text": null, "n_chars": 0}\n')
+        f.write("not json at all\n")
+    schema = "doc_id long, source string, text string, n_chars long"
+    df = read_json_source(spark, p, schema)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert len(rows) == 3  # 2 good + 1 all-NULL poison line
+    assert rows[1].text == "hello world" and rows[1].n_chars == 11
+    assert rows[2].text is None
+    assert None in rows and rows[None].source is None
+
+    # write→read roundtrip of a real documents slice stays typed and equal
+    docs = spark.createDataFrame(
+        [(10, "srcA", "alpha beta", 10), (11, "srcB", "gamma", 5)], schema
+    )
+    out = str(tmp_path / "out_jsonl")
+    docs.write.mode("overwrite").json(out)
+    back = read_json_source(spark, out, schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
 def test_cosine_pairs_guard(spark):
     import pytest as _pytest
 
