@@ -52,7 +52,9 @@ HEADLINE = [
     "events_json_props",
     "events_sessionize",
     "skew_salted_agg",
+    "events_time_weighted",
     "dedup_ngram_zipf",
+    "ann_lsh_stress",
 ]
 
 

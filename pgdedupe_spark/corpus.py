@@ -64,3 +64,42 @@ def zipf_corpus(
         "doc_id",
         F.array_join(F.transform(F.sequence(F.lit(1), F.lit(doc_len)), token), " ").alias("text"),
     )
+
+
+def hash_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 50_000,
+    dim: int = 64,
+    cluster_every: int = 10,
+    jitter_pct: int = 5,
+    seed: int = 11,
+) -> DataFrame:
+    """(vec_id: long, embedding: array<float>) — deterministic pseudo-random
+    embeddings built entirely JVM-side (xxhash64 → uniform[-1,1] per
+    component, no RNG, no Python in the row path), sized for ANN stress
+    runs beyond the driver's 5k-vector table.
+
+    Every ``cluster_every``-th vector is a planted near-duplicate of its
+    predecessor with ``jitter_pct``% of components re-drawn (cosine ≈0.95
+    at 5%), so stress benchmarks have TRUE neighbors to find — on pure
+    uniform noise every "neighbor" is an artifact and recall is
+    meaningless."""
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    is_dup = (F.col("vec_id") % cluster_every == 1) & (F.col("vec_id") > 0)
+    src = F.when(is_dup, F.col("vec_id") - 1).otherwise(F.col("vec_id"))
+
+    def component(d):
+        jittered = is_dup & (
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col("vec_id"), d), F.lit(100))
+            < jitter_pct
+        )
+        h = F.when(
+            jittered, F.xxhash64(F.lit(seed + 2), F.col("vec_id"), d)
+        ).otherwise(F.xxhash64(F.lit(seed), src, d))
+        u = (F.pmod(h, F.lit(_M)) + F.lit(0.5)) / F.lit(float(_M))
+        return (u * 2.0 - 1.0).cast("float")
+
+    return base.select(
+        "vec_id",
+        F.array(*[component(F.lit(d)) for d in range(dim)]).alias("embedding"),
+    )

@@ -2425,3 +2425,24 @@ def events_funnel(spark, sf_dir):
         _events(spark, sf_dir), "user_id", "ts_us", "event_type",
         stages=["signup", "view", "purchase"],
     )
+
+
+@query("ann_lsh_stress")  # bench-only: synthetic corpus, no parquet input
+def ann_lsh_stress(spark, sf_dir):
+    """ANN stress probe: multi-table multi-probe LSH top-k over a
+    hash-synthesized corpus 4× the driver's embeddings table (20k vectors
+    at sf0.1, 64-dim, planted near-duplicates every 10th vector). At this
+    size the 8×8-plane tables are genuinely selective (candidates ≈10% of
+    corpus vs ≈100% on the 500-vector table), so the bench exercises the
+    pruning regime the 100 TB path lives in; planted-pair recall is
+    pinned in tests/test_recall.py."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import lsh_cosine_topk
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_vecs = max(2000, int(200_000 * sf))
+    emb = hash_embeddings(spark, n_vecs=n_vecs, dim=64)
+    return lsh_cosine_topk(
+        emb, "vec_id", "embedding",
+        k=5, n_planes=8, n_tables=8, n_flip_probes=4,
+    )

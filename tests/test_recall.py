@@ -61,3 +61,23 @@ def test_minhash_lsh_pair_recall(spark):
     assert exact, "exact jaccard produced no pairs — fixture drifted"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"dedup_minhash_lsh pair recall {recall:.3f} < 0.9"
+
+
+def test_lsh_stress_planted_recall(spark):
+    """On the hash-synthesized stress corpus (planted near-duplicates at
+    cosine ≈0.95), the selective 8×8-plane configuration must put the
+    planted twin at rank 1 for ≥ 0.9 of queries — high recall from a
+    candidate set that is a small corpus fraction, which is the regime
+    LSH exists for (the driver's 500-vector table can't exhibit it)."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import lsh_cosine_topk
+
+    emb = hash_embeddings(spark, n_vecs=2000, dim=64)
+    out = lsh_cosine_topk(
+        emb, "vec_id", "embedding", k=5, n_planes=8, n_tables=8, n_flip_probes=4,
+        query_filter="vec_id % 10 = 1 AND vec_id > 0 AND vec_id < 500",
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert len(top1) == 50
+    hits = sum(1 for q, n in top1.items() if n == q - 1)
+    assert hits >= 45, f"planted twin found at rank 1 for only {hits}/50 queries"
