@@ -238,6 +238,23 @@ def test_jsonl_source_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
 
 
+def test_orc_source_roundtrip(spark, tmp_path):
+    """ORC (the other columnar interchange format Spark reads natively):
+    a typed write→read roundtrip of the documents shape is lossless —
+    covers the S-family beyond parquet/csv/jsonl with zero new code
+    (spark.read.orc is the same declarative scan surface, with the same
+    pushdown/pruning behavior)."""
+    schema = "doc_id long, source string, text string, n_chars long"
+    docs = spark.createDataFrame(
+        [(10, "srcA", "alpha beta", 10), (11, "srcB", None, 0)], schema
+    )
+    out = str(tmp_path / "docs_orc")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.schema(schema).orc(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    assert back.schema.simpleString() == docs.schema.simpleString()
+
+
 def test_cosine_pairs_guard(spark):
     import pytest as _pytest
 

@@ -44,27 +44,17 @@ def test_plural_key_broadcasts(spark):
 
 
 def test_no_python_udf_in_relational_path(spark):
-    """The reference-parity relational operators must stay entirely
-    JVM-side — a Python eval node in these plans means someone snuck a
-    row-at-a-time UDF into the hot path."""
-    for name in (
-        "a1_exact_collapse",
-        "j2_smaller_coverage",
-        "j7_candidate_pairs",
-        "q1_pricing_summary",
-        "q5_regional_revenue",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "text_quality_stats",
-        "text_language_id",
-        "ann_cosine_topk",
-        "d3_uncertain_pairs",
-        "d4_pair_scores",
-        "d6_rare_token_blocks",
-    ):
+    """EVERY registered query must stay entirely JVM-side — a Python eval
+    node in any of these plans means someone snuck a row-at-a-time UDF
+    into a hot path. (Python legitimately appears only outside the
+    registry: per-component HAC, multimodal decode batches, and the
+    stateful streaming op — all applyInPandas/mapInPandas by design.)"""
+    offenders = []
+    for name in registry.QUERIES:
         r = _report(spark, name)
-        assert not r["python_udf"], f"{name} plan contains a Python UDF node"
+        if r["python_udf"]:
+            offenders.append(name)
+    assert not offenders, f"Python UDF nodes in: {offenders}"
 
 
 def test_whole_stage_codegen_present(spark):
