@@ -311,3 +311,87 @@ def test_range_join_matches_brute_force(spark, data):
         if pk == rk and rt <= t <= rt + p % 7
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: weighted mixing and time-weighted average.
+# ---------------------------------------------------------------------------
+
+mix_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from(["a", "b", "c"])),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=mix_rows_strategy, r_lo=st.sampled_from([0.1, 0.3, 0.5]))
+def test_weighted_mix_monotone_and_boundary(spark, rows, r_lo):
+    """The growth-stability contract, directly: the kept set at a LOWER
+    rate is a subset of the kept set at a higher rate (the hash threshold
+    only moves one way), rate=1.0 keeps everything, rate=0.0 keeps
+    nothing — for every group."""
+    from pgdedupe_spark.operators.curation import weighted_mix
+
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    all_groups = {"a", "b", "c"}
+
+    def kept(rate):
+        out = weighted_mix(df, "source", "doc_id", {g: rate for g in all_groups})
+        return {r.doc_id for r in out.collect()}
+
+    assert kept(1.0) == {r[0] for r in rows}
+    assert kept(0.0) == set()
+    assert kept(r_lo) <= kept(min(1.0, r_lo + 0.3))
+
+
+twa_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 10_000), st.integers(-50, 50)),
+    min_size=2,
+    max_size=60,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=twa_rows_strategy, shift=st.integers(0, 1_000_000))
+def test_time_weighted_avg_invariants(spark, rows, shift):
+    """TWA must (1) equal the constant for a constant series, (2) be
+    invariant under a uniform time shift, (3) be invariant under input
+    row order (the decimal accumulation is order-independent), and
+    (4) sit inside [min, max] of the values."""
+    from pgdedupe_spark.operators.temporal import time_weighted_avg
+
+    schema = "k long, ts long, v double"
+
+    def run(data):
+        df = spark.createDataFrame(data, schema)
+        return {
+            r.k: r.twa_value
+            for r in time_weighted_avg(df, "k", "ts", "v", tiebreak_col="ts").collect()
+        }
+
+    data = [(k, t, float(v)) for k, t, v in rows]
+    base = run(data)
+
+    # (1) constant series
+    const = run([(k, t, 7.5) for k, t, _ in rows])
+    for k, twa in const.items():
+        if twa is not None:
+            assert abs(twa - 7.5) < 1e-9, (k, twa)
+
+    # (2) uniform time shift
+    shifted = run([(k, t + shift, v) for k, t, v in data])
+    assert shifted == base
+
+    # (3) row-order invariance
+    assert run(list(reversed(data))) == base
+
+    # (4) bounded by min/max (quantization tolerance 1e-4)
+    by_key = {}
+    for k, t, v in data:
+        by_key.setdefault(k, []).append(v)
+    for k, twa in base.items():
+        if twa is not None:
+            assert min(by_key[k]) - 1e-4 <= twa <= max(by_key[k]) + 1e-4
