@@ -57,6 +57,37 @@ HEADLINE = [
     "ann_lsh_stress",
 ]
 
+# FROZEN r1 headline set (24 queries): the headline list above grows round
+# over round, so the all-query total is not comparable across artifacts.
+# ``value_legacy24`` is the subtotal over exactly this set and is the
+# number to diff round-over-round. Do not edit this list.
+LEGACY24 = [
+    "a1_exact_collapse",
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
+    "g1_connected_components",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "a8_ratio_metrics",
+    "events_hourly_rollup",
+    "events_user_seq",
+    "dedup_exact_norm",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_counts",
+    "ann_cosine_topk",
+    "multimodal_binary_stats",
+    "events_json_props",
+    "events_sessionize",
+    "skew_salted_agg",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,7 +133,9 @@ def main() -> None:
         "queries": warm,
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
-        "timing": "warm = second run (steady-state); cold = first run",
+        "value_legacy24": round(sum(warm[n] for n in LEGACY24 if n in warm), 3),
+        "value_legacy24_cold": round(sum(cold[n] for n in LEGACY24 if n in cold), 3),
+        "timing": "warm = min of runs 2-3 (steady-state); cold = first run",
         "sf": float(sf),
     }
     if errors:

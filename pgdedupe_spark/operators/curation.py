@@ -304,4 +304,8 @@ def weighted_mix(
     ).cast("bigint")
     rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
     rate = F.coalesce(rate_map[F.col(group_col)], F.lit(float(default_rate)))
-    return df.filter(bucket < (rate * F.lit(float(2**32))).cast("bigint"))
+    # explicit floor: Spark's double→bigint cast truncates but DuckDB's
+    # CAST rounds to nearest, so a fractional threshold (0.1·2³² = …729.6)
+    # would disagree by 1 on boundary hashes; floor on BOTH engines keeps
+    # the oracle contract bit-exact
+    return df.filter(bucket < F.floor(rate * F.lit(float(2**32))).cast("bigint"))

@@ -251,8 +251,9 @@ def write_lsh_index(
     path already uses). Probing then turns into *partition pruning*: a
     query set touching P (table, bucket) pairs scans P directories, not
     the corpus. A one-row ``/meta`` parquet records (n_planes, n_tables,
-    dim, seed) so readers regenerate the identical hyperplanes —
-    the index is self-describing."""
+    dim, seed) plus the writer's (id_col, vec_col), so readers regenerate
+    the identical hyperplanes AND resolve the index's own column name
+    without trusting the caller — the index is self-describing."""
     spark = embeddings.sparkSession
     table_planes = _table_planes(dim, n_planes, n_tables, seed)
     bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
@@ -262,9 +263,9 @@ def write_lsh_index(
         .mode("overwrite")
         .parquet(path + "/buckets")
     )
-    meta = [(int(n_planes), int(n_tables), int(dim), int(seed))]
+    meta = [(int(n_planes), int(n_tables), int(dim), int(seed), id_col, vec_col)]
     spark.createDataFrame(
-        meta, "n_planes int, n_tables int, dim int, seed int"
+        meta, "n_planes int, n_tables int, dim int, seed int, id_col string, vec_col string"
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
@@ -309,9 +310,13 @@ def lsh_topk_from_index(
         empty = "query_id bigint, neighbor_id bigint, sim double, rank int"
         return spark.createDataFrame([], empty)
 
+    # rename the index side by the PERSISTED id_col (m.id_col), not the
+    # caller's argument: the caller's id_col describes the query/base
+    # frame, and a reader whose naming differs from the writer's would
+    # otherwise hit an AnalysisException or a silently wrong join
     idx = spark.read.parquet(index_path + "/buckets").filter(pred)
     cand = (
-        q.join(idx.withColumnRenamed(id_col, "neighbor_id"), ["table", "bucket"])
+        q.join(idx.withColumnRenamed(str(m.id_col), "neighbor_id"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -565,7 +570,9 @@ def write_ivf_index(
     unlike LSH's L tables). ``/centroids`` stores the coarse quantizer as
     (cid, cv) rows, making the index self-describing: readers rebuild the
     probe ranking from the persisted centroids, not from re-running the
-    sampler."""
+    sampler. A one-row ``/meta`` parquet additionally records the writer's
+    (id_col, vec_col, n_centroids, seed) so readers resolve the index's
+    own id column name without trusting the caller."""
     indexed, centroids = ivf_index(
         embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
     )
@@ -581,6 +588,10 @@ def write_ivf_index(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, cv array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [(id_col, vec_col, int(n_centroids), int(seed))],
+        "id_col string, vec_col string, n_centroids int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
 def ivf_topk_from_index(
@@ -605,6 +616,7 @@ def ivf_topk_from_index(
         for r in spark.read.parquet(index_path + "/centroids").collect()
     ]
     centroids.sort(key=lambda cv: cv[0])
+    idx_id_col = str(spark.read.parquet(index_path + "/meta").collect()[0].id_col)
 
     q = embeddings.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
@@ -616,10 +628,12 @@ def ivf_topk_from_index(
         empty = "query_id bigint, neighbor_id bigint, sim double, rank int"
         return spark.createDataFrame([], empty)
 
+    # rename by the PERSISTED id column (see lsh_topk_from_index): the
+    # caller's id_col names the query/base frame, not the index's layout
     idx = (
         spark.read.parquet(index_path + "/cells")
         .filter(F.col("cell").isin(cells))
-        .withColumnRenamed(id_col, "neighbor_id")
+        .withColumnRenamed(idx_id_col, "neighbor_id")
     )
     cand = (
         probes.join(idx, "cell")

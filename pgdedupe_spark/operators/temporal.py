@@ -127,7 +127,9 @@ def time_weighted_avg(
 
     Exactness contract (the cross-engine double rule): values quantize to
     longs (floor(double(v)*scale + 0.5), the shared quantizer convention),
-    each trapezoid contributes the INTEGER (q_i + q_{i+1})·Δt, and both
+    each trapezoid contributes the INTEGER (q_i + q_{i+1})·Δt computed in
+    DECIMAL(38,0) (cast BEFORE the multiply — the per-segment product can
+    exceed int64 even when each factor fits), and both
     the area and time sums accumulate as DECIMAL(38,0) — order-independent
     across partitions, overflow-safe past int64, exact in Spark and DuckDB
     (HUGEINT there). The single final division produces the double:
@@ -146,7 +148,14 @@ def time_weighted_avg(
         .withColumn("_nq", F.lead("_q").over(w))
         .withColumn("_dt", (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long"))
     )
-    area = ((F.col("_q") + F.col("_nq")) * F.col("_dt")).cast("decimal(38,0)")
+    # cast to decimal BEFORE the multiply: (q+nq)·Δt in int64 can exceed
+    # 2^63 (|v|≈15 at scale=10000 with a year-scale µs gap already does),
+    # and Spark's non-ANSI int64 multiply wraps silently while DuckDB's
+    # BIGINT raises — the decimal-first product is exact on both engines
+    area = (
+        (F.col("_q").cast("decimal(38,0)") + F.col("_nq").cast("decimal(38,0)"))
+        * F.col("_dt").cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
     return (
         seg.groupBy(key_col)
         .agg(

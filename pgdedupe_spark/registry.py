@@ -2333,9 +2333,9 @@ def text_duplicated_spans(spark, sf_dir):
     oracle="""
     SELECT doc_id, source FROM documents
     WHERE CAST(concat('0x', substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-          < CAST((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
-                              WHEN 'src2' THEN 0.25 ELSE 0.1 END)
-                 * 4294967296.0 AS UBIGINT)
+          < CAST(floor((CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                    WHEN 'src2' THEN 0.25 ELSE 0.1 END)
+                       * 4294967296.0) AS UBIGINT)
     """,
 )
 def corpus_mix_weighted(spark, sf_dir):
@@ -2370,7 +2370,7 @@ def corpus_mix_weighted(spark, sf_dir):
     SELECT user_id,
            count(*) AS n_samples,
            CASE WHEN SUM(dt) > 0
-                THEN CAST(SUM((q + nq) * dt) AS DOUBLE)
+                THEN CAST(SUM((CAST(q AS HUGEINT) + nq) * dt) AS DOUBLE)
                      / (2.0 * 10000 * CAST(SUM(dt) AS DOUBLE))
            END AS twa_value
     FROM seg GROUP BY user_id

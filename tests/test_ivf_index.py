@@ -53,6 +53,25 @@ def test_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     )
 
 
+def test_reader_uses_persisted_id_col(spark, sf_dir, tmp_path):
+    # self-describing index: the reader renames the index side by the
+    # persisted id_col from /meta, so a caller whose base frame uses a
+    # different id name still gets the right join
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, "vec_id", "embedding", path, **PARAMS)
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_pk")
+    out = ivf_topk_from_index(
+        spark, path, renamed, "doc_pk", "embedding", k=5, n_probe=4,
+        query_filter="doc_pk < 10",
+    )
+    baseline = ivf_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_probe=4
+    )
+    assert _rows(out) == _rows(baseline)
+
+
 def test_empty_query_set(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     path = str(tmp_path / "ivf_index")

@@ -58,6 +58,25 @@ def test_index_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     )
 
 
+def test_reader_uses_persisted_id_col(spark, sf_dir, tmp_path):
+    # the index is self-describing: a reader whose base frame uses a
+    # DIFFERENT id column name than the writer's must still resolve the
+    # index side by the persisted id_col, not the caller's argument
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "lsh_index")
+    write_lsh_index(emb, "vec_id", "embedding", path, **PARAMS)
+
+    renamed = emb.withColumnRenamed("vec_id", "doc_pk")
+    out = lsh_topk_from_index(
+        spark, path, renamed, "doc_pk", "embedding", k=5,
+        n_flip_probes=4, query_filter="doc_pk < 10",
+    )
+    baseline = lsh_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_flip_probes=4
+    )
+    assert _rows(out) == _rows(baseline)
+
+
 def test_empty_query_set(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     path = str(tmp_path / "lsh_index")

@@ -395,3 +395,19 @@ def test_time_weighted_avg_invariants(spark, rows, shift):
     for k, twa in base.items():
         if twa is not None:
             assert min(by_key[k]) - 1e-4 <= twa <= max(by_key[k]) + 1e-4
+
+
+def test_time_weighted_avg_no_int64_overflow(spark):
+    """Regression (ADVICE r4): the per-trapezoid product (q+nq)·Δt must be
+    computed in decimal, not int64. |v|≈15 at scale=10000 with a year-scale
+    µs gap gives (150000+150000)·3.2e13 ≈ 9.6e18 > 2^63 — the old int64
+    multiply wrapped silently; the decimal-first product stays exact and
+    the TWA of a constant series remains the constant."""
+    from pgdedupe_spark.operators.temporal import time_weighted_avg
+
+    year_us = 32_000_000_000_000  # ~1 year in microseconds
+    rows = [(1, 0, 15.0), (1, year_us, 15.0), (1, 2 * year_us, 15.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    out = {r.k: r.twa_value for r in
+           time_weighted_avg(df, "k", "ts", "v", tiebreak_col="ts").collect()}
+    assert abs(out[1] - 15.0) < 1e-9, out
