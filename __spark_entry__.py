@@ -38,64 +38,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # signal) and stays pinned by tests/test_oracle.py locally — rotate tail
 # back in next round so no query goes >2 rounds without a driver row.
 _PRIORITY = [
-    # -- changed in r4: events ts fix, quantizer fix, de-latented rows --
+    # -- new in r5: end-to-end pipeline row, learned rules, index serving --
     "a1_exact_collapse",  # flagship (entry)
-    "dedup_exact_norm",  # r4: re-crawl union (was 0 rows at sf0.01)
-    "dedup_incremental",  # r4: threshold 0.3 (was 0 rows)
-    "dedup_embedding_cosine",  # r4: threshold 0.4 (was 0 rows)
-    "embedding_label_centroids",  # r4: cross-engine quantizer fix
-    "ann_cosine_topk",  # r4: oracle quantizer fix
-    "events_json_props",  # ↓ all 9 events queries: r4 ts-dtype fix
-    "events_sessionize",
-    "events_asof_join",
-    "events_approx_distinct",
-    "events_range_join",
-    "events_hourly_rollup",
-    "events_user_seq",
-    "events_daily_from_hourly",  # also stale since r1
-    "events_pivot",  # also stale since r1
-    # -- no driver row since r1 (the 4 registration-order overflows) --
-    "j6_update_join",
-    "text_token_counts",
-    "text_tfidf",
-    "dedup_canonical_pick",
-    # -- no driver row since r1 (the old tail) --
-    "p3_distinct",
-    "p5_empty_clone",
-    "p6_topk",
-    "a6_counts",
-    "a7_mode_plurality",
-    "a9_union_distinct",
-    "f5_concat_null",
-    "f6_cast_ratio",
-    "f9_string_funcs",
-    "f10_datetime_funcs",
-    "j8_anti_join",
-    "j9_semi_join",
-    # -- new in r4: mixing, time-weighted avg, funnel (first driver rows) --
-    "corpus_mix_weighted",
-    "events_time_weighted",
-    "events_funnel",
-    # -- r3-green fill: core operator families stay under driver watch --
-    "p2_filter_projection",
-    "j1_plural_block",
-    "j2_smaller_coverage",
-    "j7_candidate_pairs",
-    "j3_singleton_coalesce",
-    "j5_exact_edges",
-    "g1_connected_components",
-    "a8_ratio_metrics",
-    "a11_percentiles",
-    "w1_serial_ids",
-    "w2_window_suite",
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "d4_pair_scores",
-    "d3_uncertain_pairs",
-    "d6_rare_token_blocks",
-]
-_TAIL = [
-    # green in r3 — rotate back into the window in r5
+    "pipeline_entity_map",  # collapse→block→pairs→score→CC composed
+    "d5_learned_rules",  # D5 greedy set-cover, pinned-literal oracle
+    "ann_lsh_serve",  # persisted-index serving (rows-only; pytest parity)
+    "ann_ivf_serve",  # persisted-index serving (rows-only; pytest parity)
+    # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
+    "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
+    "corpus_mix_weighted",  # explicit floor on both engines
+    # -- r3-green tail rotated back in (no driver row for 2 rounds) --
     "a10_rollup",
     "a12_setops",
     "f_array_ops",
@@ -113,12 +65,63 @@ _TAIL = [
     "text_language_id",
     "text_fingerprint",
     "multimodal_binary_stats",
-    # rows-only no_oracle checks (weakest driver signal; pinned by pytest
-    # recall/determinism contracts instead)
+    # -- rows-only approximate queries, rotated in per VERDICT r4 #1 --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    # -- r4-green fill: core pipeline + dedup/ANN families stay watched --
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
+    "j3_singleton_coalesce",
+    "j5_exact_edges",
+    "j6_update_join",
+    "g1_connected_components",
+    "w1_serial_ids",
+    "w2_window_suite",
+    "d3_uncertain_pairs",
+    "d4_pair_scores",
+    "d6_rare_token_blocks",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "dedup_exact_norm",
+    "dedup_canonical_pick",
+    "dedup_incremental",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "ann_cosine_topk",
+    "events_sessionize",
+    "events_funnel",
+]
+_TAIL = [
+    # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
+    # no query goes >2 rounds without a driver row
+    "events_json_props",
+    "events_asof_join",
+    "events_approx_distinct",
+    "events_range_join",
+    "events_hourly_rollup",
+    "events_user_seq",
+    "events_daily_from_hourly",
+    "events_pivot",
+    "p2_filter_projection",
+    "p3_distinct",
+    "p5_empty_clone",
+    "p6_topk",
+    "a6_counts",
+    "a7_mode_plurality",
+    "a8_ratio_metrics",
+    "a9_union_distinct",
+    "a11_percentiles",
+    "f5_concat_null",
+    "f6_cast_ratio",
+    "f9_string_funcs",
+    "f10_datetime_funcs",
+    "j8_anti_join",
+    "j9_semi_join",
+    "text_token_counts",
+    "text_tfidf",
 ]
 
 

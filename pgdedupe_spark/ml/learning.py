@@ -143,6 +143,80 @@ def learn_blocking_rules(
     return [rules[i] for i in chosen]
 
 
+def reference_training_fixture() -> dict[str, list[tuple[dict, dict]]]:
+    """A small hand-authored labeled-pair set in the reference's
+    training-JSON shape (``tests/dedup_postgres_training.json``:
+    {"distinct": [...], "match": [...]}), used by the driver-visible
+    ``d5_learned_rules`` query so the learned rule list is a pure function
+    of code + this literal (no RNG, no parquet dependence).
+
+    The structure forces a two-rule cover: most matches agree on ssn
+    (whole-field ssn covers them at zero distinct cost), but the
+    missing-ssn married/nickname matches need a second predicate, while
+    twin negatives (same last_name+dob, off-by-one ssn) penalize the
+    lazy last_name/dob rules — the same trade-off dedupe's learner faces
+    on the reference's person population."""
+    m = [
+        # ssn agrees: typo'd / nicknamed first names, stable last name
+        ({"first_name": "james", "last_name": "smith", "ssn": "123-45-6789", "dob": "1970-01-02"},
+         {"first_name": "jim", "last_name": "smith", "ssn": "123-45-6789", "dob": "1970-01-02"}),
+        ({"first_name": "robert", "last_name": "jones", "ssn": "234-56-7890", "dob": "1980-03-04"},
+         {"first_name": "bob", "last_name": "jones", "ssn": "234-56-7890", "dob": "1980-03-04"}),
+        ({"first_name": "william", "last_name": "brown", "ssn": "345-67-8901", "dob": "1965-05-06"},
+         {"first_name": "bill", "last_name": "brown", "ssn": "345-67-8901", "dob": "1965-05-06"}),
+        ({"first_name": "elizabeth", "last_name": "davis", "ssn": "456-78-9012", "dob": "1990-07-08"},
+         {"first_name": "liz", "last_name": "davis", "ssn": "456-78-9012", "dob": "1990-07-08"}),
+        ({"first_name": "margaret", "last_name": "miller", "ssn": "567-89-0123", "dob": "1985-09-10"},
+         {"first_name": "peggy", "last_name": "miler", "ssn": "567-89-0123", "dob": "1985-09-10"}),
+        ({"first_name": "thomas", "last_name": "wilson", "ssn": "678-90-1234", "dob": "1975-11-12"},
+         {"first_name": "tom", "last_name": "wilson", "ssn": "678-90-1234", "dob": "1975-11-12"}),
+        ({"first_name": "charles", "last_name": "moore", "ssn": "789-01-2345", "dob": "1960-02-14"},
+         {"first_name": "chuck", "last_name": "moore", "ssn": "789-01-2345", "dob": "1960-02-14"}),
+        ({"first_name": "daniel", "last_name": "taylor", "ssn": "890-12-3456", "dob": "1995-04-16"},
+         {"first_name": "dan", "last_name": "taylor", "ssn": "890-12-3456", "dob": "1995-04-16"}),
+        # ssn missing on one side: married-name / same-person re-entry —
+        # these need a NON-ssn rule (first_name agreement) to be covered
+        ({"first_name": "jennifer", "last_name": "garcia", "ssn": "901-23-4567", "dob": "1988-06-18"},
+         {"first_name": "jennifer", "last_name": "martinez", "ssn": None, "dob": "1988-06-18"}),
+        ({"first_name": "patricia", "last_name": "lopez", "ssn": "012-34-5678", "dob": "1972-08-20"},
+         {"first_name": "patricia", "last_name": "gonzalez", "ssn": None, "dob": "1972-08-20"}),
+        ({"first_name": "barbara", "last_name": "anderson", "ssn": "135-79-2468", "dob": "1983-10-22"},
+         {"first_name": "barbara", "last_name": "jackson", "ssn": None, "dob": "1983-10-22"}),
+        ({"first_name": "susan", "last_name": "martin", "ssn": "246-80-1357", "dob": "1978-12-24"},
+         {"first_name": "susan", "last_name": "white", "ssn": None, "dob": "1978-12-24"}),
+    ]
+    d = [
+        # strangers: nothing agrees
+        ({"first_name": "john", "last_name": "smith", "ssn": "111-22-3333", "dob": "1970-01-02"},
+         {"first_name": "mary", "last_name": "jones", "ssn": "444-55-6666", "dob": "1981-02-03"}),
+        ({"first_name": "david", "last_name": "brown", "ssn": "222-33-4444", "dob": "1966-03-04"},
+         {"first_name": "linda", "last_name": "davis", "ssn": "555-66-7777", "dob": "1992-04-05"}),
+        ({"first_name": "richard", "last_name": "miller", "ssn": "333-44-5555", "dob": "1971-05-06"},
+         {"first_name": "karen", "last_name": "wilson", "ssn": "666-77-8888", "dob": "1987-06-07"}),
+        ({"first_name": "joseph", "last_name": "moore", "ssn": "777-88-9999", "dob": "1963-07-08"},
+         {"first_name": "nancy", "last_name": "taylor", "ssn": "888-99-0000", "dob": "1994-08-09"}),
+        # twins: same last_name + dob, ssn off by one — punish last_name/dob rules
+        ({"first_name": "michael", "last_name": "hernandez", "ssn": "123-45-6788", "dob": "1970-09-10"},
+         {"first_name": "sarah", "last_name": "hernandez", "ssn": "123-45-6789", "dob": "1970-09-10"}),
+        ({"first_name": "matthew", "last_name": "rodriguez", "ssn": "234-56-7891", "dob": "1982-10-11"},
+         {"first_name": "jessica", "last_name": "rodriguez", "ssn": "234-56-7892", "dob": "1982-10-11"}),
+        ({"first_name": "anthony", "last_name": "williams", "ssn": "345-67-8902", "dob": "1969-11-12"},
+         {"first_name": "betty", "last_name": "williams", "ssn": "345-67-8903", "dob": "1969-11-12"}),
+        ({"first_name": "chris", "last_name": "johnson", "ssn": "456-78-9013", "dob": "1991-12-13"},
+         {"first_name": "lisa", "last_name": "johnson", "ssn": "456-78-9014", "dob": "1991-12-13"}),
+        # namesakes: same first name, all else differs — punish first_name rules
+        ({"first_name": "james", "last_name": "garcia", "ssn": "567-89-0124", "dob": "1974-01-14"},
+         {"first_name": "james", "last_name": "martinez", "ssn": "678-90-1235", "dob": "1986-02-15"}),
+        ({"first_name": "mary", "last_name": "lopez", "ssn": "789-01-2346", "dob": "1977-03-16"},
+         {"first_name": "mary", "last_name": "anderson", "ssn": "890-12-3457", "dob": "1968-04-17"}),
+        ({"first_name": "robert", "last_name": "jackson", "ssn": "901-23-4568", "dob": "1984-05-18"},
+         {"first_name": "robert", "last_name": "martin", "ssn": "012-34-5679", "dob": "1979-06-19"}),
+        ({"first_name": "susan", "last_name": "thomas", "ssn": "135-79-2469", "dob": "1989-07-20"},
+         {"first_name": "susan", "last_name": "garcia", "ssn": "246-80-1358", "dob": "1962-08-21"}),
+    ]
+    return {"match": m, "distinct": d}
+
+
 def sample_record_pairs(
     entries: DataFrame, id_col: str, n: int, seed: int = 0
 ) -> DataFrame:

@@ -2427,6 +2427,266 @@ def events_funnel(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# END-TO-END pipeline driver row (reference tests/test_integration.py:29-30
+# analog): the full relational spine of the 7-stage pipeline COMPOSED in one
+# query — collapse (A1+P2+W1) → two-family blocking chain (D6, J1, A2, A3,
+# F2) → redundant-free candidate pairs (J7) → comparator features + fixed-
+# weight sigmoid scoring (D1/D4/D8) → connected components (G1) → singleton-
+# coalesced entity mapping (J3). Every stage re-uses the operator the
+# individual driver rows pin; the oracle is the same chain as one DuckDB
+# CTE pipeline (recursive CTE for the CC stage). Fixed classifier weights
+# (the d4 convention) keep the arithmetic engine-reproducible; the FITTED
+# path plus per-component HAC (D9, not SQL-expressible) is pinned by
+# tests/test_pipeline.py. The 'ns:' nation×segment blocks are strict
+# subsets of the 'n:' nation blocks, so the Kolb smaller_ids filter
+# genuinely suppresses their pairs (every ns-pair co-occurs in a
+# smaller-id n-block) — the redundant-free device is load-bearing here.
+# ===========================================================================
+
+
+@query(
+    "pipeline_entity_map",
+    oracle="""
+    WITH RECURSIVE eu AS (
+      SELECT c_name, c_mktsegment, c_nationkey,
+             row_number() OVER (
+               ORDER BY c_name NULLS FIRST, c_mktsegment NULLS FIRST,
+                        c_nationkey NULLS FIRST
+             ) AS _unique_id
+      FROM (SELECT c_name, c_mktsegment, c_nationkey
+            FROM customer WHERE c_acctbal > 0
+            GROUP BY c_name, c_mktsegment, c_nationkey)
+    ), bmap AS (
+      SELECT 'n:' || c_nationkey AS block_key, _unique_id FROM eu
+      UNION ALL
+      SELECT 'ns:' || c_nationkey || ':' || c_mktsegment, _unique_id FROM eu
+    ), pk AS (
+      SELECT block_key,
+             row_number() OVER (ORDER BY block_key NULLS FIRST) AS block_id
+      FROM (SELECT block_key FROM bmap GROUP BY block_key HAVING count(*) > 1)
+    ), pb AS (
+      SELECT pk.block_id, bmap._unique_id FROM bmap JOIN pk USING (block_key)
+    ), cov AS (
+      SELECT _unique_id, array_agg(block_id ORDER BY block_id) AS sorted_ids
+      FROM pb GROUP BY _unique_id
+    ), scov AS (
+      SELECT pb._unique_id, pb.block_id,
+             list_filter(cov.sorted_ids, x -> x < pb.block_id) AS smaller_ids
+      FROM pb JOIN cov USING (_unique_id)
+    ), cp AS (
+      SELECT a._unique_id AS id1, b._unique_id AS id2
+      FROM scov a JOIN scov b
+        ON a.block_id = b.block_id AND a._unique_id < b._unique_id
+      WHERE len(list_intersect(a.smaller_ids, b.smaller_ids)) = 0
+    ), feat AS (
+      SELECT cp.id1, cp.id2,
+             1.0 - levenshtein(e1.c_name, e2.c_name)::DOUBLE
+                   / greatest(length(e1.c_name), length(e2.c_name)) AS name_sim,
+             CASE WHEN e1.c_mktsegment = e2.c_mktsegment THEN 1.0 ELSE 0.0 END AS seg_same,
+             CASE WHEN e1.c_mktsegment = 'BUILDING' AND e2.c_mktsegment = 'BUILDING'
+                  THEN 1.0 ELSE 0.0 END AS is_b,
+             CASE WHEN e1.c_mktsegment = 'AUTOMOBILE' AND e2.c_mktsegment = 'AUTOMOBILE'
+                  THEN 1.0 ELSE 0.0 END AS is_a
+      FROM cp JOIN eu e1 ON cp.id1 = e1._unique_id
+              JOIN eu e2 ON cp.id2 = e2._unique_id
+    ), s AS (
+      SELECT id1, id2,
+             1.0 / (1.0 + exp(-((0.0 + 4.0*name_sim + 1.5*seg_same + 0.5*is_b
+                                 + 0.25*is_a + 1.0*(seg_same*name_sim)) + -3.0))) AS score
+      FROM feat
+    ), edges AS (
+      SELECT id1, id2, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM s WHERE score >= 0.92
+    ), sym AS (
+      SELECT id1 AS s, id2 AS d FROM edges UNION SELECT id2, id1 FROM edges
+    ), reach AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s
+    ), comp AS (
+      SELECT s AS id, least(s, min(d)) AS component FROM reach GROUP BY s
+    ), ms AS (
+      SELECT id, max(score) AS mscore FROM (
+        SELECT id1 AS id, score FROM edges
+        UNION ALL
+        SELECT id2 AS id, score FROM edges
+      ) GROUP BY id
+    )
+    SELECT eu._unique_id,
+           coalesce(comp.component, eu._unique_id) AS canon_id,
+           coalesce(ms.mscore, 1.0) AS cluster_score
+    FROM eu
+    LEFT JOIN comp ON eu._unique_id = comp.id
+    LEFT JOIN ms ON eu._unique_id = ms.id
+    """,
+)
+def pipeline_entity_map(spark, sf_dir):
+    """collapse → blocking → pairs → scoring → CC → entity mapping,
+    composed end-to-end from the pipeline's own operators (the driver-row
+    twin of run_pipeline / reference cli.main). Output = the reference's
+    `map` table shape (run.py:441-446): every collapsed record with its
+    canonical cluster id (itself when unclustered, J3 coalesce) and a
+    cluster confidence (max incident accepted-edge score; 1.0 singleton)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.clustering import connected_components
+    from pgdedupe_spark.operators.collapse import collapse_exact_duplicates
+    from pgdedupe_spark.operators.blocking import blocking_chain
+    from pgdedupe_spark.operators.features import FieldDef, assemble_features
+    from pgdedupe_spark.operators.pairs import candidate_pairs
+    from pgdedupe_spark.operators.scoring import score_pairs
+
+    cust = _t(spark, sf_dir, "customer")
+    fields = ["c_name", "c_mktsegment", "c_nationkey"]
+    entries = collapse_exact_duplicates(cust, fields, "c_custkey", "c_acctbal > 0")
+
+    keys = F.array(
+        F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
+        F.concat(
+            F.lit("ns:"), F.col("c_nationkey").cast("string"),
+            F.lit(":"), F.col("c_mktsegment"),
+        ),
+    )
+    _, _, _, _, smaller = blocking_chain(entries, keys)
+
+    pairs = candidate_pairs(smaller, entries, ["c_name", "c_mktsegment"])
+    feats, _names = assemble_features(
+        pairs,
+        [
+            FieldDef("c_name"),
+            FieldDef("c_mktsegment", type="Categorical",
+                     categories=["BUILDING", "AUTOMOBILE"]),
+        ],
+        interactions=[("c_mktsegment", "c_name")],
+    )
+
+    class _Fixed:  # pinned classifier weights (the d4_pair_scores convention)
+        weights = np.array([4.0, 1.5, 0.5, 0.25, 1.0])
+        bias = -3.0
+
+    edges = score_pairs(feats, _Fixed(), threshold=0.92).withColumn(
+        "score", F.col("score").cast("decimal(18,6)").cast("double")
+    )
+    edges = edges.persist()
+    comp = connected_components(edges.select("id1", "id2"))
+    mscore = (
+        edges.select(F.col("id1").alias("id"), "score")
+        .unionByName(edges.select(F.col("id2").alias("id"), "score"))
+        .groupBy("id")
+        .agg(F.max("score").alias("mscore"))
+    )
+    return (
+        entries.select("_unique_id")
+        .join(comp.withColumnRenamed("id", "_unique_id"), "_unique_id", "left")
+        .join(mscore.withColumnRenamed("id", "_unique_id"), "_unique_id", "left")
+        .select(
+            "_unique_id",
+            F.coalesce("component", "_unique_id").alias("canon_id"),
+            F.coalesce("mscore", F.lit(1.0)).alias("cluster_score"),
+        )
+    )
+
+
+# ===========================================================================
+# D5 — blocking-rule learning (reference run.py:175-178: dedupe's greedy
+# predicate set-cover over labeled matches, recall knob run.py:31). The
+# learned rule list is a pure function of code + the literal labeled-pair
+# fixture (ml/learning.py reference_training_fixture — no RNG, no parquet
+# dependence), so the oracle is the pinned literal output of the greedy
+# cover: whole_field(ssn) covers the 8 ssn-agreeing matches at zero
+# distinct cost, then suffixes(first_name,5) covers the 4 missing-ssn
+# married matches (it outscores whole_field(first_name) because the
+# 4-char "mary" namesake negative emits no length-5 suffix key).
+# ===========================================================================
+
+
+@query(
+    "d5_learned_rules",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'whole_field', 'ssn', ''),
+      (2, 'suffixes', 'first_name', '5')
+    ) AS t(rule_no, predicate, field, args)
+    """,
+)
+def d5_learned_rules(spark, sf_dir):
+    """Greedy set-cover blocking-rule learning on the reference-shaped
+    labeled fixture; emits the chosen (predicate, field, args) list in
+    selection order. Coverage evaluation is one JVM-side Spark pass
+    (96 candidate rules × 24 labeled pairs as boolean columns); the
+    greedy loop is driver-side over that human-scale matrix, exactly
+    like the reference's dedupe.train."""
+    from pgdedupe_spark.ml.learning import learn_blocking_rules, reference_training_fixture
+
+    rules = learn_blocking_rules(
+        spark,
+        reference_training_fixture(),
+        fields=["first_name", "last_name", "ssn", "dob"],
+        recall=0.9,
+    )
+    rows = [
+        (i + 1, pred, field, ",".join(str(a) for a in args))
+        for i, (pred, field, args) in enumerate(rules)
+    ]
+    return spark.createDataFrame(rows, "rule_no int, predicate string, field string, args string")
+
+
+# ===========================================================================
+# Round 5: persisted-index SERVING queries — the write-once/query-many path
+# (the 100 TB story: probing = static partition pruning on the index layout)
+# made driver-visible. Rows-only by design (approximate top-k has no SQL
+# oracle); exact parity with the in-memory path is pinned in
+# tests/test_lsh_index.py / tests/test_ivf_index.py, and serve==memory
+# equality for THESE registry entries is pinned in tests/test_serve.py.
+# ===========================================================================
+
+
+def _serve_index_path(sf_dir: str, kind: str) -> str:
+    """Deterministic per-sf scratch location for the serving index (the
+    write side of write-once/query-many; mode('overwrite') keeps re-runs
+    idempotent). Lives under the system temp dir, never the repo."""
+    import tempfile
+
+    sf_tag = sf_dir.rstrip("/").replace("/", "_").lstrip("_")
+    return os.path.join(tempfile.gettempdir(), "pgdedupe_spark_serve", f"{kind}_{sf_tag}")
+
+
+@query("ann_lsh_serve")  # approximate serving path — rows-only
+def ann_lsh_serve(spark, sf_dir):
+    """Persisted-LSH serving: write the table=/bucket= id-only index once
+    (operators/similarity.py write_lsh_index), then answer top-k through
+    lsh_topk_from_index — probe (table, bucket) pairs become STATIC
+    PartitionFilters on the index scan, so serving work is O(probed
+    buckets), not O(corpus). Same planes/probes as ann_lsh_topk, so the
+    result equals the in-memory path (pinned in tests/test_serve.py)."""
+    from pgdedupe_spark.operators.similarity import lsh_topk_from_index, write_lsh_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _serve_index_path(sf_dir, "lsh")
+    write_lsh_index(emb, "vec_id", "embedding", path, n_planes=4, n_tables=8, dim=64)
+    return lsh_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_flip_probes=4
+    )
+
+
+@query("ann_ivf_serve")  # approximate serving path — rows-only
+def ann_ivf_serve(spark, sf_dir):
+    """Persisted-IVF serving: write the cell= id-only index + centroid
+    sidecar once (operators/similarity.py write_ivf_index), then answer
+    top-k through ivf_topk_from_index — probed cell ids become static
+    partition filters, so only probed cell= directories are opened. Same
+    quantizer/probes as ann_ivf_topk ⇒ identical result (pinned)."""
+    from pgdedupe_spark.operators.similarity import ivf_topk_from_index, write_ivf_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _serve_index_path(sf_dir, "ivf")
+    write_ivf_index(emb, "vec_id", "embedding", path, n_centroids=16)
+    return ivf_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_probe=12
+    )
+
+
 @query("ann_lsh_stress")  # bench-only: synthetic corpus, no parquet input
 def ann_lsh_stress(spark, sf_dir):
     """ANN stress probe: multi-table multi-probe LSH top-k over a
