@@ -75,6 +75,114 @@ def test_decode_mode_validated():
         resolve_decode_mode("yolo")
 
 
+def _bmp_bytes(arr):
+    """Serialize an H×W×3 uint8 RGB (top-down) array as a 24-bit BI_RGB
+    BMP with a 40-byte BITMAPINFOHEADER, bottom-up rows, 4-byte stride."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = arr[::-1, :, ::-1]  # bottom-up, BGR
+    raster = b"".join(
+        rows[i].tobytes() + b"\x00" * (stride - w * 3) for i in range(h)
+    )
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    assert len(header) == 54
+    return header + raster
+
+
+def test_native_decode_ppm_pgm_bmp_exact():
+    """The dependency-free REAL decode tier (VERDICT r4 item 4): pure-numpy
+    PPM/PGM/BMP decoding with exactly pinned pixels — no PIL anywhere."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    # P6 PPM, 4×2 RGB, raster bytes 0..23
+    ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+    arr, w, h = native_image_decode(ppm)
+    assert (w, h, arr.shape) == (4, 2, (2, 4, 3))
+    assert arr.flatten().tolist() == list(range(24))
+
+    # P5 PGM with a header comment
+    pgm = b"P5\n# fixture comment\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    arr, w, h = native_image_decode(pgm)
+    assert (w, h, arr.shape) == (3, 2, (2, 3, 1))
+    assert arr.flatten().tolist() == [10, 20, 30, 40, 50, 60]
+
+    # BMP round-trip: odd width exercises the 4-byte row padding; the
+    # decoder must undo bottom-up + BGR and return the original RGB array
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    arr, w, h = native_image_decode(_bmp_bytes(rgb))
+    assert (w, h) == (3, 2)
+    assert np.array_equal(arr, rgb)
+
+    # same pixels as PPM and BMP decode identically (BGR/bottom-up undone)
+    ppm2 = b"P6\n3 2\n255\n" + rgb.tobytes()
+    arr2, _, _ = native_image_decode(ppm2)
+    assert np.array_equal(arr2, arr)
+
+    with pytest.raises(ValueError, match="unsupported image container"):
+        native_image_decode(b"GIF89a....")
+
+
+def test_native_decode_features_through_spark(spark):
+    """mode='native' runs the real decoder inside mapInPandas with exactly
+    pinned feature vectors: [w, h, n_channels, per-channel means, 0-pad]."""
+    ppm = b"P6\n4 2\n255\n" + bytes(range(24))
+    pgm = b"P5\n3 2\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm)), (2, "image", bytearray(pgm))],
+        "media_id long, modality string, payload binary",
+    )
+    got = {r.media_id: r.features for r in decode_features(media, mode="native").collect()}
+    # PPM channel means: R over [0,3,..,21]=10.5, G=11.5, B=12.5
+    assert got[1] == [4.0, 2.0, 3.0, 10.5, 11.5, 12.5, 0.0, 0.0]
+    # PGM single-channel mean = 35
+    assert got[2] == [3.0, 2.0, 1.0, 35.0, 0.0, 0.0, 0.0, 0.0]
+
+
+def test_native_resize_nearest_neighbor(spark):
+    """mode='native' resize decodes for real and emits raw RGB bytes of the
+    nearest-neighbor downsample."""
+    import numpy as np
+
+    rgb = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    ppm = b"P6\n4 4\n255\n" + rgb.tobytes()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(ppm))], "media_id long, modality string, payload binary"
+    )
+    out = resize_media(media, 2, 2, mode="native").collect()[0]
+    # nearest-neighbor with floor grid: rows/cols 0 and 2
+    want = rgb[[0, 2]][:, [0, 2]].tobytes()
+    assert bytes(out.payload) == want
+    assert (out.width, out.height) == (2, 2)
+
+
+def test_native_mode_plan_time_gate(spark, media):
+    """'native' exists only for modalities with a dependency-free decoder:
+    image resolves, video/audio fail at plan time (driver-side)."""
+    assert resolve_decode_mode("native", "image") == "native"
+    with pytest.raises(DecodeCapabilityError, match="native"):
+        resolve_decode_mode("native", "video")
+    with pytest.raises(DecodeCapabilityError):
+        sample_frames(media, mode="native")  # video-modality op, no .collect()
+
+
 def test_resize_exact_output_size(spark, media):
     out = {r.media_id: r for r in resize_media(media, 4, 3).collect()}
     assert all(len(r.payload) == 12 for r in out.values())
