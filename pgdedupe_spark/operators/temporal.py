@@ -120,6 +120,7 @@ def time_weighted_avg(
     value_col: str,
     tiebreak_col: str,
     scale: int = 10000,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Per-key time-weighted average via trapezoidal integration — the
     hypertable-style `time_weight('Linear')` aggregate: irregular samples
@@ -140,30 +141,34 @@ def time_weighted_avg(
     One shuffle (hash by key) + in-partition sort for the lead window; the
     aggregation reuses the window's partitioning (no second exchange).
     ``tiebreak_col`` makes equal-timestamp ordering deterministic; dt=0
-    segments contribute zero area either way."""
+    segments contribute zero area either way.
+
+    ``bucket_width`` (opt-in) is the HOT-KEY scale path (SCALE.md): a
+    pathologically hot key otherwise sorts its entire history in one
+    partition (inherent to per-key ordered integration). With a bucket
+    width, samples integrate within (key, floor(ts/width)) buckets first —
+    parallel across buckets — and only the per-bucket summaries (one row
+    per non-empty bucket: partial sums + boundary samples) flow through
+    the per-key window that stitches the bucket-boundary trapezoids. The
+    per-key state drops from O(samples) to O(buckets). Time buckets
+    partition the axis monotonically, so global per-key sample order is
+    exactly bucket-order-then-intra-bucket-order and the decimal sums are
+    IDENTICAL to the single-pass path (pinned by property test); cost is
+    one extra shuffle (by (key, bucket), then by key)."""
     q = F.floor(F.col(value_col).cast("double") * scale + F.lit(0.5)).cast("long")
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
-    seg = (
-        df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_q"))
-        .withColumn("_nq", F.lead("_q").over(w))
-        .withColumn("_dt", (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long"))
-    )
+
     # cast to decimal BEFORE the multiply: (q+nq)·Δt in int64 can exceed
     # 2^63 (|v|≈15 at scale=10000 with a year-scale µs gap already does),
     # and Spark's non-ANSI int64 multiply wraps silently while DuckDB's
     # BIGINT raises — the decimal-first product is exact on both engines
-    area = (
-        (F.col("_q").cast("decimal(38,0)") + F.col("_nq").cast("decimal(38,0)"))
-        * F.col("_dt").cast("decimal(38,0)")
-    ).cast("decimal(38,0)")
-    return (
-        seg.groupBy(key_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_samples"),
-            F.sum(area).alias("_area2"),
-            F.sum(F.col("_dt").cast("decimal(38,0)")).alias("_span"),
-        )
-        .select(
+    def _area2(qc: str, nqc, dtc) -> F.Column:
+        return (
+            (F.col(qc).cast("decimal(38,0)") + nqc.cast("decimal(38,0)"))
+            * dtc.cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
+
+    def _finish(agg: DataFrame) -> DataFrame:
+        return agg.select(
             key_col,
             "n_samples",
             F.when(
@@ -171,6 +176,64 @@ def time_weighted_avg(
                 F.col("_area2").cast("double")
                 / (F.lit(2.0) * scale * F.col("_span").cast("double")),
             ).alias("twa_value"),
+        )
+
+    if bucket_width is None:
+        w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+        seg = (
+            df.select(F.col(key_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_q"))
+            .withColumn("_nq", F.lead("_q").over(w))
+            .withColumn("_dt", (F.lead(ts_col).over(w) - F.col(ts_col)).cast("long"))
+        )
+        return _finish(
+            seg.groupBy(key_col).agg(
+                F.count(F.lit(1)).alias("n_samples"),
+                F.sum(_area2("_q", F.col("_nq"), F.col("_dt"))).alias("_area2"),
+                F.sum(F.col("_dt").cast("decimal(38,0)")).alias("_span"),
+            )
+        )
+
+    # hot-key path: intra-bucket integration (parallel), then stitch
+    # bucket boundaries over the small per-bucket frame
+    b = df.select(
+        F.col(key_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_q")
+    ).withColumn("_bkt", F.floor(F.col(ts_col) / F.lit(int(bucket_width))))
+    w_in = Window.partitionBy(key_col, "_bkt").orderBy(ts_col, tiebreak_col)
+    seg = b.withColumn("_nq", F.lead("_q").over(w_in)).withColumn(
+        "_dt", (F.lead(ts_col).over(w_in) - F.col(ts_col)).cast("long")
+    )
+    per_bkt = seg.groupBy(key_col, "_bkt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_area2("_q", F.col("_nq"), F.col("_dt"))).alias("_a"),
+        F.sum(F.col("_dt").cast("decimal(38,0)")).alias("_s"),
+        # boundary samples: (ts, tiebreak) is the within-bucket total order,
+        # so struct min/max pick the bucket's first/last sample exactly
+        F.min(F.struct(F.col(ts_col).alias("_t"), F.col(tiebreak_col).alias("_tb"),
+                       F.col("_q").alias("_q"))).alias("_first"),
+        F.max(F.struct(F.col(ts_col).alias("_t"), F.col(tiebreak_col).alias("_tb"),
+                       F.col("_q").alias("_q"))).alias("_last"),
+    )
+    w_b = Window.partitionBy(key_col).orderBy("_bkt")
+    stitched = per_bkt.withColumn("_nfirst", F.lead("_first").over(w_b)).withColumn(
+        "_bdt", (F.col("_nfirst._t") - F.col("_last._t")).cast("long")
+    )
+    return _finish(
+        stitched.groupBy(key_col).agg(
+            F.sum("_n").alias("n_samples"),
+            (
+                F.coalesce(F.sum("_a"), F.lit(0).cast("decimal(38,0)"))
+                + F.coalesce(
+                    F.sum(_area2("_last._q", F.col("_nfirst._q"), F.col("_bdt"))),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+            ).alias("_area2"),
+            (
+                F.coalesce(F.sum(F.col("_s")), F.lit(0).cast("decimal(38,0)"))
+                + F.coalesce(
+                    F.sum(F.col("_bdt").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+            ).alias("_span"),
         )
     )
 

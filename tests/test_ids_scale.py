@@ -1,0 +1,55 @@
+"""The W1 id-assignment size switch (VERDICT r4 item 6b): ``plural_key``
+must route dim-sized frames through the single-partition ``row_number``
+window and big frames through the range-partitioned scale path — with
+IDENTICAL ids either way (rank by block_key). The threshold is exercised
+by overriding it downward instead of synthesizing >5M rows; what matters
+is that the switch actually changes the physical plan and not the answer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.operators.blocking import plural_key
+
+
+def _bmap(spark, n_keys=40, rows_per_key=3):
+    rows = [(f"k{i:04d}", i * rows_per_key + j) for i in range(n_keys)
+            for j in range(rows_per_key)]
+    return spark.createDataFrame(rows, "block_key string, _unique_id long")
+
+
+def _ids(df):
+    return sorted((r.block_key, r.block_id) for r in df.collect())
+
+
+def test_switch_changes_plan_not_answer(spark):
+    bmap = _bmap(spark)
+    small = plural_key(bmap)  # default threshold: row_number path
+    big = plural_key(bmap, small_threshold=3)  # force the scale path
+
+    assert _ids(small) == _ids(big)
+
+    # small path: a global (no-partition-spec) window is acceptable at dim
+    # size; scale path: NO global window anywhere — ordering runs inside
+    # range partitions (rangepartitioning exchange) with a partitioned
+    # window, so no single task sorts the whole frame
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+
+    assert "rangepartitioning" in plan_big.lower(), plan_big
+    for ln in plan_big.splitlines():
+        if "Window" in ln and "row_number" in ln:
+            # partitioned window: the spec carries a partition expression
+            # (spark renders global windows with an empty partition list)
+            assert "_pid" in ln, f"global window in scale path:\n{ln}"
+    assert "rangepartitioning" not in plan_small.lower()
+
+
+def test_scale_path_ids_are_global_rank(spark):
+    # ids must equal the global rank by block_key regardless of which
+    # physical partition a key landed in
+    bmap = _bmap(spark, n_keys=97, rows_per_key=2)
+    out = plural_key(bmap, small_threshold=3)
+    got = {r.block_key: r.block_id for r in out.collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(got))}
+    assert got == want

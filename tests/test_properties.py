@@ -397,6 +397,31 @@ def test_time_weighted_avg_invariants(spark, rows, shift):
             assert min(by_key[k]) - 1e-4 <= twa <= max(by_key[k]) + 1e-4
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=twa_rows_strategy, width=st.sampled_from([1, 7, 100, 5000]))
+def test_time_weighted_avg_bucketed_path_identical(spark, rows, width):
+    """The hot-key scale path (bucket_width pre-aggregation) must produce
+    EXACTLY the single-pass result — same decimal sums, same one division,
+    bit-identical doubles — for every bucket width, including widths that
+    put every sample in its own bucket (1) and all in one bucket (5000+)."""
+    from pgdedupe_spark.operators.temporal import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(k, t, float(v)) for k, t, v in rows], "k long, ts long, v double"
+    )
+    base = {
+        (r.k, r.n_samples): r.twa_value
+        for r in time_weighted_avg(df, "k", "ts", "v", tiebreak_col="ts").collect()
+    }
+    bucketed = {
+        (r.k, r.n_samples): r.twa_value
+        for r in time_weighted_avg(
+            df, "k", "ts", "v", tiebreak_col="ts", bucket_width=width
+        ).collect()
+    }
+    assert bucketed == base
+
+
 def test_time_weighted_avg_no_int64_overflow(spark):
     """Regression (ADVICE r4): the per-trapezoid product (q+nq)·Δt must be
     computed in decimal, not int64. |v|≈15 at scale=10000 with a year-scale
