@@ -44,6 +44,12 @@ _PRIORITY = [
     "d5_learned_rules",  # D5 greedy set-cover, pinned-literal oracle
     "ann_lsh_serve",  # persisted-index serving (rows-only; pytest parity)
     "ann_ivf_serve",  # persisted-index serving (rows-only; pytest parity)
+    # -- new in r5 (second batch): streaming-state twin, OLAP breadth, PQ --
+    "events_user_state",  # batch twin of applyInPandasWithState final state
+    "q3_shipping_priority",  # TPC-H Q3 shape: dim filter → 2 fact joins → topN
+    "q10_returned_items",  # TPC-H Q10 shape: quarter window → revenue top-20
+    "q18_large_orders",  # TPC-H Q18 shape: HAVING subquery → semi join
+    "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
     "corpus_mix_weighted",  # explicit floor on both engines
@@ -88,15 +94,17 @@ _PRIORITY = [
     "dedup_exact_norm",
     "dedup_canonical_pick",
     "dedup_incremental",
-    "dedup_embedding_cosine",
-    "embedding_label_centroids",
-    "ann_cosine_topk",
-    "events_sessionize",
-    "events_funnel",
 ]
 _TAIL = [
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
-    # no query goes >2 rounds without a driver row
+    # no query goes >2 rounds without a driver row. ann_cosine_topk is
+    # additionally exercised every pytest run as the recall anchor for all
+    # four approximate ANN queries.
+    "ann_cosine_topk",
+    "events_funnel",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "events_sessionize",
     "events_json_props",
     "events_asof_join",
     "events_approx_distinct",

@@ -641,3 +641,207 @@ def ivf_topk_from_index(
         .select("query_id", "neighbor_id")
     )
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the compressed-ANN tier. LSH/IVF above shrink
+# WHICH vectors a query touches; PQ shrinks the BYTES each touched vector
+# costs — m sub-codebooks of 2^b centroids turn a dim×4-byte float vector
+# into m small codes (64×4 B → 8 codes ≈ 16× here), and queries scan codes
+# with a per-query lookup table (ADC) instead of raw vectors. At 100 TB the
+# codes table is the only thing the scan reads (the raw vectors stay in
+# cold storage for the final re-rank join), and composing it with the IVF
+# layout (encode residuals per cell, partition codes BY cell) is the
+# canonical billion-scale IVFADC design — the composition is mechanical
+# because pq_encode is a plain column transform.
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 8,
+) -> np.ndarray:
+    """Train m sub-codebooks of ksub centroids with driver-side Lloyd
+    iterations over a BOUNDED, hash-ranked sample (≤ ``sample`` rows ×
+    dim floats — ~1 MB at the defaults; the same bounded-collect pattern
+    as the IVF centroid seed, documented here because it is the one
+    driver-side step). Deterministic: xxhash64-ranked sample, first-k
+    distinct init, fixed iteration count, no RNG. Returns (m, ksub,
+    dim//m) float64."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    rows = (
+        embeddings.select(
+            F.col(vec_col).alias("_v"),
+            F.xxhash64(F.lit(seed), F.col(id_col)).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(int(sample))
+        .collect()
+    )
+    x = np.asarray([[float(v) for v in r._v] for r in rows], dtype=np.float64)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        # first-k distinct rows as seeds (deterministic; ties impossible
+        # after dedup), then vanilla Lloyd with empty-cell carry-over
+        _, first = np.unique(sub, axis=0, return_index=True)
+        seeds = sub[np.sort(first)[:ksub]]
+        if len(seeds) < ksub:  # degenerate corpus: pad by repeating
+            seeds = np.resize(seeds, (ksub, dsub))
+        cent = seeds.copy()
+        for _ in range(int(iters)):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _sql_array2d(a: np.ndarray) -> str:
+    """Nested array<array<double>> literal as SQL text. `repr(float)`
+    round-trips exactly and the `D` suffix forces double (bare decimals
+    parse as DECIMAL in Spark SQL). Codebook-sized literals MUST go
+    through SQL text: building them with per-element F.lit/F.array costs
+    one py4j round-trip per float (~10 s of client time at m=16,
+    ksub=64), and per-centroid Python lambdas add seconds more — the
+    whole PQ expression layer is therefore generated SQL, parsed once."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in a
+    )
+    return f"array({rows})"
+
+
+def pq_encode(
+    embeddings: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """Encode the corpus against trained codebooks — pure JVM column math
+    (the no-Python-UDF rule holds: one argmin fold per subvector over the
+    centroid literal array, L2 on the ``slice`` of the vector).
+
+    Output (id, codes array<int>, _pqnorm double): codes[j] is the chosen
+    centroid index for subvector j, ``_pqnorm`` the norm of the
+    reconstructed vector (Σ_j ‖c_j‖² of the chosen centroids — needed for
+    cosine ADC; carried as a column so the scan never reopens codebooks).
+    At 100 TB codes pack to binary(m); array<int> keeps the driver/oracle
+    plumbing simple at test scale and the layout point is identical."""
+    m, ksub, dsub = codebooks.shape
+    norms2 = (codebooks**2).sum(axis=2)
+
+    # Expression-size engineering (every variant below was measured):
+    # * Python-side lambda/literal construction pays a py4j round-trip per
+    #   node (~10 s at m=16, ksub=64) → the layer is generated SQL text.
+    # * argmin as array_position(d2s, array_min(d2s)) references the
+    #   distance array twice, and CollapseProject then inlines the copies
+    #   downstream — Catalyst optimization goes superlinear on the
+    #   duplicated ~50k-node tree (40s+). Instead ONE fold over
+    #   `transform` output carries (dist, code, ‖c‖²) in a struct: every
+    #   codebook literal appears exactly once in the plan.
+    # * The heavy projection is persisted: downstream plans (codes
+    #   array, ADC join) resolve against the cache, so the optimizer
+    #   never re-walks the codebook expressions. At 100 TB this persist
+    #   IS the product: codes are written once and every query scans the
+    #   12-byte codes, not the 256-byte vectors.
+    # Ties break to the lowest centroid index (strict < keeps the first
+    # minimum), deterministically.
+    best_exprs = []
+    for j in range(m):
+        n2_lit = "array(" + ",".join(f"{float(v)!r}D" for v in norms2[j]) + ")"
+        best_exprs.append(
+            f"aggregate("
+            f"transform({_sql_array2d(codebooks[j])}, (cc, i) -> named_struct("
+            f"'d', aggregate(zip_with(slice(`{vec_col}`, {j * dsub + 1}, {dsub}), cc, "
+            f"(x, y) -> (x-y)*(x-y)), 0D, (a, b) -> a+b), 'i', i)), "
+            f"named_struct('d', CAST('Infinity' AS DOUBLE), 'i', -1), "
+            f"(acc, s) -> IF(s.d < acc.d, s, acc), "
+            f"s -> named_struct('i', s.i, 'n2', element_at({n2_lit}, s.i + 1))"
+            f") AS _b_{j}"
+        )
+    step = embeddings.selectExpr(f"`{id_col}`", *best_exprs).persist()
+    codes_sql = "array(" + ",".join(f"_b_{j}.i" for j in range(m)) + ")"
+    pqnorm_sql = "sqrt(" + " + ".join(f"_b_{j}.n2" for j in range(m)) + ")"
+    return step.selectExpr(
+        f"`{id_col}`", f"{codes_sql} AS codes", f"{pqnorm_sql} AS _pqnorm"
+    )
+
+
+def pq_cosine_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    refine: int = 4,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Compressed approximate top-k: ADC scan over PQ codes → shortlist of
+    ``refine``·k per query → exact cosine re-rank on raw vectors.
+
+    The ADC scan is one zip_with over (codes, per-query LUT): the LUT —
+    dot(q_j, centroid[j][c]) for every (j, c) — is built JVM-side on the
+    bounded query frame (m·ksub folds of dsub mults each, only on query
+    rows), broadcast with it, and the corpus side touches ONLY the codes
+    column: the raw-vector table is read exactly twice (query rows +
+    shortlist re-rank join), never scanned per-candidate. ``refine`` ≥
+    corpus/k degrades to exact brute force (pinned); the default trades
+    that for a 16× smaller scan. Output (query_id, neighbor_id, sim,
+    rank) like every other ANN entry point."""
+    books = pq_train_codebooks(
+        embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
+    )
+    mm, ksub_, dsub = books.shape
+    codes = pq_encode(embeddings, id_col, vec_col, books).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+
+    # per-query LUT as generated SQL (see pq_encode for the size rationale)
+    lut_exprs = [
+        f"transform({_sql_array2d(books[j])}, cc -> "
+        f"aggregate(zip_with(slice(_qv, {j * dsub + 1}, {dsub}), cc, "
+        f"(x, y) -> x*y), 0D, (a, b) -> a+b)) AS _lut_{j}"
+        for j in range(mm)
+    ]
+    q = (
+        embeddings.filter(F.expr(query_filter))
+        .selectExpr(f"`{id_col}` AS query_id", f"`{vec_col}` AS _qv")
+        .selectExpr("query_id", "_qv", *lut_exprs)
+        .selectExpr(
+            "query_id",
+            "array(" + ",".join(f"_lut_{j}" for j in range(mm)) + ") AS _lut",
+            "sqrt(aggregate(zip_with(_qv, _qv, (x, y) -> x*y), 0D, (a, b) -> a+b)) AS _qn",
+        )
+    )
+
+    approx_dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_lut"), lambda c_, l_: F.element_at(l_, c_ + 1)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    shortlist = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_adc", approx_dot / (F.col("_qn") * F.col("_pqnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("neighbor_id"))
+    cand = (
+        shortlist.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(refine) * k)
+        .select("query_id", "neighbor_id")
+    )
+    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)

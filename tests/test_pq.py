@@ -1,0 +1,81 @@
+"""Product-quantization contracts: recall vs exact, degeneration to exact
+under full refine, encoding determinism, and the codes-only-scan property
+that makes PQ the compressed tier of the ANN stack."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pgdedupe_spark import registry
+from pgdedupe_spark.operators.similarity import (
+    pq_cosine_topk,
+    pq_encode,
+    pq_train_codebooks,
+)
+from pgdedupe_spark.sources.io import read_parquet_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _pairs(df):
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_parquet_table(spark, os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_pq_recall_vs_exact(spark, emb):
+    """Registry-shipped PQ settings (m=16, ksub=32, refine=8) must
+    retrieve ≥ 0.9 of the exact top-k pairs — the same bound every other
+    approximate entry point carries."""
+    exact = _pairs(registry.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    approx = _pairs(registry.QUERIES["ann_pq_topk"](spark, SF_DIR))
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"ann_pq_topk recall {recall:.3f} < 0.9"
+
+
+def test_pq_full_refine_is_exact(spark, emb):
+    """refine ≥ corpus/k makes the shortlist the whole corpus, so the
+    re-rank must equal brute force exactly — the knob's contract."""
+    n = emb.count()
+    exact = _pairs(registry.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    full = _pairs(
+        pq_cosine_topk(emb, "vec_id", "embedding", dim=64, k=5, refine=n)
+    )
+    assert full == exact
+
+
+def test_pq_encode_deterministic_and_bounded(spark, emb):
+    """Same corpus + seed ⇒ identical codes twice (no RNG anywhere), codes
+    in [0, ksub), one code per subvector, and the reconstructed norm is
+    positive — the invariants the persisted-codes layout relies on."""
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim=64, m=8, ksub=16)
+    assert books.shape == (8, 16, 8)
+    a = pq_encode(emb, "vec_id", "embedding", books)
+    b = pq_encode(emb, "vec_id", "embedding", books)
+    ra = sorted((r.vec_id, tuple(r.codes), r._pqnorm) for r in a.collect())
+    rb = sorted((r.vec_id, tuple(r.codes), r._pqnorm) for r in b.collect())
+    assert ra == rb
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c) for _, c, _n in ra)
+    assert all(nn > 0 for _, _c, nn in ra)
+
+
+def test_pq_adc_scan_reads_only_codes(spark, emb):
+    """The ADC stage must not rescan raw vectors per candidate: encode the
+    corpus once, and assert the shortlist plan's corpus side carries only
+    (id, codes, _pqnorm) — i.e. the wide vector column is pruned out of
+    the scan that dominates at 100 TB. Covered structurally: pq_encode
+    projects codes before the crossJoin, so the join input schema has no
+    embedding column."""
+    books = pq_train_codebooks(emb, "vec_id", "embedding", dim=64, m=8, ksub=16)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    assert set(codes.columns) == {"vec_id", "codes", "_pqnorm"}
+    # and the full operator stays JVM-side (no Python eval nodes)
+    from pgdedupe_spark.plans import plan_report
+
+    r = plan_report(registry.QUERIES["ann_pq_topk"](spark, SF_DIR))
+    assert not r["python_udf"]

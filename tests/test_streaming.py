@@ -137,3 +137,21 @@ def test_kafka_parse_drops_poison(spark):
     )
     rows = parse_event_payload(raw).collect()
     assert len(rows) == 1 and rows[0].event_id == 7
+
+
+def test_stateful_final_state_matches_registry(spark):
+    """The custom-state op's terminal state must equal the registry's
+    `events_user_state` batch query (the driver-visible, oracle-checked
+    twin) — closing the loop: stream ⇒ batch op ⇒ DuckDB oracle are all
+    the same function (VERDICT r4 #8)."""
+    from pgdedupe_spark import registry
+
+    sdf = stateful_user_counts(read_events_stream(spark, SF_DIR))
+    got = run_to_memory_table(sdf, "t_state_reg", output_mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.unix_micros(F.max("last_seen")).alias("last_seen_us"),
+    )
+    want = registry.QUERIES["events_user_state"](spark, SF_DIR)
+    cols = ["user_id", "n_events", "last_seen_us"]
+    assert _rows(final, cols) == _rows(want, cols)
