@@ -55,6 +55,16 @@ HEADLINE = [
     "events_time_weighted",
     "dedup_ngram_zipf",
     "ann_lsh_stress",
+    # new in r5: end-to-end pipeline, OLAP join shapes, streaming-state
+    # twin, and the compressed-ANN (PQ) tier — PQ's ~7 s is dominated by
+    # fixed costs (codebook train collect + one-time encode persist), not
+    # corpus size; see operators/similarity.py pq_encode notes
+    "pipeline_entity_map",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "events_user_state",
+    "ann_pq_topk",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

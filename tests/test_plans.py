@@ -145,3 +145,49 @@ def test_funnel_is_two_aggregations(spark):
     plan = explain_str(registry.QUERIES["events_funnel"](spark, SF_DIR))
     assert _n_exchanges(plan) <= 2, plan
     assert "Join" not in plan
+
+
+def test_q3_topn_is_take_ordered(spark):
+    """Q3's ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition top-N + driver merge of N rows), never a full global sort,
+    and all three date/segment predicates must reach their scans."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    df = registry.QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    plan = explain_str(df)
+    assert "TakeOrderedAndProject" in plan
+    r = plan_report(df)
+    pushed = " ".join(r["pushed_filters"])
+    for col in ("c_mktsegment", "o_orderdate", "l_shipdate"):
+        assert col in pushed, (col, r["pushed_filters"])
+
+
+def test_q10_filters_pushed_and_dim_broadcast(spark):
+    """Q10: the quarter window and return-flag predicates must reach the
+    scans and nation must broadcast."""
+    r = _report(spark, "q10_returned_items")
+    pushed = " ".join(r["pushed_filters"])
+    assert "o_orderdate" in pushed and "l_returnflag" in pushed, r["pushed_filters"]
+    assert r["broadcast_join"]
+
+
+def test_q18_semi_join_is_broadcast(spark):
+    """Q18's heavy-orders subquery must attach as a broadcast LEFT SEMI
+    join (build side = the tiny HAVING survivors; probe side streams),
+    and the final top-N is a TakeOrderedAndProject."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["q18_large_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_user_state_single_shuffle(spark):
+    """The streaming-state batch twin is ONE hash aggregate: exactly one
+    exchange (partial agg map-side), no window, no join."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_user_state"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan and "Window" not in plan
