@@ -96,10 +96,14 @@ _PRIORITY = [
     "dedup_incremental",
 ]
 _TAIL = [
+    # ann_pq_serve is new in r5 but the window is full; its recall,
+    # IVFADC parity, and partition pruning are pytest-pinned
+    # (tests/test_pq.py) — rotate it into the window in r6.
+    "ann_pq_serve",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all
-    # four approximate ANN queries.
+    # five approximate ANN queries.
     "ann_cosine_topk",
     "events_funnel",
     "dedup_embedding_cosine",

@@ -725,7 +725,11 @@ def _sql_array2d(a: np.ndarray) -> str:
 
 
 def pq_encode(
-    embeddings: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode the corpus against trained codebooks — pure JVM column math
     (the no-Python-UDF rule holds: one argmin fold per subvector over the
@@ -769,11 +773,12 @@ def pq_encode(
             f"s -> named_struct('i', s.i, 'n2', element_at({n2_lit}, s.i + 1))"
             f") AS _b_{j}"
         )
-    step = embeddings.selectExpr(f"`{id_col}`", *best_exprs).persist()
+    keep_cols = [f"`{c}`" for c in keep]
+    step = embeddings.selectExpr(f"`{id_col}`", *keep_cols, *best_exprs).persist()
     codes_sql = "array(" + ",".join(f"_b_{j}.i" for j in range(m)) + ")"
     pqnorm_sql = "sqrt(" + " + ".join(f"_b_{j}.n2" for j in range(m)) + ")"
     return step.selectExpr(
-        f"`{id_col}`", f"{codes_sql} AS codes", f"{pqnorm_sql} AS _pqnorm"
+        f"`{id_col}`", *keep_cols, f"{codes_sql} AS codes", f"{pqnorm_sql} AS _pqnorm"
     )
 
 
@@ -809,39 +814,167 @@ def pq_cosine_topk(
         id_col, "neighbor_id"
     )
 
-    # per-query LUT as generated SQL (see pq_encode for the size rationale)
+    q = _pq_query_lut(
+        embeddings.filter(F.expr(query_filter)).selectExpr(
+            f"`{id_col}` AS query_id", f"`{vec_col}` AS _qv"
+        ),
+        books,
+    )
+    cand = _pq_adc_shortlist(q, codes, int(refine) * k)
+    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
+
+
+def _pq_query_lut(q: DataFrame, books: np.ndarray) -> DataFrame:
+    """(query_id, _qv[, extra]) → (query_id[, extra], _lut, _qn): the
+    per-query ADC lookup table — dot(q_j, centroid[j][c]) for every
+    (j, c) — plus the exact query norm. Generated SQL like pq_encode."""
+    m, _ksub, dsub = books.shape
+    extra = [c for c in q.columns if c not in ("query_id", "_qv")]
     lut_exprs = [
         f"transform({_sql_array2d(books[j])}, cc -> "
         f"aggregate(zip_with(slice(_qv, {j * dsub + 1}, {dsub}), cc, "
         f"(x, y) -> x*y), 0D, (a, b) -> a+b)) AS _lut_{j}"
-        for j in range(mm)
+        for j in range(m)
     ]
-    q = (
-        embeddings.filter(F.expr(query_filter))
-        .selectExpr(f"`{id_col}` AS query_id", f"`{vec_col}` AS _qv")
-        .selectExpr("query_id", "_qv", *lut_exprs)
+    return (
+        q.selectExpr("query_id", *extra, "_qv", *lut_exprs)
         .selectExpr(
             "query_id",
-            "array(" + ",".join(f"_lut_{j}" for j in range(mm)) + ") AS _lut",
+            *extra,
+            "array(" + ",".join(f"_lut_{j}" for j in range(m)) + ") AS _lut",
             "sqrt(aggregate(zip_with(_qv, _qv, (x, y) -> x*y), 0D, (a, b) -> a+b)) AS _qn",
         )
     )
 
+
+def _pq_adc_shortlist(
+    q: DataFrame, codes: DataFrame, shortlist_n: int, join_on: list[str] | None = None
+) -> DataFrame:
+    """ADC scan: score every (query, code-row) pair — restricted to
+    ``join_on`` equality (e.g. probed cells) when given, the full corpus
+    otherwise — and keep the top ``shortlist_n`` per query by approximate
+    cosine. Output (query_id, neighbor_id) for exact re-rank."""
     approx_dot = F.aggregate(
         F.zip_with(F.col("codes"), F.col("_lut"), lambda c_, l_: F.element_at(l_, c_ + 1)),
         F.lit(0.0),
         lambda a, v: a + v,
     )
-    shortlist = (
-        F.broadcast(q)
-        .crossJoin(codes)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_adc", approx_dot / (F.col("_qn") * F.col("_pqnorm")))
+    joined = (
+        F.broadcast(q).join(codes, join_on) if join_on else F.broadcast(q).crossJoin(codes)
+    )
+    shortlist = joined.filter(F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "_adc", approx_dot / (F.col("_qn") * F.col("_pqnorm"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("neighbor_id"))
-    cand = (
+    return (
         shortlist.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= int(refine) * k)
+        .filter(F.col("_r") <= shortlist_n)
         .select("query_id", "neighbor_id")
     )
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> None:
+    """Materialize the IVFADC layout: coarse IVF cells partition the
+    corpus, and within each partition only PQ codes are stored — the
+    canonical billion-scale composition (coarse quantizer prunes WHICH
+    rows a query reads, PQ shrinks the BYTES per row read).
+
+    ``/codes``     (id, codes, _pqnorm) under ``cell=<c>`` parquet
+                   partitions — the ONLY thing the serving scan opens.
+    ``/codebooks`` (j, c, cv) rows — the m×ksub PQ sub-codebooks.
+    ``/centroids`` (cid, cv) rows — the coarse quantizer (as IVF).
+    ``/meta``      one row recording the writer's (id_col, vec_col, dim,
+                   m, ksub, n_centroids, seed): self-describing, so
+                   readers rebuild LUTs and probe rankings from the
+                   persisted artifacts, never by re-training.
+
+    Codes are encoded from the FULL vectors (not cell residuals): recall
+    comes from the refine/re-rank stage, which keeps the encode a plain
+    column transform reusable with or without the coarse layer."""
+    books = pq_train_codebooks(embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed)
+    indexed, centroids = ivf_index(embeddings, id_col, vec_col, n_centroids, seed)
+    codes = pq_encode(indexed, id_col, vec_col, books, keep=("cell",))
+    (
+        codes.repartition("cell")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(path + "/codes")
+    )
+    spark = embeddings.sparkSession
+    m_, ksub_, dsub = books.shape
+    spark.createDataFrame(
+        [(j, c, [float(x) for x in books[j, c]]) for j in range(m_) for c in range(ksub_)],
+        "j int, c int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
+    spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [(id_col, vec_col, int(dim), int(m), int(ksub), int(n_centroids), int(seed))],
+        "id_col string, vec_col string, dim int, m int, ksub int, n_centroids int, seed int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def pq_topk_from_index(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 8,
+    query_filter: str = "vec_id < 10",
+) -> DataFrame:
+    """Approximate top-k against a :func:`write_pq_index` IVFADC layout.
+
+    Per query: rank persisted centroids → probe ``n_probe`` cells (the
+    probed ids are collected — bounded by n_centroids — and pushed as
+    static ``PartitionFilters`` on the codes scan, so only probed
+    ``cell=`` directories are opened) → ADC-score the codes inside those
+    cells with the per-query LUT rebuilt from the persisted codebooks →
+    exact re-rank of the ``refine``·k shortlist against raw vectors
+    (``embeddings``, the base table — the index itself holds no floats
+    beyond the sidecars). Serving cost: O(codes in probed cells) bytes,
+    never the corpus, never raw vectors."""
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    idx_id_col = str(meta.id_col)
+    m, ksub, dsub = int(meta.m), int(meta.ksub), int(meta.dim) // int(meta.m)
+    brows = spark.read.parquet(index_path + "/codebooks").collect()
+    books = np.zeros((m, ksub, dsub))
+    for r in brows:
+        books[int(r.j), int(r.c)] = [float(x) for x in r.cv]
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cv])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    ]
+    centroids.sort(key=lambda cv: cv[0])
+
+    q = embeddings.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = _rank_cells(q, centroids, n_probe).select("query_id", "_qv", "cell")
+    cells = sorted({int(r.cell) for r in probes.select("cell").distinct().collect()})
+    if not cells:  # empty query set
+        empty = "query_id bigint, neighbor_id bigint, sim double, rank int"
+        return spark.createDataFrame([], empty)
+
+    q_lut = _pq_query_lut(probes, books)  # carries `cell` through
+    codes = (
+        spark.read.parquet(index_path + "/codes")
+        .filter(F.col("cell").isin(cells))
+        .withColumnRenamed(idx_id_col, "neighbor_id")
+    )
+    cand = _pq_adc_shortlist(q_lut, codes, int(refine) * k, join_on=["cell"])
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)

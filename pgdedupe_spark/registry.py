@@ -2905,3 +2905,23 @@ def ann_pq_topk(spark, sf_dir):
     return pq_cosine_topk(
         emb, "vec_id", "embedding", dim=64, k=5, m=16, ksub=32, refine=8
     )
+
+
+@query("ann_pq_serve")  # IVFADC serving path — rows-only
+def ann_pq_serve(spark, sf_dir):
+    """Persisted IVF+PQ serving (the canonical billion-scale composition):
+    write the cell=-partitioned codes index once (write_pq_index), then
+    answer top-k through pq_topk_from_index — probed cells become static
+    PartitionFilters, and within them the scan reads only PQ codes, so
+    serving cost is O(code bytes in probed cells). Coarse probes match
+    ann_ivf_serve (12/16); PQ budget matches ann_pq_topk (16×32, wide
+    refine). Recall and full-probe/full-refine==exact degeneration are
+    pinned in tests/test_pq.py."""
+    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _serve_index_path(sf_dir, "pq")
+    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=16)
+    return pq_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_probe=12, refine=8
+    )

@@ -79,3 +79,76 @@ def test_pq_adc_scan_reads_only_codes(spark, emb):
 
     r = plan_report(registry.QUERIES["ann_pq_topk"](spark, SF_DIR))
     assert not r["python_udf"]
+
+
+def test_pq_index_full_probe_full_refine_is_exact(spark, emb, tmp_path):
+    """IVFADC with every cell probed and the shortlist spanning the corpus
+    must equal brute force exactly — both approximation knobs (coarse
+    probes, ADC shortlist) degenerate independently."""
+    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=16)
+    n = emb.count()
+    exact = _pairs(registry.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    full = _pairs(
+        pq_topk_from_index(
+            spark, path, emb, "vec_id", "embedding", k=5, n_probe=16, refine=n
+        )
+    )
+    assert full == exact
+
+
+def test_pq_serve_recall(spark):
+    """The registry-shipped IVFADC serving settings (12/16 probes, 16×32
+    codes, refine=8) must retrieve ≥ 0.9 of the exact top-k pairs —
+    coarse pruning and code compression stack, so this bounds the
+    composed loss."""
+    exact = _pairs(registry.QUERIES["ann_cosine_topk"](spark, SF_DIR))
+    approx = _pairs(registry.QUERIES["ann_pq_serve"](spark, SF_DIR))
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"ann_pq_serve recall {recall:.3f} < 0.9"
+
+
+def test_pq_index_scan_is_partition_pruned(spark, emb, tmp_path):
+    """The codes scan must carry the probed cells as static partition
+    filters (only probed cell= directories open) and must not read any
+    raw-vector column."""
+    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=16)
+    out = pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    idx_scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln and "cell#" in ln
+    ]
+    assert idx_scans, f"no codes scan found in plan:\n{plan}"
+    assert any(
+        "PartitionFilters: [cell" in ln or "PartitionFilters: [(" in ln
+        for ln in idx_scans
+    ), f"codes scan has no static partition filters:\n{idx_scans}"
+    assert not any("embedding" in ln for ln in idx_scans), (
+        f"codes scan reads raw vectors:\n{idx_scans}"
+    )
+
+
+def test_pq_index_reader_uses_persisted_id_col(spark, emb, tmp_path):
+    """Self-describing index: the reader renames the codes side by the
+    persisted id_col from /meta, so a caller whose base frame uses a
+    different id name still joins correctly."""
+    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=16)
+    renamed = emb.withColumnRenamed("vec_id", "doc_pk")
+    out = _pairs(
+        pq_topk_from_index(
+            spark, path, renamed, "doc_pk", "embedding", k=5, n_probe=4,
+            query_filter="doc_pk < 10",
+        )
+    )
+    base = _pairs(
+        pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=4)
+    )
+    assert out == base
