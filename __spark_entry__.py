@@ -49,6 +49,7 @@ _PRIORITY = [
     "q3_shipping_priority",  # TPC-H Q3 shape: dim filter → 2 fact joins → topN
     "q10_returned_items",  # TPC-H Q10 shape: quarter window → revenue top-20
     "q18_large_orders",  # TPC-H Q18 shape: HAVING subquery → semi join
+    "q17_small_qty_revenue",  # TPC-H Q17 shape: decorrelated scalar subquery
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -93,13 +94,13 @@ _PRIORITY = [
     "q5_regional_revenue",
     "dedup_exact_norm",
     "dedup_canonical_pick",
-    "dedup_incremental",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
     # IVFADC parity, and partition pruning are pytest-pinned
     # (tests/test_pq.py) — rotate it into the window in r6.
     "ann_pq_serve",
+    "dedup_incremental",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

@@ -58,11 +58,17 @@ HEADLINE = [
     # new in r5: end-to-end pipeline, OLAP join shapes, streaming-state
     # twin, and the compressed-ANN (PQ) tier — PQ's ~7 s is dominated by
     # fixed costs (codebook train collect + one-time encode persist), not
-    # corpus size; see operators/similarity.py pq_encode notes
+    # corpus size; see operators/similarity.py pq_encode notes.
+    # pipeline_entity_map is the integration flagship and deliberately
+    # heavy: its blocking keys produce dense blocks (~3.7 M scored pairs →
+    # ~370 k edges → CC at sf0.1), the regime the oracle mirrors exactly;
+    # the production path bounds this with max_block_size caps (J7) and
+    # learned rules (D5)
     "pipeline_entity_map",
     "q3_shipping_priority",
     "q10_returned_items",
     "q18_large_orders",
+    "q17_small_qty_revenue",
     "events_user_state",
     "ann_pq_topk",
 ]

@@ -2925,3 +2925,48 @@ def ann_pq_serve(spark, sf_dir):
     return pq_topk_from_index(
         spark, path, emb, "vec_id", "embedding", k=5, n_probe=12, refine=8
     )
+
+
+@query(
+    "q17_small_qty_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+             count(*) AS c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0 AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa   ON pa.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND 5 * CAST(l_quantity AS DECIMAL(18,2)) * c < s
+    """,
+)
+def q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated scalar
+    subquery — `l_quantity < 0.2 * avg(l_quantity) per part` — decorrelated
+    into a per-part pre-aggregation + equi-join, the plan Spark and every
+    warehouse engine actually runs. The threshold compare is rewritten
+    exact-integer (5·qty·cnt < sum, all DECIMAL) so no floating 0.2·avg
+    rounds differently across engines at the strict-< boundary. The brand
+    filter pushes to the part scan; the per-part agg frame is part-sized
+    (≪ lineitem) so AQE broadcasts both onto the fact scan."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(dec("l_quantity")).alias("_s"), F.count(F.lit(1)).alias("_c")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(pa, F.col("_pk") == F.col("l_partkey"))
+        .filter(F.lit(5) * dec("l_quantity") * F.col("_c") < F.col("_s"))
+        .agg(
+            (F.sum(dec("l_extendedprice")) / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
