@@ -50,6 +50,9 @@ _PRIORITY = [
     "q10_returned_items",  # TPC-H Q10 shape: quarter window → revenue top-20
     "q18_large_orders",  # TPC-H Q18 shape: HAVING subquery → semi join
     "q17_small_qty_revenue",  # TPC-H Q17 shape: decorrelated scalar subquery
+    "j10_merge_upsert",  # SCD1 MERGE as anti-join+union snapshot rewrite
+    "j11_cdc_apply",  # compacted I/U/D change feed applied in one pass
+    "a13_cube",  # CUBE grouping sets: one Expand+agg pass
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -90,10 +93,7 @@ _PRIORITY = [
     "d3_uncertain_pairs",
     "d4_pair_scores",
     "d6_rare_token_blocks",
-    "q1_pricing_summary",
-    "q5_regional_revenue",
     "dedup_exact_norm",
-    "dedup_canonical_pick",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -101,6 +101,9 @@ _TAIL = [
     # (tests/test_pq.py) — rotate it into the window in r6.
     "ann_pq_serve",
     "dedup_incremental",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "dedup_canonical_pick",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

@@ -1,0 +1,71 @@
+"""MERGE / upsert / CDC-apply as immutable recompute.
+
+The reference updates rows in place (ALTER + UPDATE writeback — SURVEY.md
+§2.1 S8, `run.py`'s UPDATE-join); a distributed columnar store can't, so
+the engine's merge family rewrites the target as a new snapshot:
+
+* :func:`merge_upsert` — SCD1 MERGE: source rows win on key match,
+  unmatched target rows pass through, unmatched source rows insert.
+* :func:`apply_cdc` — a change feed with I/U/D operations applied in one
+  pass: deletes drop, inserts/updates upsert.
+
+Plan shape (the 100 TB argument): both are ONE left-anti join of the
+target against the source's keys plus a union — the anti join build side
+is the CHANGE SET (bounded by the feed, ≪ target), so AQE broadcasts it
+and the target streams through map-side with zero payload shuffle; the
+union is a no-shuffle concatenation. Cost is O(target scan + change
+set), the floor for any snapshot rewrite. Writing the result partitioned
+the same way as the target (`sources/io.write_bucketed`) keeps repeated
+merges co-located.
+
+For feeds carrying multiple changes per key, compact the feed first with
+``latest_change_per_key`` (max-by on a sequence column) — applying an
+uncompacted feed is order-undefined, the same contract warehouse MERGE
+statements enforce with "multiple source rows matched" errors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 MERGE: upsert every source row into the target by ``keys``.
+    Matched target rows are replaced by their source row, unmatched
+    target rows survive, unmatched source rows insert. Schemas must
+    union by name."""
+    keep = target.join(source.select(*keys), keys, "left_anti")
+    return keep.unionByName(source)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a compacted change feed (one row per key) to the target:
+    rows whose ``op_col`` equals ``delete_op`` delete their key; every
+    other change row upserts (insert vs update needs no distinction in a
+    snapshot rewrite). The feed must already be one-change-per-key — see
+    :func:`latest_change_per_key`."""
+    keep = target.join(changes.select(*keys), keys, "left_anti")
+    upserts = changes.filter(F.col(op_col) != delete_op).drop(op_col)
+    return keep.unionByName(upserts)
+
+
+def latest_change_per_key(
+    changes: DataFrame, keys: list[str], seq_col: str
+) -> DataFrame:
+    """Compact a change feed to its final state per key: the row with the
+    highest ``seq_col`` wins (ties broken by the full row ordering being
+    unique in any sane feed — pass a composite seq if not). One window
+    over the feed only — the target is never touched."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    return (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

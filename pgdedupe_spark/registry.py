@@ -2970,3 +2970,122 @@ def q17_small_qty_revenue(spark, sf_dir):
             .alias("avg_yearly")
         )
     )
+
+
+# ===========================================================================
+# Round 5 (third batch): MERGE/CDC as immutable recompute (the distributed
+# answer to the reference's in-place UPDATE writebacks, S8), and CUBE
+# grouping sets rounding out the OLAP shapes (a10_rollup covers ROLLUP).
+# ===========================================================================
+
+
+@query(
+    "j10_merge_upsert",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, c_mktsegment
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def j10_merge_upsert(spark, sf_dir):
+    """SCD1 MERGE: upsert a derived change set (every BUILDING customer
+    with a bumped balance) into the customer snapshot. One broadcast
+    anti join + union — the change set is the build side, the target
+    streams (operators/merge.py scale notes)."""
+    from pgdedupe_spark.operators.merge import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    src = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+        "c_acctbal", F.col("c_acctbal") + F.lit(100.0)
+    )
+    return merge_upsert(cust, src, ["c_custkey"])
+
+
+@query(
+    "j11_cdc_apply",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 NOT IN (0, 1)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, 50.0, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 1
+    UNION ALL
+    SELECT c_custkey + 1000000, c_name, c_nationkey, 999.0, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 2
+    """,
+)
+def j11_cdc_apply(spark, sf_dir):
+    """CDC apply: a change feed with deletes (keys ≡0 mod 10), two
+    successive updates for the same keys (≡1 mod 10 — the later seq wins
+    via latest_change_per_key compaction), and inserts (new keys), all
+    applied in one snapshot rewrite. Feed compaction is one window over
+    the FEED only; the apply is the same anti-join+union as MERGE."""
+    from pgdedupe_spark.operators.merge import apply_cdc, latest_change_per_key
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    cust = _t(spark, sf_dir, "customer").select(*cols)
+    dels = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("op", F.lit("D")).withColumn("seq", F.lit(1))
+    )
+    upd1 = (
+        cust.filter(F.col("c_custkey") % 10 == 1)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(1))
+    )
+    upd2 = (
+        cust.filter(F.col("c_custkey") % 10 == 1)
+        .withColumn("c_acctbal", F.lit(50.0))
+        .withColumn("op", F.lit("U")).withColumn("seq", F.lit(2))
+    )
+    ins = (
+        cust.filter(F.col("c_custkey") % 10 == 2)
+        .withColumn("c_custkey", F.col("c_custkey") + F.lit(1000000))
+        .withColumn("c_acctbal", F.lit(999.0))
+        .withColumn("op", F.lit("I")).withColumn("seq", F.lit(1))
+    )
+    feed = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    compacted = latest_change_per_key(feed, ["c_custkey"], "seq").drop("seq")
+    return apply_cdc(cust, compacted, ["c_custkey"])
+
+
+@query(
+    "a13_cube",
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, CAST(c_nationkey AS VARCHAR) AS nat, c_acctbal
+      FROM customer
+    )
+    SELECT coalesce(c_mktsegment, 'ALL') AS seg,
+           coalesce(nat, 'ALL') AS nation,
+           count(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    FROM c GROUP BY CUBE (c_mktsegment, nat)
+    """,
+)
+def a13_cube(spark, sf_dir):
+    """CUBE grouping sets (all four (segment × nation) margins in one
+    pass): like ROLLUP (a10), Spark plans this as ONE Expand + aggregate
+    — a single shuffle carries every grouping set, no per-set re-scan.
+    Rolled-up levels are labeled 'ALL' (source columns are non-null, so
+    the sentinel is unambiguous without grouping_id)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_nationkey").cast("string").alias("nat"), "c_acctbal"
+    )
+    return (
+        c.cube("c_mktsegment", "nat")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("seg"),
+            F.coalesce("nat", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "sum_bal",
+        )
+    )

@@ -88,3 +88,54 @@ def write_bucketed(
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
     return df.sparkSession.table(table)
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(data-file count, total bytes) for a parquet table path — the
+    small-file health check driving :func:`compact_table`. Uses the
+    Hadoop FS API so it works on any scheme Spark can read, not just
+    local paths; directory listing only, never opens data."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    n, total = 0, 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, hidden
+        n += 1
+        total += f.getLen()
+    return n, total
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Rewrite a parquet table into right-sized files — the maintenance
+    operation every long-lived 100 TB table needs (streaming ingest and
+    fine-grained merges leave thousands of KB-scale files; scan cost then
+    becomes per-file open overhead, not bytes).
+
+    File count = ceil(total bytes / target_file_bytes) from the REAL
+    on-disk size (not row estimates). With ``sort_by`` the rewrite uses
+    repartitionByRange + sortWithinPartitions, so every output file
+    covers a disjoint sort-key range and parquet min/max row-group stats
+    prune file reads for range predicates — poor-man's clustering, no
+    table format required. Without it, a plain round-robin repartition
+    just fixes file sizes. Reads the input once, writes once."""
+    n_files, total = table_file_stats(spark, path)
+    n_out = max(1, -(-total // max(1, target_file_bytes)))
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_out)
+    df.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path)
