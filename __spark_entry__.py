@@ -53,6 +53,8 @@ _PRIORITY = [
     "j10_merge_upsert",  # SCD1 MERGE as anti-join+union snapshot rewrite
     "j11_cdc_apply",  # compacted I/U/D change feed applied in one pass
     "a13_cube",  # CUBE grouping sets: one Expand+agg pass
+    "stats_analyze",  # ANALYZE: one-pass multi-column stats (planner metadata)
+    "events_histogram",  # fixed-range clamped bucketing, no sort
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -84,12 +86,10 @@ _PRIORITY = [
     "j1_plural_block",
     "j2_smaller_coverage",
     "j7_candidate_pairs",
-    "j3_singleton_coalesce",
     "j5_exact_edges",
     "j6_update_join",
     "g1_connected_components",
     "w1_serial_ids",
-    "w2_window_suite",
     "d3_uncertain_pairs",
     "d4_pair_scores",
     "d6_rare_token_blocks",
@@ -104,6 +104,8 @@ _TAIL = [
     "q1_pricing_summary",
     "q5_regional_revenue",
     "dedup_canonical_pick",
+    "j3_singleton_coalesce",
+    "w2_window_suite",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

@@ -3089,3 +3089,57 @@ def a13_cube(spark, sf_dir):
             "sum_bal",
         )
     )
+
+
+@query(
+    "stats_analyze",
+    oracle="""
+    SELECT 'c_name' AS "column", count(*) AS n_rows,
+           count(*) - count(c_name) AS n_nulls,
+           count(DISTINCT c_name) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+           count(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+           count(DISTINCT c_mktsegment) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+           count(DISTINCT c_acctbal) FROM customer
+    """,
+)
+def stats_analyze(spark, sf_dir):
+    """ANALYZE: per-column (rows, nulls, exact ndv) in ONE aggregation
+    pass over the table (multi-distinct plans as a single Expand+agg —
+    one shuffle for all columns, vs the oracle's four scans), then
+    `stack` to one row per column. The planner-metadata operator the
+    reference delegates to Postgres ANALYZE."""
+    from pgdedupe_spark.operators.stats import analyze_table
+
+    return analyze_table(
+        _t(spark, sf_dir, "customer"),
+        ["c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+
+@query(
+    "events_histogram",
+    oracle="""
+    SELECT event_type,
+           least(greatest(CAST(floor((CAST(value AS DOUBLE) - 0.0) / 500.0 * 20)
+                               AS INT), 0), 19) AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_histogram(spark, sf_dir):
+    """Fixed-range value histogram per event type (20 buckets over
+    [0, 500)): clamped explicit double bucketing — one map-side-combining
+    aggregation, no sort, no percentile state; the distribution summary a
+    100 TB profiler runs before choosing finer analyses."""
+    from pgdedupe_spark.operators.stats import fixed_histogram
+
+    ev = _events(spark, sf_dir)
+    return fixed_histogram(
+        ev, "value", ["event_type"], lo=0.0, hi=500.0, n_buckets=20
+    )

@@ -1,0 +1,36 @@
+"""ANALYZE / histogram operator contracts beyond the driver oracle:
+null accounting, clamping at the range edges, and the one-pass plan."""
+
+from __future__ import annotations
+
+from pgdedupe_spark.operators.stats import analyze_table, fixed_histogram
+
+
+def test_analyze_counts_nulls_and_ndv(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b")], "id long, s string"
+    )
+    got = {r.column: (r.n_rows, r.n_nulls, r.n_distinct) for r in analyze_table(df, ["id", "s"]).collect()}
+    assert got == {"id": (4, 0, 4), "s": (4, 1, 2)}
+
+
+def test_analyze_is_single_aggregation(spark):
+    """All columns' stats must come from ONE aggregate over the input —
+    no per-column re-scan (the oracle's UNION of scans is the shape this
+    operator exists to avoid)."""
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    plan = analyze_table(df, ["id", "s"])._jdf.queryExecution().optimizedPlan().toString()
+    # the input relation appears exactly once (no UNION of per-column
+    # scans), and the multi-distinct plans as a single Expand
+    assert plan.count("LogicalRDD") == 1, plan
+    assert plan.count("Expand") == 1, plan
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [("t", -5.0), ("t", 0.0), ("t", 9.99), ("t", 50.0), ("t", 999.0)],
+        "g string, v double",
+    )
+    got = {(r.g, r.bucket): r.n for r in fixed_histogram(df, "v", ["g"], 0.0, 100.0, 10).collect()}
+    # -5 clamps to bucket 0 (with 0.0); 9.99 → 0; 50 → 5; 999 clamps to 9
+    assert got == {("t", 0): 3, ("t", 5): 1, ("t", 9): 1}
