@@ -55,6 +55,7 @@ _PRIORITY = [
     "a13_cube",  # CUBE grouping sets: one Expand+agg pass
     "stats_analyze",  # ANALYZE: one-pass multi-column stats (planner metadata)
     "events_histogram",  # fixed-range clamped bucketing, no sort
+    "w3_rolling",  # ROWS + time-RANGE frame aggregates (one shuffle)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -93,7 +94,6 @@ _PRIORITY = [
     "d3_uncertain_pairs",
     "d4_pair_scores",
     "d6_rare_token_blocks",
-    "dedup_exact_norm",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -106,6 +106,7 @@ _TAIL = [
     "dedup_canonical_pick",
     "j3_singleton_coalesce",
     "w2_window_suite",
+    "dedup_exact_norm",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

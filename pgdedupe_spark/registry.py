@@ -3143,3 +3143,56 @@ def events_histogram(spark, sf_dir):
     return fixed_histogram(
         ev, "value", ["event_type"], lo=0.0, hi=500.0, n_buckets=20
     )
+
+
+@query(
+    "w3_rolling",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             CAST(value AS DECIMAL(18,4)) AS vdec
+      FROM events
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(SUM(vdec) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll7_sum,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+           CAST(SUM(vdec) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS hour_sum
+    FROM e
+    """,
+)
+def w3_rolling(spark, sf_dir):
+    """Frame-bounded window aggregates (the shapes w2's ranking suite
+    doesn't cover): a 7-row trailing sum, a running count, and a
+    TIME-based RANGE frame — `value` summed over the trailing hour per
+    user, the sliding-window metric a temporal engine must express
+    without a self-join. All three share one hash-partition on user_id
+    (one shuffle); sums stay DECIMAL inside the frame so engines agree
+    bit-for-bit. RANGE orders by ts_us alone (peers merge — identical
+    semantics both engines); ROWS frames add the event_id tie-break."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn(
+        "vdec", F.col("value").cast("decimal(18,4)")
+    )
+    wrows = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-6, 0)
+    wrun = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrange = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(
+        -3_600_000_000, 0
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.sum("vdec").over(wrows).cast("double").alias("roll7_sum"),
+        F.count(F.lit(1)).over(wrun).alias("running_n"),
+        F.sum("vdec").over(wrange).cast("double").alias("hour_sum"),
+    )
