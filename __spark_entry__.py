@@ -56,6 +56,7 @@ _PRIORITY = [
     "stats_analyze",  # ANALYZE: one-pass multi-column stats (planner metadata)
     "events_histogram",  # fixed-range clamped bucketing, no sort
     "w3_rolling",  # ROWS + time-RANGE frame aggregates (one shuffle)
+    "f11_string_agg",  # ordered LISTAGG via collect_list→array_sort→join
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -93,7 +94,6 @@ _PRIORITY = [
     "w1_serial_ids",
     "d3_uncertain_pairs",
     "d4_pair_scores",
-    "d6_rare_token_blocks",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -107,6 +107,7 @@ _TAIL = [
     "j3_singleton_coalesce",
     "w2_window_suite",
     "dedup_exact_norm",
+    "d6_rare_token_blocks",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

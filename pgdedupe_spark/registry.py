@@ -3196,3 +3196,34 @@ def w3_rolling(spark, sf_dir):
         F.count(F.lit(1)).over(wrun).alias("running_n"),
         F.sum("vdec").over(wrange).cast("double").alias("hour_sum"),
     )
+
+
+@query(
+    "f11_string_agg",
+    oracle="""
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY c_name) AS members,
+           count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > 9000
+    GROUP BY n_name
+    """,
+)
+def f11_string_agg(spark, sf_dir):
+    """Ordered string aggregation (PG string_agg / LISTAGG): Spark has no
+    ordered string_agg aggregate, so the deterministic spelling is
+    collect_list → array_sort → array_join — same one-shuffle aggregate
+    plan, with the ordering done per-group after collection (exact, not
+    partial-order-dependent). The selective acctbal filter keeps
+    per-group arrays bounded; unbounded groups would cap or bucket first
+    (same contract as A1's collect_list)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("members"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
