@@ -191,3 +191,39 @@ def test_events_user_state_single_shuffle(spark):
     plan = explain_str(registry.QUERIES["events_user_state"](spark, SF_DIR))
     assert _n_exchanges(plan) == 1, plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_cube_is_single_expand_aggregate(spark):
+    """A13: CUBE must evaluate as one Expand + aggregate, like ROLLUP —
+    one shuffle carries all four grouping sets."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["a13_cube"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_rolling_windows_share_one_partitioning(spark):
+    """W3: the ROWS frames and the time-RANGE frame all partition by
+    user_id — one hash exchange feeds every window, never one per
+    frame."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["w3_rolling"](spark, SF_DIR))
+    assert "Window" in plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_stats_analyze_single_scan(spark):
+    """ANALYZE reads the table once (single parquet scan) regardless of
+    column count — the oracle's UNION-of-scans shape is what the
+    operator avoids."""
+    import re
+
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["stats_analyze"](spark, SF_DIR))
+    # formatted plans name each node in the tree AND a details section —
+    # count unique node ids, not substring occurrences
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scan_ids) == 1, plan
