@@ -85,3 +85,39 @@ def test_query_cli_list(capsys):
     assert "a1_exact_collapse" in out and "dedup_minhash_lsh" in out
     assert out.count("✓") >= 45  # oracle-checked majority
     assert main(["definitely_not_a_query"]) == 2
+
+
+def test_sql_frontend_matches_dataframe_query(spark, sf_dir):
+    """S5 ad-hoc SQL bridge: the same statement over the registered views
+    must equal the DataFrame-API registry query — one Catalyst planner
+    under both front-ends."""
+    from pgdedupe_spark import registry
+    from pgdedupe_spark.query import run_sql
+
+    got = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
+    want = registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_frontend_events_view_has_ts_us(spark, sf_dir):
+    """The events view exposes the registry's exact-µs time convention."""
+    from pgdedupe_spark.query import run_sql
+
+    row = run_sql(
+        spark, sf_dir, "SELECT count(*) AS n, min(ts_us) AS lo FROM events"
+    ).collect()[0]
+    assert row.n > 0 and isinstance(row.lo, int)
