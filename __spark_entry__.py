@@ -57,6 +57,7 @@ _PRIORITY = [
     "events_histogram",  # fixed-range clamped bucketing, no sort
     "w3_rolling",  # ROWS + time-RANGE frame aggregates (one shuffle)
     "f11_string_agg",  # ordered LISTAGG via collect_list→array_sort→join
+    "events_retention",  # cohort retention matrix (2 aggs + broadcast join)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -93,7 +94,6 @@ _PRIORITY = [
     "g1_connected_components",
     "w1_serial_ids",
     "d3_uncertain_pairs",
-    "d4_pair_scores",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -108,6 +108,7 @@ _TAIL = [
     "w2_window_suite",
     "dedup_exact_norm",
     "d6_rare_token_blocks",
+    "d4_pair_scores",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

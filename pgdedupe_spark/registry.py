@@ -3227,3 +3227,44 @@ def f11_string_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(ts) % 604800000000 AS week_us
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week_us) AS cohort_week FROM e GROUP BY user_id
+    )
+    SELECT cohort.cohort_week,
+           CAST((e.week_us - cohort.cohort_week) / 604800000000 AS INT)
+             AS weeks_since,
+           count(DISTINCT e.user_id) AS n_users
+    FROM e JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    distinct in every subsequent activity week. Two aggregations + one
+    equi-join on user_id — the cohort frame is users-sized (≪ events), so
+    AQE broadcasts it back onto the weekly activity; integer µs week
+    arithmetic keeps both engines exact. The classic product-analytics
+    query no engine claiming 'events support' can skip."""
+    ev = _events(spark, sf_dir)
+    week = (F.col("ts_us") - F.col("ts_us") % F.lit(604_800_000_000)).alias("week_us")
+    e = ev.select("user_id", week)
+    cohort = e.groupBy("user_id").agg(F.min("week_us").alias("cohort_week"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.col("week_us") - F.col("cohort_week")) / F.lit(604_800_000_000))
+            .cast("int")
+            .alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
