@@ -71,6 +71,16 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "events_user_state",
     "ann_pq_topk",
+    # r5 third batch: MERGE/CDC snapshot rewrite, grouping sets, frame
+    # windows, ANALYZE, histogram, LISTAGG, cohort retention
+    "j10_merge_upsert",
+    "j11_cdc_apply",
+    "a13_cube",
+    "w3_rolling",
+    "stats_analyze",
+    "events_histogram",
+    "f11_string_agg",
+    "events_retention",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
