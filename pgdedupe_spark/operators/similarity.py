@@ -757,7 +757,7 @@ def pq_encode(
     #   array, ADC join) resolve against the cache, so the optimizer
     #   never re-walks the codebook expressions. At 100 TB this persist
     #   IS the product: codes are written once and every query scans the
-    #   12-byte codes, not the 256-byte vectors.
+    #   m-byte codes, not the dim×4-byte raw vectors.
     # Ties break to the lowest centroid index (strict < keeps the first
     # minimum), deterministically.
     best_exprs = []

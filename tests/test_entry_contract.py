@@ -1,0 +1,46 @@
+"""Driver-contract invariants for __spark_entry__.py — the bookkeeping
+that decides which queries the driver's 50-row correctness window
+actually checks. Broken rotation silently drops queries from the hard
+signal, so it is pinned here."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry
+
+from pgdedupe_spark import registry
+
+
+def test_ordering_covers_registry_exactly_once():
+    names = list(entry.queries())
+    assert len(names) == len(set(names)), "duplicate names in ordering"
+    expected = set(registry.QUERIES) - entry._BENCH_ONLY
+    assert set(names) == expected, (
+        set(names) ^ expected
+    )
+
+
+def test_window_is_exactly_fifty():
+    """The driver checks the FIRST 50 queries; the priority list must fill
+    the window exactly — a 51st priority entry silently falls out."""
+    names = list(entry.queries())
+    assert len(names) >= 50
+    in_priority = [n for n in entry._PRIORITY if n in registry.QUERIES]
+    assert len(in_priority) == 50, len(in_priority)
+    assert names[:50] == in_priority
+
+
+def test_every_oracle_has_a_query():
+    oracles = entry.oracle_sql()
+    queries = entry.queries()
+    assert set(oracles) <= set(queries)
+    # bench-only queries never appear in the driver ordering
+    assert not (entry._BENCH_ONLY & set(queries))
+
+
+def test_bench_headline_is_registered():
+    import bench
+
+    missing = [n for n in bench.HEADLINE if n not in registry.QUERIES]
+    assert not missing, missing
+    missing24 = [n for n in bench.LEGACY24 if n not in bench.HEADLINE]
+    assert not missing24, missing24
