@@ -58,6 +58,7 @@ _PRIORITY = [
     "w3_rolling",  # ROWS + time-RANGE frame aggregates (one shuffle)
     "f11_string_agg",  # ordered LISTAGG via collect_list→array_sort→join
     "events_retention",  # cohort retention matrix (2 aggs + broadcast join)
+    "events_gapfill",  # time_bucket_gapfill + LOCF (portable islands form)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -93,7 +94,6 @@ _PRIORITY = [
     "j6_update_join",
     "g1_connected_components",
     "w1_serial_ids",
-    "d3_uncertain_pairs",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -109,6 +109,7 @@ _TAIL = [
     "dedup_exact_norm",
     "d6_rare_token_blocks",
     "d4_pair_scores",
+    "d3_uncertain_pairs",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

@@ -289,3 +289,63 @@ def ordered_funnel(
         F.col("_s.stage").alias("stage"),
         F.col("_s.n_keys").alias("n_keys"),
     )
+
+
+def gapfill_locf(
+    df,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    bucket_us: int,
+):
+    """Gap-filled time buckets with last-observation-carried-forward — the
+    hypertable `time_bucket_gapfill` + `locf` analog.
+
+    Per key: generate the FULL bucket series spanning [min, max] of that
+    key's observed buckets (`sequence` + `explode` — JVM, no driver
+    loop), left-join the actual per-bucket aggregates, then carry the
+    last seen value forward into empty buckets.
+
+    LOCF deliberately avoids ``last(..., ignorenulls=True)``: the
+    portable islands formulation — a running count of non-null
+    observations assigns each empty bucket to its predecessor's island,
+    and ``max`` over (key, island) recovers the single non-null value —
+    uses only operators every SQL engine spells identically, so the
+    DuckDB oracle is the same algorithm, not a dialect cousin.
+
+    Scale: bucket count is span/bucket_us per key (independent of row
+    count); both windows and the join share one hash partitioning on the
+    key. A pathological key spanning decades at 1 s buckets densifies to
+    ~10⁹ rows — bound the span or coarsen the bucket, same contract as
+    any gapfill."""
+    from pyspark.sql import Window
+
+    b = (F.col(ts_us_col) - F.col(ts_us_col) % F.lit(int(bucket_us))).alias("bucket_us")
+    actual = df.groupBy(F.col(key_col), b).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(18,4)")).alias("_sv"),
+    )
+    span = actual.groupBy(key_col).agg(
+        F.min("bucket_us").alias("_lo"), F.max("bucket_us").alias("_hi")
+    )
+    buckets = span.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(bucket_us)))
+        ).alias("bucket_us"),
+    )
+    filled = buckets.join(actual, [key_col, "bucket_us"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = F.sum(F.when(F.col("_sv").isNotNull(), 1).otherwise(0)).over(w)
+    filled = filled.withColumn("_grp", grp)
+    wg = Window.partitionBy(key_col, "_grp")
+    return filled.select(
+        F.col(key_col),
+        "bucket_us",
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+        F.max("_sv").over(wg).cast("double").alias("locf_value"),
+    )

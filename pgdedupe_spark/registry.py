@@ -3268,3 +3268,54 @@ def events_retention(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH src AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    ), actual AS (
+      SELECT event_type,
+             ts_us - ts_us % 3600000000 AS bucket_us,
+             count(*) AS n_rows,
+             SUM(CAST(value AS DECIMAL(18,4))) AS sv
+      FROM src GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, min(bucket_us) AS lo, max(bucket_us) AS hi
+      FROM actual GROUP BY 1
+    ), buckets AS (
+      SELECT event_type, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+      FROM span
+    ), filled AS (
+      SELECT b.event_type, b.bucket_us, a.n_rows, a.sv,
+             SUM(CASE WHEN a.sv IS NOT NULL THEN 1 ELSE 0 END) OVER (
+               PARTITION BY b.event_type ORDER BY b.bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM buckets b
+      LEFT JOIN actual a USING (event_type, bucket_us)
+    )
+    SELECT event_type, bucket_us,
+           CAST(coalesce(n_rows, 0) AS BIGINT) AS n_rows,
+           CAST(MAX(sv) OVER (PARTITION BY event_type, grp) AS DOUBLE)
+             AS locf_value
+    FROM filled
+    """,
+)
+def events_gapfill(spark, sf_dir):
+    """Gap-filled hourly buckets with LOCF over a one-week window (the
+    hypertable `time_bucket_gapfill` + `locf` analog): every hour in each
+    type's observed span appears, empty hours carry the last seen hourly
+    sum forward. Bucket series generation is `sequence`+`explode` (JVM);
+    LOCF is the portable islands formulation (running non-null count →
+    max per island), so the oracle runs the SAME algorithm — see
+    operators/temporal.py gapfill_locf."""
+    from pgdedupe_spark.operators.temporal import gapfill_locf
+
+    ev = _events(spark, sf_dir).filter(
+        (F.col("ts_us") >= F.lit(1_704_412_800_000_000))
+        & (F.col("ts_us") < F.lit(1_705_017_600_000_000))
+    )
+    return gapfill_locf(ev, "event_type", "ts_us", "value", bucket_us=3_600_000_000)
