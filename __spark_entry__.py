@@ -100,6 +100,7 @@ _TAIL = [
     # IVFADC parity, and partition pruning are pytest-pinned
     # (tests/test_pq.py) — rotate it into the window in r6.
     "ann_pq_serve",
+    "multimodal_audio_native",  # new in r5; feature values pytest-pinned
     "dedup_incremental",
     "q1_pricing_summary",
     "q5_regional_revenue",

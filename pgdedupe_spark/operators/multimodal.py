@@ -13,8 +13,9 @@ CAPABILITY resolved at plan time (VERDICT r1 item 8):
   executor UDF), ``auto`` degrades to the deterministic ``fake`` decode,
   and ``fake`` always works;
 * ``native`` (VERDICT r4 item 4) is a REAL decode tier with zero optional
-  dependencies: a pure-numpy decoder for the self-describing uncompressed
-  image containers (P6 PPM, P5 PGM, 24-bit BI_RGB BMP). It exists so the
+  dependencies: pure-numpy decoders for the self-describing uncompressed
+  containers — images (P6 PPM, P5 PGM, 24-bit BI_RGB BMP) and audio
+  (RIFF/WAV PCM 8/16-bit). It exists so the
   real-decode path is exercisable and exactly testable in ANY deployment;
   it is never chosen by ``auto`` because, unlike ``fake``, it requires the
   payloads to actually BE one of those containers (auto must run on
@@ -71,7 +72,7 @@ def decode_capabilities() -> dict[str, bool]:
 
 
 # modalities with a dependency-free native container decoder in this module
-_NATIVE_DECODABLE = {"image"}
+_NATIVE_DECODABLE = {"image", "audio"}
 
 
 def resolve_decode_mode(mode: str, modality: str = "image") -> str:
@@ -79,9 +80,9 @@ def resolve_decode_mode(mode: str, modality: str = "image") -> str:
 
     'fake'   → always runs (deterministic byte-stat stand-in);
     'native' → pure-numpy decode of the self-describing uncompressed
-               containers (PPM/PGM/BMP) — no optional deps, but the
-               payloads must be those formats; plan-time error for
-               modalities without a native decoder;
+               containers (image: PPM/PGM/BMP; audio: RIFF/WAV PCM) — no
+               optional deps, but the payloads must be those formats;
+               plan-time error for modalities without a native decoder;
     'strict' → full-library decode, or DecodeCapabilityError here and now;
     'auto'   → 'strict' when lib-capable, else 'fake' (never 'native':
                auto must run on arbitrary payload bytes).
@@ -237,6 +238,74 @@ def _native_features(payload: bytes) -> np.ndarray:
     return _image_feature_vector(arr, w, h)
 
 
+def native_audio_decode(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy decode of RIFF/WAVE PCM — the audio member of the
+    dependency-free native tier (images: :func:`native_image_decode`).
+
+    Walks the RIFF chunk list (chunks may appear in any order and carry
+    odd-length padding); supports uncompressed PCM (format tag 1) at 8
+    bits (unsigned) or 16 bits (signed little-endian), any channel
+    count. Returns (n_samples × n_channels float64 array scaled to
+    [-1, 1], sample_rate). Raises ValueError for anything else — same
+    contract as the image decoder: mode='native' declares the payloads
+    ARE this container."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"unsupported audio container for native decode: {b[:4]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even byte boundaries
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 1 or bits not in (8, 16) or n_ch < 1:
+        raise ValueError(f"only PCM 8/16-bit WAV supported (tag={tag}, bits={bits})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+        x = raw.astype(np.float64) / 32768.0
+    else:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    n = (x.size // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate
+
+
+def _audio_feature_vector(x: np.ndarray, rate: int) -> np.ndarray:
+    """The audio real-decode feature convention (FEATURE_DIM doubles):
+    [sample_rate, n_samples, n_channels, duration_s, rms, peak, mean,
+    zero_crossing_rate] — mono-mixed for the signal stats."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    n = mono.size
+    zcr = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / max(n - 1, 1)
+    return np.array(
+        [
+            float(rate),
+            float(n),
+            float(x.shape[1] if x.ndim == 2 else 1),
+            n / float(rate) if rate else 0.0,
+            float(np.sqrt((mono**2).mean())) if n else 0.0,
+            float(np.abs(mono).max()) if n else 0.0,
+            float(mono.mean()) if n else 0.0,
+            zcr,
+        ]
+    )
+
+
+def _native_audio_features(payload: bytes) -> np.ndarray:
+    x, rate = native_audio_decode(bytes(payload))
+    return _audio_feature_vector(x, rate)
+
+
 def decode_features(
     df: DataFrame, mode: str = "fake", modality: str = "image", batch_hint: int | None = None
 ) -> DataFrame:
@@ -249,9 +318,10 @@ def decode_features(
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            native = _native_audio_features if modality == "audio" else _native_features
             decode = {
                 "strict": _pil_features,
-                "native": _native_features,
+                "native": native,
             }.get(mode, _fake_features)
             feats = [
                 decode(p if isinstance(p, (bytes, bytearray)) else bytes(p))

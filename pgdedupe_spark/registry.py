@@ -3319,3 +3319,43 @@ def events_gapfill(spark, sf_dir):
         & (F.col("ts_us") < F.lit(1_705_017_600_000_000))
     )
     return gapfill_locf(ev, "event_type", "ts_us", "value", bucket_us=3_600_000_000)
+
+
+@query("multimodal_audio_native")  # real WAV decode; no SQL analog — rows-only
+def multimodal_audio_native(spark, sf_dir):
+    """Native (dependency-free) REAL audio decode through the Spark
+    plumbing: deterministic PCM WAV payloads are synthesized driver-side
+    (sine sweeps keyed by media_id — a bounded fixture, like d5's labeled
+    pairs), decoded inside mapInPandas by the pure-numpy RIFF parser, and
+    reduced to the audio feature convention (rate, samples, channels,
+    duration, rms, peak, mean, zcr). Exact feature values are pinned in
+    tests/test_multimodal.py; this row keeps the decode path executing
+    under the driver's determinism check."""
+    import struct
+
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import decode_features
+
+    def wav(freq: int, rate: int = 8000, n: int = 2000) -> bytes:
+        t = np.arange(n) / float(rate)
+        data = (np.sin(2 * np.pi * freq * t) * 32767).astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = [(i, "audio", wav(220 + 110 * i)) for i in range(10)]
+    media = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    out = decode_features(media, mode="native", modality="audio")
+    # round the float stats so the driver's value hash is stable across
+    # numpy versions; container facts (rate/samples/channels) stay exact
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.col("features")[0], 6).alias("sample_rate"),
+        F.round(F.col("features")[1], 6).alias("n_samples"),
+        F.round(F.col("features")[2], 6).alias("n_channels"),
+        F.round(F.col("features")[4], 6).alias("rms"),
+        F.round(F.col("features")[7], 6).alias("zcr"),
+    )

@@ -205,3 +205,80 @@ def test_sample_frames_fan_out(spark, media):
     assert b"".join(bytes(f.payload) for f in frames1) == b"hello world, this is a payload"
     # empty payload → 4 empty frames, no crash
     assert all(f.n_bytes == 0 for f in by_id[3])
+
+
+def _wav_bytes(samples, rate, bits=16, n_ch=1):
+    """Minimal RIFF/WAVE PCM writer for fixtures: interleaved samples in
+    [-1, 1] → container bytes (no wave module, no deps)."""
+    import numpy as np
+    import struct
+
+    x = np.asarray(samples, dtype=np.float64).reshape(-1, n_ch)
+    if bits == 16:
+        data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+    else:
+        data = ((np.clip(x, -1, 1) * 127) + 128).astype("u1").tobytes()
+    block = n_ch * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * block, block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_native_audio_decode_exact():
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import native_audio_decode
+
+    t = np.arange(8000) / 8000.0
+    sine = np.sin(2 * np.pi * 440 * t)
+    x, rate = native_audio_decode(_wav_bytes(sine, 8000))
+    assert rate == 8000 and x.shape == (8000, 1)
+    # 16-bit quantization error only (truncating writer + 32767/32768
+    # scale mismatch bound it by ~2 LSB)
+    assert float(np.abs(x[:, 0] - np.clip(sine, -1, 1)).max()) < 1 / 8000
+
+    # stereo 8-bit: channels preserved, unsigned-offset decode
+    st = np.stack([sine, -sine], axis=1)
+    x2, rate2 = native_audio_decode(_wav_bytes(st, 16000, bits=8, n_ch=2))
+    assert rate2 == 16000 and x2.shape == (8000, 2)
+    assert float(np.abs(x2[:, 0] + x2[:, 1]).max()) <= 2 / 127
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native_audio_decode(b"OggS....")
+
+
+def test_native_audio_features_through_spark(spark):
+    """mode='native', modality='audio' runs the real WAV decoder inside
+    mapInPandas; features carry the exact container facts (rate, samples,
+    channels, duration)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import decode_features
+
+    t = np.arange(4000) / 8000.0
+    payloads = [
+        (1, "audio", _wav_bytes(np.sin(2 * np.pi * 440 * t), 8000)),
+        (2, "audio", _wav_bytes(np.zeros(100), 16000, bits=8, n_ch=2)),
+    ]
+    media = spark.createDataFrame(payloads, "media_id long, modality string, payload binary")
+    got = {r.media_id: r.features for r in decode_features(media, mode="native", modality="audio").collect()}
+    assert got[1][0] == 8000.0 and got[1][1] == 4000.0 and got[1][2] == 1.0
+    assert abs(got[1][3] - 0.5) < 1e-12  # 4000 samples @ 8 kHz = 0.5 s
+    assert abs(got[1][4] - np.sqrt(0.5)) < 0.01  # sine RMS ≈ 1/√2
+    assert got[2][0] == 16000.0 and got[2][2] == 2.0 and got[2][4] == 0.0
+
+
+def test_native_audio_mode_still_gated_for_video(spark):
+    from pgdedupe_spark.operators.multimodal import (
+        DecodeCapabilityError,
+        resolve_decode_mode,
+    )
+
+    import pytest as _pytest
+
+    assert resolve_decode_mode("native", "audio") == "native"
+    with _pytest.raises(DecodeCapabilityError):
+        resolve_decode_mode("native", "video")
