@@ -59,6 +59,9 @@ _PRIORITY = [
     "f11_string_agg",  # ordered LISTAGG via collect_list→array_sort→join
     "events_retention",  # cohort retention matrix (2 aggs + broadcast join)
     "events_gapfill",  # time_bucket_gapfill + LOCF (portable islands form)
+    "j12_full_outer",  # FULL OUTER with provenance (SMJ, not broadcastable)
+    "a14_except",  # EXCEPT set difference (a12's INTERSECT twin)
+    "f12_posexplode",  # positional explode (LATERAL VIEW posexplode)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -86,10 +89,9 @@ _PRIORITY = [
     "dedup_simhash",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    # -- r4-green fill: core pipeline + dedup/ANN families stay watched --
-    "j1_plural_block",
-    "j2_smaller_coverage",
-    "j7_candidate_pairs",
+    # -- r4-green fill: core pipeline + dedup/ANN families stay watched
+    # (j1/j2/j7 rotated to tail: pipeline_entity_map composes the same
+    # blocking chain in-window, and test_plans re-pins j1 every run) --
     "j5_exact_edges",
     "j6_update_join",
     "g1_connected_components",
@@ -111,6 +113,9 @@ _TAIL = [
     "d6_rare_token_blocks",
     "d4_pair_scores",
     "d3_uncertain_pairs",
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

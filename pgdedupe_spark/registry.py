@@ -3359,3 +3359,116 @@ def multimodal_audio_native(spark, sf_dir):
         F.round(F.col("features")[4], 6).alias("rms"),
         F.round(F.col("features")[7], 6).alias("zcr"),
     )
+
+
+@query(
+    "j12_full_outer",
+    oracle="""
+    WITH co AS (
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS cust_id,
+           coalesce(c_mktsegment, '') AS c_mktsegment,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(spend, 0.0) AS spend,
+           CASE WHEN c_custkey IS NULL THEN 'orphan_order'
+                WHEN o_custkey IS NULL THEN 'no_orders'
+                ELSE 'matched' END AS side
+    FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 0) c
+    FULL OUTER JOIN co ON c_custkey = o_custkey
+    """,
+)
+def j12_full_outer(spark, sf_dir):
+    """FULL OUTER join (the one outer-join shape j3/j5/j8/j9 don't
+    cover): positive-balance customers against per-customer HIGH-VALUE
+    order rollups, keeping unmatched rows from BOTH sides with a
+    provenance tag — all three provenances populated (orphan = big buyer
+    excluded by the balance predicate; no_orders = positive-balance
+    customer with no big order). Full outer cannot broadcast (both sides
+    must surface unmatched rows) — Spark plans a shuffle sort-merge join
+    on the key, the right call at any scale."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    co = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("spend"),
+        )
+    )
+    j = c.join(co, c.c_custkey == co.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_id"),
+        F.coalesce("c_mktsegment", F.lit("")).alias("c_mktsegment"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        F.when(F.col("c_custkey").isNull(), "orphan_order")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("side"),
+    )
+
+
+@query(
+    "a14_except",
+    oracle="""
+    SELECT c_custkey AS id FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def a14_except(spark, sf_dir):
+    """EXCEPT (set-difference semantics, dedup both sides — the INTERSECT
+    twin of a12): high-balance customers with no high-value order.
+    Plans as a LeftAnti join after distinct, same as the SQL spelling."""
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("id"))
+    )
+    return rich.subtract(big)
+
+
+@query(
+    "f12_posexplode",
+    oracle="""
+    WITH cov AS (
+      SELECT o_custkey, array_agg(o_orderkey ORDER BY o_orderkey) AS ids
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           CAST(u.pos - 1 AS INT) AS pos,
+           u.id AS o_orderkey
+    FROM (
+      SELECT o_custkey,
+             unnest(list_transform(range(1, len(ids) + 1),
+                    i -> {'pos': i, 'id': ids[i]})) AS u
+      FROM cov
+    )
+    """,
+)
+def f12_posexplode(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): each customer's
+    sorted order ids with their 0-based array position — the
+    position-carrying unnest F3's plain explode lacks. One aggregation +
+    one generate, no joins."""
+    cov = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("ids"))
+    )
+    return cov.select(
+        "o_custkey", F.posexplode("ids").alias("pos", "o_orderkey")
+    )
