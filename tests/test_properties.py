@@ -436,3 +436,56 @@ def test_time_weighted_avg_no_int64_overflow(spark):
     out = {r.k: r.twa_value for r in
            time_weighted_avg(df, "k", "ts", "v", tiebreak_col="ts").collect()}
     assert abs(out[1] - 15.0) < 1e-9, out
+
+
+# ---------------------------------------------------------------------------
+# MERGE/CDC properties: the snapshot-rewrite algebra a warehouse MERGE
+# guarantees — apply-twice == apply-once, empty feed == identity, and the
+# final state is a pure function of the compacted feed (order of the raw
+# feed is irrelevant once latest_change_per_key ran).
+# ---------------------------------------------------------------------------
+
+cdc_feed_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=8),  # key
+        st.sampled_from(["U", "D", "I"]),  # op
+        st.integers(min_value=0, max_value=100),  # payload
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(feed=cdc_feed_strategy)
+def test_cdc_apply_is_idempotent_and_order_free(spark, feed):
+    from pgdedupe_spark.operators.merge import apply_cdc, latest_change_per_key
+
+    target = spark.createDataFrame(
+        [(k, 1000 + k) for k in range(1, 5)], "id long, bal long"
+    )
+    rows = [(k, op, v, seq) for seq, (k, op, v) in enumerate(feed, start=1)]
+    if not rows:
+        rows = [(99, "D", 0, 1)]  # delete of an absent key: identity
+    changes = spark.createDataFrame(rows, "id long, op string, bal long, seq int")
+    compacted = latest_change_per_key(changes, ["id"], "seq").drop("seq")
+
+    once = apply_cdc(target, compacted, ["id"])
+    got_once = sorted(map(tuple, once.collect()))
+
+    # idempotence: re-applying the same compacted feed to the result is a
+    # no-op (upserts rewrite identical rows, deletes hit absent keys)
+    twice = apply_cdc(once, compacted, ["id"])
+    assert sorted(map(tuple, twice.collect())) == got_once
+
+    # reference semantics: dict-replay of the compacted feed
+    state = {k: 1000 + k for k in range(1, 5)}
+    final = {}
+    for k, op, v, _seq in rows:
+        final[k] = (op, v)
+    for k, (op, v) in final.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got_once == sorted((k, v) for k, v in state.items())
