@@ -62,6 +62,7 @@ _PRIORITY = [
     "j12_full_outer",  # FULL OUTER with provenance (SMJ, not broadcastable)
     "a14_except",  # EXCEPT set difference (a12's INTERSECT twin)
     "f12_posexplode",  # positional explode (LATERAL VIEW posexplode)
+    "a15_union_by_name",  # schema-aligned union (unionByName, null-filled)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -90,9 +91,8 @@ _PRIORITY = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     # -- r4-green fill: core pipeline + dedup/ANN families stay watched
-    # (j1/j2/j7 rotated to tail: pipeline_entity_map composes the same
+    # (j1/j2/j7/j5 rotated to tail: pipeline_entity_map composes the same
     # blocking chain in-window, and test_plans re-pins j1 every run) --
-    "j5_exact_edges",
     "j6_update_join",
     "g1_connected_components",
     "w1_serial_ids",
@@ -116,6 +116,7 @@ _TAIL = [
     "j1_plural_block",
     "j2_smaller_coverage",
     "j7_candidate_pairs",
+    "j5_exact_edges",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

@@ -3472,3 +3472,39 @@ def f12_posexplode(spark, sf_dir):
     return cov.select(
         "o_custkey", F.posexplode("ids").alias("pos", "o_orderkey")
     )
+
+
+@query(
+    "a15_union_by_name",
+    oracle="""
+    SELECT id, name, kind, acctbal FROM (
+      SELECT c_custkey AS id, c_name AS name, 'customer' AS kind,
+             c_acctbal AS acctbal
+      FROM customer
+      UNION ALL BY NAME
+      SELECT 'supplier' AS kind, s_suppkey + 1000000 AS id,
+             s_name AS name, CAST(NULL AS DOUBLE) AS acctbal
+      FROM supplier
+    )
+    """,
+)
+def a15_union_by_name(spark, sf_dir):
+    """Schema-aligned union of heterogeneous sources (`unionByName` with
+    allowMissingColumns — DuckDB's UNION ALL BY NAME): customers and
+    suppliers into one entity frame, matching columns by NAME not
+    position, absent columns null-filled. The ingestion-union shape every
+    multi-source pipeline hits; zero shuffles (a union is concatenation)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"),
+        (F.col("s_suppkey") + 1000000).alias("id"),
+        F.col("s_name").alias("name"),
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "id", "name", "kind", "acctbal"
+    )
