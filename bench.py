@@ -81,6 +81,8 @@ HEADLINE = [
     "events_histogram",
     "f11_string_agg",
     "events_retention",
+    "events_gapfill",
+    "j12_full_outer",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
