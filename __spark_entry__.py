@@ -63,6 +63,7 @@ _PRIORITY = [
     "a14_except",  # EXCEPT set difference (a12's INTERSECT twin)
     "f12_posexplode",  # positional explode (LATERAL VIEW posexplode)
     "a15_union_by_name",  # schema-aligned union (unionByName, null-filled)
+    "events_attribution",  # batch twin of the stream-stream join (parity pinned)
     "ann_pq_topk",  # product-quantization ADC (rows-only; recall pinned)
     # -- oracle/code changed in r5 (ADVICE fixes): must re-verify --
     "events_time_weighted",  # decimal-before-multiply + HUGEINT oracle
@@ -95,7 +96,6 @@ _PRIORITY = [
     # blocking chain in-window, and test_plans re-pins j1 every run) --
     "j6_update_join",
     "g1_connected_components",
-    "w1_serial_ids",
 ]
 _TAIL = [
     # ann_pq_serve is new in r5 but the window is full; its recall,
@@ -117,6 +117,7 @@ _TAIL = [
     "j2_smaller_coverage",
     "j7_candidate_pairs",
     "j5_exact_edges",
+    "w1_serial_ids",
     # green in r4 (CORRECTNESS_r04) — rotate back into the window in r6 so
     # no query goes >2 rounds without a driver row. ann_cosine_topk is
     # additionally exercised every pytest run as the recall anchor for all

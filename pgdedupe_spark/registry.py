@@ -3508,3 +3508,51 @@ def a15_union_by_name(spark, sf_dir):
     return c.unionByName(s, allowMissingColumns=True).select(
         "id", "name", "kind", "acctbal"
     )
+
+
+@query(
+    "events_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, purchase_id, click_id, purchase_us, click_us, amount
+    FROM c JOIN p ON c.user_id = p.user_id
+     AND click_us < purchase_us
+     AND click_us >= purchase_us - 3600000000
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """Attribution join: every purchase matched to the same user's clicks
+    in the preceding hour — the batch twin of the stream-STREAM join
+    (streaming/ops.py click_purchase_join_stream; parity pinned in
+    tests/test_streaming.py). An equi-join on user_id with the time range
+    as residual condition — hash join, never a nested loop; at 100 TB the
+    per-user key bounds the join and the hour bound is what lets the
+    streaming version drop state."""
+    ev = _events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("click_us") < F.col("purchase_us"))
+            & (F.col("click_us") >= F.col("purchase_us") - F.lit(3_600_000_000)),
+        )
+        .select("user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount")
+    )

@@ -189,3 +189,56 @@ def run_to_memory_table(sdf: DataFrame, name: str, output_mode: str = "append") 
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def click_purchase_join_stream(
+    events: DataFrame, window: str = "1 hour", delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM inner join: each purchase joined to the same user's
+    clicks in the preceding ``window`` — the attribution join, and the one
+    streaming shape the other ops here don't cover (two unbounded sides).
+
+    State on BOTH sides is bounded by the watermark + the time-range
+    condition: a click can only match purchases within ``window`` after
+    it, so once the watermark passes click_time + window the click's
+    state row drops. Without the range condition the join would be
+    rejected (unbounded state) — Structured Streaming enforces exactly
+    the discipline a 100 TB deployment needs anyway. The batch twin
+    (registry `events_attribution`) is the same logical join; parity is
+    pinned in tests/test_streaming.py."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_time", delay)
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_time < purchase_time AND
+            click_time >= purchase_time - INTERVAL {window}
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_time",
+        "click_time",
+        "amount",
+    )

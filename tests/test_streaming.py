@@ -155,3 +155,25 @@ def test_stateful_final_state_matches_registry(spark):
     want = registry.QUERIES["events_user_state"](spark, SF_DIR)
     cols = ["user_id", "n_events", "last_seen_us"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_stream_join_parity(spark):
+    """The stream-STREAM attribution join (two unbounded sides, state
+    bounded by watermark + time-range condition) must equal the batch
+    twin `events_attribution` — the parity contract extended to the last
+    uncovered streaming shape."""
+    from pgdedupe_spark import registry
+    from pgdedupe_spark.streaming.ops import click_purchase_join_stream
+
+    sdf = click_purchase_join_stream(read_events_stream(spark, SF_DIR))
+    got = run_to_memory_table(sdf, "t_attr").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_time").alias("purchase_us"),
+        F.unix_micros("click_time").alias("click_us"),
+        "amount",
+    )
+    want = registry.QUERIES["events_attribution"](spark, SF_DIR)
+    cols = ["user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount"]
+    assert _rows(got, cols) == _rows(want, cols)
