@@ -83,6 +83,7 @@ HEADLINE = [
     "events_retention",
     "events_gapfill",
     "j12_full_outer",
+    "merge_scale_probe",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

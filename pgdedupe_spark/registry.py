@@ -3556,3 +3556,47 @@ def events_attribution(spark, sf_dir):
         )
         .select("user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount")
     )
+
+
+@query("merge_scale_probe")  # bench-only: synthetic target, no parquet input
+def merge_scale_probe(spark, sf_dir):
+    """MERGE/CDC at volume: a hash-synthesized target (500k rows at
+    sf0.1) takes a mixed change feed (1% updates, 0.5% deletes, 0.2%
+    inserts) through compaction + apply in one snapshot rewrite. The
+    probe exists because the driver-table j10/j11 rows are dim-sized;
+    this exercises the regime the anti-join broadcast decision matters
+    in — the change set (~1.7% of keys) builds, the target streams.
+    Deterministic (spark.range + md5), bench-only like the ANN/Zipf
+    stress probes."""
+    from pgdedupe_spark.operators.merge import apply_cdc, latest_change_per_key
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n = max(100_000, int(5_000_000 * sf))
+    target = spark.range(n).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    upd = (
+        spark.range(0, n, 100)
+        .select(
+            "id", F.lit("updated").alias("payload"),
+            F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        )
+    )
+    upd2 = (
+        spark.range(0, n, 200)  # half the updated keys change AGAIN (seq 2 wins)
+        .select(
+            "id", F.lit("updated-again").alias("payload"),
+            F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        )
+    )
+    dels = spark.range(0, n, 211).select(
+        "id", F.lit(None).cast("string").alias("payload"),
+        F.lit("D").alias("op"), F.lit(1).alias("seq"),
+    )
+    ins = spark.range(n, n + n // 500).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload"),
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    feed = upd.unionByName(upd2).unionByName(dels).unionByName(ins)
+    compacted = latest_change_per_key(feed, ["id"], "seq").drop("seq")
+    return apply_cdc(target, compacted, ["id"])
