@@ -121,3 +121,20 @@ def test_sql_frontend_events_view_has_ts_us(spark, sf_dir):
         spark, sf_dir, "SELECT count(*) AS n, min(ts_us) AS lo FROM events"
     ).collect()[0]
     assert row.n > 0 and isinstance(row.lo, int)
+
+
+def test_maintenance_cli_stats_and_compact(spark, sf_dir, tmp_path, capsys):
+    """The maintenance surface is a thin shell over the pinned operators;
+    drive both subcommands in-process and check the printed facts."""
+    from pgdedupe_spark.maintenance import main
+
+    assert main(["stats", f"{sf_dir}/nation.parquet", "n_name"]) == 0
+    out = capsys.readouterr().out
+    assert "ndv=25" in out and "rows=25" in out
+
+    dst = str(tmp_path / "compacted")
+    assert main(["compact", f"{sf_dir}/orders.parquet", dst, "--target-mb", "1",
+                 "--sort-by", "o_orderkey"]) == 0
+    out = capsys.readouterr().out
+    assert "1500 rows" in out or "rows" in out
+    assert spark.read.parquet(dst).count() == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
