@@ -81,3 +81,39 @@ def test_lsh_stress_planted_recall(spark):
     assert len(top1) == 50
     hits = sum(1 for q, n in top1.items() if n == q - 1)
     assert hits >= 45, f"planted twin found at rank 1 for only {hits}/50 queries"
+
+
+def test_simhash_banding_is_pigeonhole_complete(spark):
+    """SimHash's pigeonhole band join must find EVERY pair with
+    Hamming(sig) ≤ 3 — recall 1.0 within the signature space, verified
+    against a driver-side brute force over all signature pairs. (The
+    signature→cosine estimation quality is simhash math, not an
+    implementation property; what the operator owes is completeness of
+    the candidate join, and this pins it.)"""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.dedup import simhash_column, word_tokens
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sigs = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id",
+            simhash_column(
+                F.transform(word_tokens(F.col("text")), lambda t: F.xxhash64(t))
+            ).alias("sig"),
+        ).collect()
+    }
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            x = (sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF
+            if bin(x).count("1") <= 3:
+                want.add((a, b))
+
+    got = _pairs(registry.QUERIES["dedup_simhash"](spark, SF_DIR), "id1", "id2")
+    assert got == want, (
+        f"banding missed {len(want - got)} pairs / invented {len(got - want)}"
+    )
