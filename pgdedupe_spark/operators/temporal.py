@@ -272,7 +272,14 @@ def ordered_funnel(
         )
     counted = firsts.select(
         *[F.when(reached[i], 1).otherwise(0).alias(f"_r{i}") for i in range(len(stages))]
-    ).agg(*[F.sum(f"_r{i}").alias(f"_n{i}") for i in range(len(stages))])
+    ).agg(
+        *[
+            # coalesce: SUM over ZERO keys is NULL, but an empty funnel's
+            # stage counts are 0 (oracle mirrors with coalesce(SUM..,0))
+            F.coalesce(F.sum(f"_r{i}"), F.lit(0).cast("bigint")).alias(f"_n{i}")
+            for i in range(len(stages))
+        ]
+    )
     # long form: (stage_no, stage, n_keys) — one row per stage
     rows = F.array(
         *[

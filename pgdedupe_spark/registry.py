@@ -2407,11 +2407,12 @@ def events_time_weighted(spark, sf_dir):
       FROM firsts
     )
     SELECT stage_no, stage, n_keys FROM (
-      SELECT 1 AS stage_no, 'signup' AS stage, CAST(SUM(r0) AS BIGINT) AS n_keys FROM reach
+      SELECT 1 AS stage_no, 'signup' AS stage,
+             CAST(coalesce(SUM(r0), 0) AS BIGINT) AS n_keys FROM reach
       UNION ALL
-      SELECT 2, 'view', CAST(SUM(r1) AS BIGINT) FROM reach
+      SELECT 2, 'view', CAST(coalesce(SUM(r1), 0) AS BIGINT) FROM reach
       UNION ALL
-      SELECT 3, 'purchase', CAST(SUM(r2) AS BIGINT) FROM reach
+      SELECT 3, 'purchase', CAST(coalesce(SUM(r2), 0) AS BIGINT) FROM reach
     )
     """,
 )

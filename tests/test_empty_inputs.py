@@ -1,0 +1,87 @@
+"""Empty-input robustness: every operator family must degrade to empty
+output — not crash — when a filter eliminates all rows upstream (the
+first thing that happens in production when a date predicate misses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _empty_customers(spark):
+    return spark.createDataFrame(
+        [], "c_custkey long, c_name string, c_mktsegment string, c_nationkey int, c_acctbal double"
+    )
+
+
+def test_collapse_blocking_pairs_on_empty(spark):
+    from pgdedupe_spark.operators.blocking import blocking_chain
+    from pgdedupe_spark.operators.collapse import collapse_exact_duplicates
+    from pgdedupe_spark.operators.pairs import candidate_pairs
+
+    entries = collapse_exact_duplicates(
+        _empty_customers(spark),
+        ["c_name", "c_mktsegment", "c_nationkey"],
+        "c_custkey",
+        "c_acctbal > 0",
+    )
+    assert entries.count() == 0
+    keys = F.array(F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")))
+    _, _, _, _, smaller = blocking_chain(entries, keys)
+    pairs = candidate_pairs(smaller, entries, ["c_name"])
+    assert pairs.count() == 0
+
+
+def test_connected_components_on_empty(spark):
+    from pgdedupe_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame([], "id1 long, id2 long")
+    assert connected_components(edges).count() == 0
+
+
+def test_merge_with_empty_sides(spark):
+    from pgdedupe_spark.operators.merge import apply_cdc, merge_upsert
+
+    t = spark.createDataFrame([(1, "a")], "id long, v string")
+    empty = spark.createDataFrame([], "id long, v string")
+    assert sorted(map(tuple, merge_upsert(t, empty, ["id"]).collect())) == [(1, "a")]
+    assert sorted(map(tuple, merge_upsert(empty, t, ["id"]).collect())) == [(1, "a")]
+    ech = spark.createDataFrame([], "id long, v string, op string")
+    assert sorted(map(tuple, apply_cdc(t, ech, ["id"]).collect())) == [(1, "a")]
+
+
+def test_gapfill_on_empty(spark):
+    from pgdedupe_spark.operators.temporal import gapfill_locf
+
+    ev = spark.createDataFrame([], "k string, ts_us long, v double")
+    assert gapfill_locf(ev, "k", "ts_us", "v", bucket_us=3_600_000_000).count() == 0
+
+
+def test_time_weighted_and_funnel_on_empty(spark):
+    from pgdedupe_spark.operators.temporal import ordered_funnel, time_weighted_avg
+
+    ev = spark.createDataFrame([], "k string, ts_us long, v double, e string")
+    assert time_weighted_avg(ev, "k", "ts_us", "v", tiebreak_col="e").count() == 0
+    fun = ordered_funnel(ev, "k", "ts_us", "e", stages=["a", "b"])
+    # funnel emits one row per stage with zero counts
+    rows = {(r.stage, r.n_keys) for r in fun.collect()}
+    assert rows == {("a", 0), ("b", 0)}
+
+
+def test_analyze_and_histogram_on_empty(spark):
+    from pgdedupe_spark.operators.stats import analyze_table, fixed_histogram
+
+    df = spark.createDataFrame([], "id long, s string")
+    got = {r.column: (r.n_rows, r.n_nulls, r.n_distinct) for r in analyze_table(df, ["id", "s"]).collect()}
+    assert got == {"id": (0, 0, 0), "s": (0, 0, 0)}
+    assert fixed_histogram(df, "id", ["s"], 0.0, 1.0, 4).count() == 0
+
+
+def test_pq_topk_on_empty_query_set(spark, sf_dir):
+    from pgdedupe_spark.operators.similarity import pq_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_cosine_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, query_filter="vec_id < 0"
+    )
+    assert out.count() == 0
