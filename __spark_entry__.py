@@ -30,13 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver checks exactly the first 50 queries per round, so the dict
-# below is PRIORITY-ordered and rotated each round: (1) queries whose code
-# or oracle changed this round, (2) queries with no driver row since r1
-# (the staleness debt called out in VERDICT r3), (3) strong r3-green rows
-# to fill the window. Everything pushed into the tail this round was green
-# in CORRECTNESS_r03 (or is a rows-only no_oracle check, the weakest
-# signal) and stays pinned by tests/test_oracle.py locally — rotate tail
-# back in next round so no query goes >2 rounds without a driver row.
+# below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
+# tests/test_entry_contract.py): (1) queries NEW this round, (2) queries
+# whose code or oracle changed, (3) the oldest-checked greens to fill the
+# window. Everything in _TAIL was green at its last driver check (r4, or
+# r5 via scripts/driver_sim locally for the newest) and stays pinned by
+# tests/test_oracle.py every pytest run — rotate the tail back in next
+# round so no query goes >2 rounds without a driver row; ann_pq_serve and
+# multimodal_audio_native (new in r5, tail-listed for space) go first.
 _PRIORITY = [
     # -- new in r5: end-to-end pipeline row, learned rules, index serving --
     "a1_exact_collapse",  # flagship (entry)
