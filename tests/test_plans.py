@@ -227,3 +227,23 @@ def test_stats_analyze_single_scan(spark):
     # count unique node ids, not substring occurrences
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
     assert len(scan_ids) == 1, plan
+
+
+def test_attribution_is_equi_join(spark):
+    """The attribution join must hash on user_id with the time range as a
+    residual — never a cartesian/nested-loop."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["events_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_retention_and_gapfill_no_python_or_cartesian(spark):
+    for name in ("events_retention", "events_gapfill"):
+        r = _report(spark, name)
+        assert not r["python_udf"], name
+        from pgdedupe_spark.plans.inspect import explain_str
+
+        plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
