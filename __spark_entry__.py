@@ -104,6 +104,9 @@ _TAIL = [
     # (tests/test_pq.py) — rotate it into the window in r6.
     "ann_pq_serve",
     "multimodal_audio_native",  # new in r5; feature values pytest-pinned
+    "pack_sequences",  # new in r5; prefix-sum scale path, oracle-eligible
+    "corpus_token_budget",  # new in r5; oracle-eligible
+    "q13_customer_distribution",  # new in r5; oracle-eligible
     "dedup_incremental",
     "q1_pricing_summary",
     "q5_regional_revenue",

@@ -1,0 +1,161 @@
+"""Sequence packing / token-budget selection (LLM training-data prep).
+
+Concat-then-chunk packing — the GPT-style recipe: concatenate documents in
+a deterministic order and slice the token stream into fixed ``ctx``-length
+blocks — is a *prefix-sum* problem. Each document occupies the global token
+interval ``[cum_before, cum_before + n_tok)``; the packs it overlaps are
+``start div ctx .. (end-1) div ctx``, and its contribution to each pack is
+pure interval arithmetic. Token-budget selection (take the best documents
+until a budget is filled, DoReMi/quality-sampling style) reads the same
+prefix sum against a threshold.
+
+Scale design (100 TB): a prefix sum over the whole corpus cannot use a
+single global window (one partition would sort everything — Spark even
+warns ``WindowExec: No Partition Defined``). :func:`prefix_sum` mirrors
+``add_deterministic_id`` (operators/ids.py): range-partition on the order
+key, cumulative-sum *within* partitions (parallel windows), then offset
+each partition by the broadcast cumulative totals of earlier partitions —
+two narrow passes, no global sort. The result is independent of where the
+range boundaries land because the order key is required to be unique.
+
+The reference has no packing analog (it stops at entity resolution); this
+module is part of the training-data extension family alongside
+operators/dedup.py and operators/curation.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_exprs: list[Column],
+    value_col: str,
+    out_col: str = "cum_before",
+    num_partitions: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exclusive running sum of ``value_col`` in ``order_exprs`` order,
+    without a single-partition sort.
+
+    1. ``repartitionByRange`` on the order key → non-overlapping ranges.
+    2. Within-partition exclusive cumulative sum (window partitioned by
+       partition id — parallel, no global sort).
+    3. Offset each partition by the total of earlier partitions; the
+       per-partition totals frame is one row per partition and is joined
+       back via broadcast.
+
+    ``order_exprs`` must define a total order (include a unique key as the
+    last expression) — otherwise ties could swap rows between runs. With a
+    total order, the output does not depend on where the sampled range
+    boundaries fall. ``materialize`` localCheckpoints the input first:
+    ``repartitionByRange`` samples its input to pick bounds, so a
+    non-trivial upstream would otherwise execute twice (same rationale as
+    ``add_deterministic_id``, operators/ids.py:49).
+    """
+    if num_partitions is None:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if materialize:
+        df = df.localCheckpoint(eager=True)
+    ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets.select("_pid", "_offset")), "_pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("_offset")
+                + F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    ctx: int,
+    order_exprs: list[Column] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing map: one row per (document, pack) overlap.
+
+    Documents are concatenated in ``order_exprs`` order (default: by
+    ``id_col``) and the token stream is cut into ``ctx``-sized packs.
+    Output columns:
+
+    * ``pack_id``    — which pack this slice lands in (0-based),
+    * ``doc_off``    — offset of the slice within the document,
+    * ``pack_off``   — offset of the slice within the pack,
+    * ``n_tok_in_pack`` — slice length.
+
+    Invariants (pinned in tests/test_packing.py): every pack except the
+    last holds exactly ``ctx`` tokens; per-document slice lengths sum to
+    the document's token count; zero-token documents contribute nothing.
+
+    All arithmetic is integer (``div``, not floating division) so the map
+    is exact at any corpus size. Output size is Σ ceil(n_tok/ctx) + (#docs
+    that straddle a boundary) ≈ input size — the explode is bounded.
+    """
+    if order_exprs is None:
+        order_exprs = [F.col(id_col).asc_nulls_first()]
+    base = df.filter(F.col(n_tokens_col) > F.lit(0))
+    c = prefix_sum(base, order_exprs, n_tokens_col, "_start", num_partitions)
+    start = F.col("_start")
+    end = start + F.col(n_tokens_col)
+    ctx_l = F.lit(ctx).cast("long")
+    first_pack = F.expr(f"_start div {ctx}")
+    last_pack = F.expr(f"(_start + {n_tokens_col} - 1) div {ctx}")
+    pack_lo = F.col("pack_id") * ctx_l  # pack's global token interval start
+    slice_lo = F.greatest(start, pack_lo)
+    slice_hi = F.least(end, pack_lo + ctx_l)
+    return (
+        c.withColumn("pack_id", F.explode(F.sequence(first_pack, last_pack)))
+        .select(
+            F.col(id_col),
+            F.col("pack_id").cast("long").alias("pack_id"),
+            (slice_lo - start).cast("long").alias("doc_off"),
+            (slice_lo - pack_lo).cast("long").alias("pack_off"),
+            (slice_hi - slice_lo).cast("long").alias("n_tok_in_pack"),
+        )
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    n_tokens_col: str,
+    budget: int,
+    order_exprs: list[Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Select documents in priority order until ``budget`` tokens are
+    taken; the document that crosses the budget line is truncated.
+
+    Adds ``cum_before`` (tokens taken by higher-priority documents),
+    ``take_tokens`` (this document's contribution, clipped to the
+    remaining budget) and ``truncated``. At scale the post-filter
+    ``cum_before < budget`` prunes everything past the boundary partition
+    — the prefix sum itself is the only full pass.
+    """
+    c = prefix_sum(df, order_exprs, n_tokens_col, "cum_before", num_partitions)
+    remaining = F.lit(budget).cast("long") - F.col("cum_before")
+    return (
+        c.filter(F.col("cum_before") < F.lit(budget))
+        .withColumn("take_tokens", F.least(F.col(n_tokens_col).cast("long"), remaining))
+        .withColumn("truncated", F.col(n_tokens_col) > remaining)
+    )

@@ -3601,3 +3601,137 @@ def merge_scale_probe(spark, sf_dir):
     feed = upd.unionByName(upd2).unionByName(dels).unionByName(ins)
     compacted = latest_change_per_key(feed, ["id"], "seq").drop("seq")
     return apply_cdc(target, compacted, ["id"])
+
+
+# ===========================================================================
+# Round 5 (fourth batch): sequence packing / token-budget selection — the
+# prefix-sum family of training-data ops (operators/packing.py) — and the
+# TPC-H Q13 shape (outer join with an ON-clause filter + double aggregation)
+# rounding out the OLAP join shapes.
+# ===========================================================================
+
+
+@query(
+    "pack_sequences",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      FROM tok WHERE n_tok > 0
+    ), e AS (
+      SELECT doc_id, n_tok, s,
+             unnest(generate_series(s // 128, (s + n_tok - 1) // 128)) AS pack_id
+      FROM c
+    )
+    SELECT doc_id, pack_id,
+           GREATEST(s, pack_id * 128) - s AS doc_off,
+           GREATEST(s, pack_id * 128) - pack_id * 128 AS pack_off,
+           LEAST(s + n_tok, (pack_id + 1) * 128) - GREATEST(s, pack_id * 128)
+             AS n_tok_in_pack
+    FROM e
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (GPT-style training-window prep):
+    concatenate `documents` in doc_id order, slice the whitespace-token
+    stream into 128-token packs, and emit the (doc, pack) overlap map with
+    in-doc/in-pack offsets. The global token offsets come from the
+    range-partitioned distributed prefix sum (operators/packing.py) — no
+    single-partition window anywhere in the plan; the oracle recomputes
+    the same map with a global window cumsum, so the driver row proves
+    the scale path reproduces the global order exactly."""
+    from pgdedupe_spark.operators.packing import pack_assignments
+    from pgdedupe_spark.operators.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_counts(docs, "doc_id", "text").select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tok")
+    )
+    return pack_assignments(toks, "doc_id", "n_tok", ctx=128)
+
+
+@query(
+    "corpus_token_budget",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (ORDER BY n_chars DESC NULLS LAST, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM tok
+    )
+    SELECT doc_id, n_tok, cum_before,
+           LEAST(n_tok, 10000 - cum_before) AS take_tokens,
+           n_tok > 10000 - cum_before AS truncated
+    FROM c
+    WHERE cum_before < 10000
+    """,
+)
+def corpus_token_budget(spark, sf_dir):
+    """Token-budget corpus selection (quality-sampling style): rank
+    documents by a priority order (longest-first here; any total order
+    works), take documents until a 10k-token budget is filled, truncating
+    the document that crosses the line. Same distributed prefix sum as
+    pack_sequences, read against a threshold; at scale the
+    `cum_before < budget` filter prunes everything past the boundary
+    range-partition."""
+    from pgdedupe_spark.operators.packing import token_budget_select
+    from pgdedupe_spark.operators.text import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = token_counts(docs, "doc_id", "text").select(
+        "doc_id", F.col("n_chars").alias("n_chars"), F.col("n_ws_tokens").alias("n_tok")
+    )
+    return token_budget_select(
+        toks,
+        "n_tok",
+        budget=10_000,
+        order_exprs=[F.col("n_chars").desc_nulls_last(), F.col("doc_id").asc_nulls_first()],
+    ).select("doc_id", "n_tok", "cum_before", "take_tokens", "truncated")
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with a predicate in the ON clause (it filters the join, NOT the
+    preserved side — customers with only urgent orders still appear with
+    c_count=0), then two aggregation levels. The right-side predicate is
+    legally pushed to the orders scan (PushedFilters, pinned in
+    tests/test_plans.py); the second agg's input is customer-sized, so
+    the whole distribution costs one shuffled join + two aggs."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ords = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per = (
+        cust.join(
+            ords,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != F.lit("1-URGENT")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

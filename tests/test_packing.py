@@ -1,0 +1,130 @@
+"""Sequence-packing / token-budget operators (operators/packing.py).
+
+The prefix sum is the load-bearing piece: it must equal a global-window
+cumulative sum for ANY partitioning (the range boundaries are sampled, so
+correctness can't depend on where they land), and the scale plan must not
+contain a global (no-partition-spec) window — that is the whole point of
+the operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pgdedupe_spark.operators.packing import (
+    pack_assignments,
+    prefix_sum,
+    token_budget_select,
+)
+
+
+def _docs(spark, n=137, seed=7):
+    # deterministic pseudo-random token counts incl. zeros and big docs
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.xxhash64(F.col("id") + seed), F.lit(300))).alias("n_tok"),
+    )
+    return df.withColumn(
+        "n_tok", F.when(F.col("doc_id") % 13 == 0, F.lit(0)).otherwise(F.col("n_tok"))
+    )
+
+
+def _global_cumsum(df, order_cols, value_col):
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    return df.withColumn("cum_before", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+
+
+def test_prefix_sum_matches_global_window(spark):
+    df = _docs(spark)
+    got = {
+        r.doc_id: r.cum_before
+        for r in prefix_sum(df, [F.col("doc_id").asc()], "n_tok", num_partitions=7).collect()
+    }
+    want = {
+        r.doc_id: r.cum_before
+        for r in _global_cumsum(df, [F.col("doc_id").asc()], "n_tok").collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_desc_order_and_partition_independence(spark):
+    df = _docs(spark, n=90)
+    order = [F.col("n_tok").desc_nulls_last(), F.col("doc_id").asc()]
+    want = {r.doc_id: r.cum_before for r in _global_cumsum(df, order, "n_tok").collect()}
+    for nparts in (1, 3, 16):
+        got = {
+            r.doc_id: r.cum_before
+            for r in prefix_sum(df, order, "n_tok", num_partitions=nparts).collect()
+        }
+        assert got == want, f"num_partitions={nparts}"
+
+
+def test_prefix_sum_plan_has_no_global_window(spark):
+    out = prefix_sum(_docs(spark), [F.col("doc_id").asc()], "n_tok", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan
+    for ln in plan.splitlines():
+        # the only windows over row data must be partitioned by _pid; the
+        # offsets window runs over the one-row-per-partition totals frame
+        if "Window" in ln and "n_tok" in ln:
+            assert "_pid" in ln, f"global window over row data:\n{ln}"
+
+
+def test_pack_invariants(spark):
+    ctx = 64
+    df = _docs(spark)
+    rows = pack_assignments(df, "doc_id", "n_tok", ctx=ctx, num_partitions=5).collect()
+    toks = {r.doc_id: r.n_tok for r in df.collect()}
+
+    # per-document: slices are contiguous from offset 0 and sum to n_tok
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in toks.items() if n > 0}
+    for d, slices in by_doc.items():
+        slices.sort(key=lambda r: r.doc_off)
+        assert slices[0].doc_off == 0
+        assert sum(s.n_tok_in_pack for s in slices) == toks[d]
+        off = 0
+        for s in slices:
+            assert s.doc_off == off
+            assert 0 <= s.pack_off < ctx
+            assert s.pack_off + s.n_tok_in_pack <= ctx
+            off += s.n_tok_in_pack
+
+    # per-pack: full except the last, and pack ids are dense from 0
+    by_pack = {}
+    for r in rows:
+        by_pack[r.pack_id] = by_pack.get(r.pack_id, 0) + r.n_tok_in_pack
+    n_packs = max(by_pack) + 1
+    assert set(by_pack) == set(range(n_packs))
+    total = sum(n for n in toks.values())
+    for pid, n in by_pack.items():
+        assert n == (ctx if pid < n_packs - 1 else total - ctx * (n_packs - 1))
+
+
+def test_budget_select_invariants(spark):
+    df = _docs(spark)
+    budget = 2_000
+    order = [F.col("n_tok").desc_nulls_last(), F.col("doc_id").asc()]
+    out = token_budget_select(df, "n_tok", budget, order, num_partitions=6).collect()
+    total = sum(r.n_tok for r in df.collect())
+
+    assert sum(r.take_tokens for r in out) == min(budget, total)
+    truncated = [r for r in out if r.truncated]
+    assert len(truncated) <= 1  # only the boundary document is clipped
+    for r in out:
+        assert r.cum_before < budget
+        assert r.take_tokens == min(r.n_tok, budget - r.cum_before)
+
+
+def test_empty_and_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert prefix_sum(empty, [F.col("doc_id").asc()], "n_tok").count() == 0
+    assert pack_assignments(empty, "doc_id", "n_tok", ctx=8).count() == 0
+    assert (
+        token_budget_select(empty, "n_tok", 10, [F.col("doc_id").asc()]).count() == 0
+    )
+    # all-zero token counts → no packs
+    zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_tok long")
+    assert pack_assignments(zeros, "doc_id", "n_tok", ctx=8).count() == 0
