@@ -84,6 +84,10 @@ HEADLINE = [
     "events_gapfill",
     "j12_full_outer",
     "merge_scale_probe",
+    # r5 fourth batch: prefix-sum packing family + Q13 outer-join shape
+    "pack_sequences",
+    "corpus_token_budget",
+    "q13_customer_distribution",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

@@ -247,3 +247,27 @@ def test_retention_and_gapfill_no_python_or_cartesian(spark):
 
         plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name
+
+
+def test_q13_on_clause_filter_pushed_to_orders_scan(spark):
+    """Q13: the ON-clause predicate on the null-producing side of a LEFT
+    OUTER join is legally pushed below the join — it must reach the orders
+    parquet scan as a pushed filter, and the preserved (customer) side
+    must NOT acquire any filter."""
+    r = _report(spark, "q13_customer_distribution")
+    assert any("o_orderpriority" in f for f in r["pushed_filters"]), r["pushed_filters"]
+
+
+def test_pack_prefix_sum_no_global_window(spark):
+    """pack_sequences / corpus_token_budget: the distributed prefix sum
+    must never plan a global (no-partition-spec) window over row data —
+    ordering runs inside rangepartitioning exchanges. The only permissible
+    global window is over the one-row-per-partition totals frame."""
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    for name in ("pack_sequences", "corpus_token_budget"):
+        plan = explain_str(registry.QUERIES[name](spark, SF_DIR))
+        assert "rangepartitioning" in plan.lower(), name
+        for ln in plan.splitlines():
+            if "Window" in ln and "n_tok" in ln:
+                assert "_pid" in ln, f"{name}: global window over row data:\n{ln}"
