@@ -162,7 +162,7 @@ _TAIL = [
 # synthetic-input benchmark queries: no parquet table input and/or not
 # DuckDB-reproducible (xxhash64-seeded corpus) — benched + pytest-pinned,
 # not part of the driver's oracle contract
-_BENCH_ONLY = {"dedup_ngram_zipf", "ann_lsh_stress", "merge_scale_probe"}
+_BENCH_ONLY = {"dedup_ngram_zipf", "ann_lsh_stress", "merge_scale_probe", "pack_scale_probe"}
 
 
 def _ordered_names() -> list[str]:

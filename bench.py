@@ -88,6 +88,7 @@ HEADLINE = [
     "pack_sequences",
     "corpus_token_budget",
     "q13_customer_distribution",
+    "pack_scale_probe",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

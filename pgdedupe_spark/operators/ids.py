@@ -53,14 +53,24 @@ def add_deterministic_id(
     2× on the collapse query's grouped frame). Turn it off when the input
     is a bare scan that is cheaper to re-read than to cache; on clusters
     with lossy executors swap for ``checkpoint()`` with a checkpoint dir.
+
+    The ranged frame is ALWAYS materialized before ``_pid`` is consumed:
+    ``spark_partition_id()`` is a physical-placement function evaluated
+    independently by the counts branch and the row_number branch, and AQE
+    may coalesce each branch's shuffle read differently — the branches
+    then disagree on ``_pid`` and the offsets silently misalign (observed
+    on the packing prefix sum at 2M rows; same machinery). The checkpoint
+    freezes one assignment that both branches read.
     """
     sort_exprs = [F.col(c).asc_nulls_first() for c in order_cols]
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     if materialize:
         df = df.localCheckpoint(eager=True)
-    ranged = df.repartitionByRange(num_partitions, *sort_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("_pid").count()
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -54,13 +54,24 @@ def prefix_sum(
     ``repartitionByRange`` samples its input to pick bounds, so a
     non-trivial upstream would otherwise execute twice (same rationale as
     ``add_deterministic_id``, operators/ids.py:49).
+
+    The ranged frame itself is ALWAYS materialized before ``_pid`` is
+    consumed: ``spark_partition_id()`` is a physical-placement function,
+    and the totals branch and the window branch would otherwise evaluate
+    it independently — AQE is free to coalesce each branch's shuffle read
+    differently, giving the two branches DISAGREEING ``_pid`` values and
+    silently misaligned offsets (observed at 2M rows). One executor-side
+    materialization freezes the assignment; swap for ``checkpoint(dir)``
+    on clusters with lossy executors.
     """
     if num_partitions is None:
         num_partitions = df.sparkSession.sparkContext.defaultParallelism
     if materialize:
         df = df.localCheckpoint(eager=True)
-    ranged = df.repartitionByRange(num_partitions, *order_exprs).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_exprs)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

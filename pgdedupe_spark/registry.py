@@ -3735,3 +3735,37 @@ def q13_customer_distribution(spark, sf_dir):
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query("pack_scale_probe")  # bench-only: synthetic corpus, no parquet input
+def pack_scale_probe(spark, sf_dir):
+    """Scale probe for the distributed prefix sum (operators/packing.py):
+    2M synthetic documents at sf0.1 (hash-derived token counts, avg ≈128)
+    through BOTH prefix-sum consumers — the concat-then-chunk pack map
+    (ctx=2048) and a half-corpus token-budget selection ordered by a
+    non-key column. At this size a global-window cumsum would sort 2M
+    rows in ONE task (the WindowExec warning regime); the probe pins the
+    wall-clock of the rangepartitioned path instead. Output is a 2-row
+    invariant summary (total slice tokens == total tokens; budget take
+    == budget), so the bench also re-checks correctness at scale."""
+    from pgdedupe_spark.operators.packing import pack_assignments, token_budget_select
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n = max(200_000, int(20_000_000 * sf))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(256)).alias("n_tok"),
+    )
+    packs = pack_assignments(docs, "doc_id", "n_tok", ctx=2048)
+    budget = n * 64  # ~half the corpus tokens
+    sel = token_budget_select(
+        docs, "n_tok", budget,
+        order_exprs=[F.col("n_tok").desc_nulls_last(), F.col("doc_id").asc()],
+    )
+    a = packs.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_tok_in_pack").alias("tok")
+    ).withColumn("part", F.lit("pack"))
+    b = sel.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("take_tokens").alias("tok")
+    ).withColumn("part", F.lit("budget"))
+    return a.unionByName(b)

@@ -31,17 +31,23 @@ def test_switch_changes_plan_not_answer(spark):
 
     # small path: a global (no-partition-spec) window is acceptable at dim
     # size; scale path: NO global window anywhere — ordering runs inside
-    # range partitions (rangepartitioning exchange) with a partitioned
-    # window, so no single task sorts the whole frame
+    # range partitions with a _pid-partitioned window, so no single task
+    # sorts the whole frame. The ranged+_pid frame is materialized (the
+    # rangepartitioning exchange lives inside the checkpointed lineage —
+    # ids.py docstring explains why _pid must be frozen), so the scale
+    # plan reads an ExistingRDD scan the small path never has.
     plan_small = small._jdf.queryExecution().executedPlan().toString()
     plan_big = big._jdf.queryExecution().executedPlan().toString()
 
-    assert "rangepartitioning" in plan_big.lower(), plan_big
+    assert "existingrdd" in plan_big.lower(), plan_big
     for ln in plan_big.splitlines():
         if "Window" in ln and "row_number" in ln:
             # partitioned window: the spec carries a partition expression
             # (spark renders global windows with an empty partition list)
             assert "_pid" in ln, f"global window in scale path:\n{ln}"
+    # (createDataFrame inputs scan an ExistingRDD too, so key the small
+    # path's check on the _pid machinery being absent instead)
+    assert "_pid" not in plan_small
     assert "rangepartitioning" not in plan_small.lower()
 
 

@@ -62,7 +62,12 @@ def test_prefix_sum_desc_order_and_partition_independence(spark):
 def test_prefix_sum_plan_has_no_global_window(spark):
     out = prefix_sum(_docs(spark), [F.col("doc_id").asc()], "n_tok", num_partitions=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower(), plan
+    # the ranged+_pid frame must be MATERIALIZED (spark_partition_id is a
+    # physical-placement function — without the checkpoint, the totals and
+    # window branches can read the exchange with different AQE coalescing
+    # and disagree on _pid; see packing.py docstring): the plan reads the
+    # frozen RDD, with the rangepartitioning exchange inside its lineage
+    assert "existingrdd" in plan.lower(), plan
     for ln in plan.splitlines():
         # the only windows over row data must be partitioned by _pid; the
         # offsets window runs over the one-row-per-partition totals frame
@@ -116,6 +121,27 @@ def test_budget_select_invariants(spark):
     for r in out:
         assert r.cum_before < budget
         assert r.take_tokens == min(r.n_tok, budget - r.cum_before)
+
+
+def test_scale_probe_invariants_at_floor_size(spark):
+    """pack_scale_probe's 2-row summary is itself an invariant check:
+    pack slices must conserve every token, and the budget take must hit
+    the budget EXACTLY (the r5 _pid/AQE-coalescing regression showed up
+    as take > budget — this pins the fix at the probe's floor size)."""
+    from pgdedupe_spark import registry
+
+    rows = {r.part: r for r in registry.QUERIES["pack_scale_probe"](spark, "sf0.001").collect()}
+    n = 200_000
+    assert rows["budget"].tok == n * 64
+    assert rows["pack"].tok > 0
+    # conservation: pack slices sum to the full corpus token count
+    from pyspark.sql import functions as F
+
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(256)).alias("n_tok"),
+    )
+    assert rows["pack"].tok == docs.agg(F.sum("n_tok")).collect()[0][0]
 
 
 def test_empty_and_degenerate_inputs(spark):
