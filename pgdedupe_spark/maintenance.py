@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("out")
     pc.add_argument("--target-mb", type=int, default=128)
     pc.add_argument("--sort-by", help="comma-separated sort/cluster columns")
+    pc.add_argument(
+        "--zorder-by",
+        help="comma-separated numeric columns for Morton-code (Z-order) "
+        "clustering — per-file min/max pruning in every listed dimension",
+    )
 
     pf = sub.add_parser("files", help="file count + bytes health check")
     pf.add_argument("path")
@@ -64,11 +69,13 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "compact":
         sort_by = args.sort_by.split(",") if args.sort_by else None
+        zorder_by = args.zorder_by.split(",") if args.zorder_by else None
         n0, b0 = table_file_stats(spark, args.path)
         out = compact_table(
             spark, args.path, args.out,
             target_file_bytes=args.target_mb * 1024 * 1024,
             sort_by=sort_by,
+            zorder_by=zorder_by,
         )
         n1, b1 = table_file_stats(spark, args.out)
         print(f"{n0} files ({b0} B) -> {n1} files ({b1} B), {out.count()} rows")

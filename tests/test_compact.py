@@ -52,3 +52,58 @@ def test_compact_sorted_files_cover_disjoint_ranges(spark, tmp_path):
     assert len(spans) == n_after
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev < lo_next, spans
+
+
+def test_zorder_bounds_every_dimension(spark, tmp_path):
+    """Z-order vs plain sort on two independent uniform columns: plain
+    sort_by=x gives disjoint x ranges but each file spans ~the full y
+    domain (a y predicate prunes nothing); Morton clustering bounds the
+    per-file span in BOTH dimensions, so predicates on either column
+    prune files. Pinned quantitatively: mean normalized per-file span
+    must stay under 0.5 in x AND y for z-order, while plain sort's mean
+    y span exceeds 0.9."""
+    src = str(tmp_path / "xy")
+    n = 40_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("y"),
+    )
+    df.repartition(16).write.parquet(src)
+    _, total = table_file_stats(spark, src)
+    target = max(1, total // 16)  # → 16 output files
+
+    def mean_spans(path):
+        rows = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        return (
+            sum(r.sx for r in rows) / len(rows) / 10_000,
+            sum(r.sy for r in rows) / len(rows) / 10_000,
+        )
+
+    plain = str(tmp_path / "plain")
+    compact_table(spark, src, plain, target_file_bytes=target, sort_by=["x"])
+    zz = str(tmp_path / "zz")
+    got = compact_table(spark, src, zz, target_file_bytes=target, zorder_by=["x", "y"])
+
+    assert got.count() == n
+    assert "_z" not in got.columns
+    sx_plain, sy_plain = mean_spans(plain)
+    sx_z, sy_z = mean_spans(zz)
+    assert sx_plain < 0.15          # sort key is tightly clustered...
+    assert sy_plain > 0.9           # ...but the other dimension is not
+    assert sx_z < 0.5 and sy_z < 0.5, (sx_z, sy_z)  # both bounded under z-order
+
+
+def test_zorder_rejects_combined_with_sort(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_table(spark, "in", "out", sort_by=["a"], zorder_by=["b"])
