@@ -274,3 +274,39 @@ def test_pack_prefix_sum_no_global_window(spark):
         for ln in plan.splitlines():
             if "Window" in ln and "n_tok" in ln:
                 assert "_pid" in ln, f"{name}: global window over row data:\n{ln}"
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark):
+    """100 TB shuffle joins (too big to broadcast) should benefit from
+    Spark's runtime bloom-filter semi-join reduction: a selective dim
+    side injects a bloom_filter_agg that prunes fact rows BEFORE the
+    shuffle. Our join shapes are plain equi-joins, so injection works
+    out of the box — pinned here with the thresholds a real cluster
+    would size (local test data is below the default 10 GB application
+    threshold, hence the overrides)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = registry._t(spark, SF_DIR, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        l = registry._t(spark, SF_DIR, "lineitem")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
