@@ -6,15 +6,19 @@ Usage::
 
     python -m pgdedupe_spark.maintenance stats   <table.parquet> [cols...]
     python -m pgdedupe_spark.maintenance compact <in.parquet> <out.parquet>
-        [--target-mb N] [--sort-by col[,col...]]
+        [--target-mb N] [--sort-by col[,col...] | --zorder-by col[,col...]]
     python -m pgdedupe_spark.maintenance files   <table.parquet>
+    python -m pgdedupe_spark.maintenance validate <table.parquet> <rules.json>
 
 `stats` prints per-column (rows, nulls, exact ndv) from ONE aggregation
 pass (operators/stats.analyze_table); `compact` rewrites shattered
-tables into size-targeted — optionally range-clustered — files
-(sources/io.compact_table); `files` prints the raw file-count/bytes
-health check. All three are thin shells over the library operators the
-tests pin, so the CLI adds surface, not logic.
+tables into size-targeted — optionally range- or Z-order-clustered —
+files (sources/io.compact_table); `files` prints the raw
+file-count/bytes health check; `validate` runs declarative expectation
+rules (operators/quality.validate_table — foreign_key rules reference
+another parquet table via "ref_path") and exits 1 if any rule fails.
+All are thin shells over the library operators the tests pin, so the
+CLI adds surface, not logic.
 """
 
 from __future__ import annotations
@@ -44,6 +48,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pf = sub.add_parser("files", help="file count + bytes health check")
     pf.add_argument("path")
+
+    pv = sub.add_parser("validate", help="run expectation rules; exit 1 on failure")
+    pv.add_argument("path")
+    pv.add_argument("rules", help="JSON file: list of rule dicts")
 
     args = p.parse_args(argv)
 
@@ -80,6 +88,24 @@ def main(argv: list[str] | None = None) -> int:
         n1, b1 = table_file_stats(spark, args.out)
         print(f"{n0} files ({b0} B) -> {n1} files ({b1} B), {out.count()} rows")
         return 0
+
+    if args.cmd == "validate":
+        import json
+
+        from pgdedupe_spark.operators.quality import validate_table
+
+        with open(args.rules) as fh:
+            rules = json.load(fh)
+        for r in rules:
+            if r.get("rule") == "foreign_key":
+                r["ref"] = spark.read.parquet(r.pop("ref_path"))
+        report = validate_table(spark.read.parquet(args.path), rules).collect()
+        failed = 0
+        for r in report:
+            mark = "ok  " if r.passed else "FAIL"
+            failed += 0 if r.passed else 1
+            print(f"{mark}  {r.rule:>12}({r.column})  violations={r.violations}")
+        return 1 if failed else 0
 
     return 2
 

@@ -138,3 +138,30 @@ def test_maintenance_cli_stats_and_compact(spark, sf_dir, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "1500 rows" in out or "rows" in out
     assert spark.read.parquet(dst).count() == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+
+def test_maintenance_cli_validate(spark, sf_dir, tmp_path, capsys):
+    """`validate` runs declarative rules against a parquet table and the
+    exit code reflects whether every expectation held."""
+    import json
+
+    from pgdedupe_spark.maintenance import main
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"rule": "not_null", "col": "doc_id"},
+        {"rule": "unique", "col": "doc_id"},
+        {"rule": "in_range", "col": "n_chars", "min": 0},
+    ]))
+    assert main(["validate", f"{sf_dir}/documents.parquet", str(rules)]) == 0
+    assert "ok" in capsys.readouterr().out
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([
+        {"rule": "in_set", "col": "lang", "values": ["en"]},
+        {"rule": "foreign_key", "col": "doc_id",
+         "ref_path": f"{sf_dir}/embeddings.parquet", "ref_col": "vec_id"},
+    ]))
+    rc = main(["validate", f"{sf_dir}/documents.parquet", str(bad)])
+    out = capsys.readouterr().out
+    assert rc == 1 and "FAIL" in out
