@@ -34,3 +34,23 @@ def test_histogram_clamps_out_of_range(spark):
     got = {(r.g, r.bucket): r.n for r in fixed_histogram(df, "v", ["g"], 0.0, 100.0, 10).collect()}
     # -5 clamps to bucket 0 (with 0.0); 9.99 → 0; 50 → 5; 999 clamps to 9
     assert got == {("t", 0): 3, ("t", 5): 1, ("t", 9): 1}
+
+
+def test_approx_percentile_rank_error_contract(spark, sf_dir):
+    """Sketch-accuracy contract for approximate percentiles (the quantile
+    sibling of the HLL 5% contract in events_approx_distinct): with
+    accuracy=10000 the KLL/GK sketch guarantees rank error <= n/accuracy,
+    so each approx quantile must land between the exact quantiles at
+    p +/- 0.01 — the bound a 100 TB deployment would size (exact
+    percentiles need a full sort per group; the sketch is one pass)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ps = [0.5, 0.9, 0.99]
+    row = ev.agg(
+        F.percentile_approx("value", ps, 10000).alias("approx"),
+        F.percentile("value", [max(p - 0.01, 0.0) for p in ps]).alias("lo"),
+        F.percentile("value", [min(p + 0.01, 1.0) for p in ps]).alias("hi"),
+    ).collect()[0]
+    for p, a, lo, hi in zip(ps, row.approx, row.lo, row.hi):
+        assert lo <= a <= hi, (p, a, lo, hi)
