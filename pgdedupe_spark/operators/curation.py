@@ -309,3 +309,53 @@ def weighted_mix(
     # would disagree by 1 on boundary hashes; floor on BOTH engines keeps
     # the oracle contract bit-exact
     return df.filter(bucket < F.floor(rate * F.lit(float(2**32))).cast("bigint"))
+
+
+def corpus_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    chosen by where u32(md5(salt‖id)) / 2³² falls in the cumulative
+    ``weights`` intervals (e.g. {"train": .98, "val": .01, "test": .01}).
+
+    Same hash discipline as :func:`weighted_mix`: per-row, scan-local
+    (zero shuffles), reproducible, and growth-stable — a document keeps
+    its split when the corpus grows, so later crawl batches can never
+    leak validation documents into training. Weights must sum to 1
+    (validated); boundary arithmetic uses explicit floor on the u32
+    domain so any engine reproduces the exact assignment."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        hi = F.lit(int(acc * float(2**32)))  # exact float→int floor boundary
+        clause = bucket < hi
+        expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
+    last = F.lit(items[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def corpus_shuffle_order(df: DataFrame, id_col: str, seed: int = 0):
+    """Deterministic pseudo-shuffle key for training-order randomization:
+    ``xxhash64(id, seed)`` as a sort key decorrelates the corpus from its
+    ingest order without an RNG. Writing the shuffled layout is
+    ``df.repartitionByRange(n, key).sortWithinPartitions(key)`` — range
+    partitioning keeps the global order across output files while every
+    partition sorts only itself (the compact_table discipline). A new
+    ``seed`` is a fresh epoch permutation; pair with
+    :func:`~pgdedupe_spark.operators.packing.pack_assignments` ordered by
+    this key to build shuffled fixed-length training windows."""
+    return F.xxhash64(F.col(id_col), F.lit(int(seed)))

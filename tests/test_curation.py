@@ -266,3 +266,54 @@ def test_cosine_pairs_guard(spark):
     with _pytest.raises(ValueError, match="O\\(n²\\) exact verifier|max_rows"):
         cosine_pairs(df, "vec_id", "embedding", max_rows=10)
     assert cosine_pairs(df, "vec_id", "embedding", max_rows=100).count() == 435
+
+
+def test_corpus_split_deterministic_growth_stable_and_proportional(spark):
+    from pgdedupe_spark.operators.curation import corpus_split
+
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in corpus_split(docs, "doc_id", weights).collect()}
+    # deterministic across runs
+    b = {r.doc_id: r.split for r in corpus_split(docs, "doc_id", weights).collect()}
+    assert a == b
+    # growth-stable: the same ids keep their split in a larger corpus
+    grown = spark.range(40_000).select(F.col("id").alias("doc_id"))
+    g = {r.doc_id: r.split for r in corpus_split(grown, "doc_id", weights).collect()}
+    assert all(g[k] == v for k, v in a.items())
+    # proportions within ~2% absolute of the weights at n=20k
+    from collections import Counter
+
+    frac = {k: v / len(a) for k, v in Counter(a.values()).items()}
+    for name, w in weights.items():
+        assert abs(frac.get(name, 0.0) - w) < 0.02, (name, frac)
+    # zero-shuffle plan: the decision is a scan-local projection
+    plan = corpus_split(docs, "doc_id", weights)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.curation import corpus_split
+
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    with _pytest.raises(ValueError):
+        corpus_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_corpus_shuffle_order_is_seeded_permutation(spark):
+    from pgdedupe_spark.operators.curation import corpus_shuffle_order
+
+    docs = spark.range(5_000).select(F.col("id").alias("doc_id"))
+    k0 = corpus_shuffle_order(docs, "doc_id", seed=0)
+    k1 = corpus_shuffle_order(docs, "doc_id", seed=1)
+    o0 = [r.doc_id for r in docs.orderBy(k0).collect()]
+    o0b = [r.doc_id for r in docs.orderBy(corpus_shuffle_order(docs, "doc_id", 0)).collect()]
+    o1 = [r.doc_id for r in docs.orderBy(k1).collect()]
+    assert o0 == o0b            # reproducible for a seed
+    assert o0 != o1             # different epoch, different permutation
+    assert sorted(o0) == sorted(o1) == list(range(5_000))  # true permutations
+    # decorrelated from ingest order: long runs of consecutive ids don't survive
+    runs = sum(1 for x, y in zip(o0, o0[1:]) if y == x + 1)
+    assert runs < 50
