@@ -177,3 +177,49 @@ def test_stream_stream_join_parity(spark):
     want = registry.QUERIES["events_attribution"](spark, SF_DIR)
     cols = ["user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_file_sink_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Operational contract: a restarted query resumes from its checkpoint
+    and the parquet sink stays exactly-once — files processed before the
+    stop are not re-emitted, files landed while the query was down are
+    picked up. This is the property that makes the streaming ingest +
+    compact_table maintenance loop safe to run unattended."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_batch(lo, hi, name):
+        spark.range(lo, hi).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") * 1000).alias("ts_us"),
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/{name}")
+
+    write_batch(0, 100, "b1")
+    schema = "event_id bigint, ts_us bigint"
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 100
+
+    # query is DOWN; new data lands; restart resumes from the checkpoint
+    write_batch(100, 250, "b2")
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 250                      # no reprocessing of b1
+    ids = sorted(r.event_id for r in got.collect())
+    assert ids == list(range(250))                 # every event exactly once
