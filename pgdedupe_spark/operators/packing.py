@@ -170,3 +170,40 @@ def token_budget_select(
         .withColumn("take_tokens", F.least(F.col(n_tokens_col).cast("long"), remaining))
         .withColumn("truncated", F.col(n_tokens_col) > remaining)
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    out_path: str,
+    ctx: int,
+    packs_per_shard: int,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The composed training-shard layout: epoch-shuffle the corpus
+    (seeded xxhash64 order — curation.corpus_shuffle_order), cut the
+    concatenated token stream into ``ctx``-length packs via the
+    distributed prefix sum, group packs into shards, and write the
+    (doc, pack) slice map partitioned by ``shard=``.
+
+    A trainer reading shard s gets exactly the documents+offsets needed
+    to assemble its packs (partition pruning on ``shard=``); a new
+    ``seed`` re-deals the whole corpus into a fresh epoch. Returns the
+    written frame (one row per doc×pack slice). Shard sizes are exact:
+    every shard holds ``packs_per_shard·ctx`` tokens except the last."""
+    from pgdedupe_spark.operators.curation import corpus_shuffle_order
+
+    order = [corpus_shuffle_order(docs, id_col, seed), F.col(id_col).asc()]
+    slices = pack_assignments(
+        docs, id_col, n_tokens_col, ctx, order_exprs=order,
+        num_partitions=num_partitions,
+    ).withColumn("shard", F.expr(f"pack_id div {int(packs_per_shard)}"))
+    (
+        slices.repartition("shard")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    return docs.sparkSession.read.parquet(out_path)

@@ -154,3 +154,37 @@ def test_empty_and_degenerate_inputs(spark):
     # all-zero token counts → no packs
     zeros = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, n_tok long")
     assert pack_assignments(zeros, "doc_id", "n_tok", ctx=8).count() == 0
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from pgdedupe_spark.operators.packing import write_training_shards
+
+    docs = _docs(spark, n=400)
+    total = sum(r.n_tok for r in docs.collect())
+    ctx, pps = 64, 4
+    out = str(tmp_path / "shards")
+    got = write_training_shards(docs, "doc_id", "n_tok", out, ctx=ctx, packs_per_shard=pps, seed=3)
+
+    # partition layout on disk: shard= directories, prunable
+    import os as _os
+
+    shards = sorted(d for d in _os.listdir(out) if d.startswith("shard="))
+    assert len(shards) >= 2
+
+    # token conservation and exact shard sizing (all but the last full)
+    per_shard = {
+        r.shard: r.tok
+        for r in got.groupBy("shard").agg(F.sum("n_tok_in_pack").alias("tok")).collect()
+    }
+    assert sum(per_shard.values()) == total
+    last = max(per_shard)
+    for s, tok in per_shard.items():
+        if s != last:
+            assert tok == ctx * pps, (s, tok)
+
+    # different seed ⇒ different deal (the epoch re-shuffle)
+    out2 = str(tmp_path / "shards2")
+    got2 = write_training_shards(docs, "doc_id", "n_tok", out2, ctx=ctx, packs_per_shard=pps, seed=4)
+    a = {(r.doc_id, r.pack_id) for r in got.collect()}
+    b = {(r.doc_id, r.pack_id) for r in got2.collect()}
+    assert a != b
