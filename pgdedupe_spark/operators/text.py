@@ -148,3 +148,37 @@ def tfidf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         tf.join(dfreq, "term")
         .select("doc", "term", "tf", (F.col("tf") * idf).alias("tfidf"))
     )
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-LM quality score (the CCNet/Gopher perplexity-filter idea
+    with the corpus itself as the language model): per document, the mean
+    log-probability of its tokens under the corpus unigram distribution
+    with add-one smoothing — ``p(t) = (count(t)+1) / (T+V)``. Documents
+    full of rare/garbled tokens score far below prose; thresholding on
+    ``mean_logprob`` is the quality gate.
+
+    Plan: one explode → token-count aggregation builds the LM (hash-
+    partitioned by token — the natural layout); per-doc scoring joins
+    doc-term counts against it on the token key and averages (AQE
+    broadcasts the vocabulary when small). Two scalar count actions (T,
+    V) are single-row collects. Everything stays JVM-side; ties to the
+    same ``tokens`` convention the rest of the text family pins."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_c"))
+    totals = lm.agg(
+        F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    ).collect()[0]
+    t_plus_v = float((totals._t or 0) + (totals._v or 0)) or 1.0
+    logp = F.log((F.col("_c") + F.lit(1.0)) / F.lit(t_plus_v))
+    per_tok = toks.join(lm, "term").select("doc", logp.alias("_lp"))
+    return (
+        per_tok.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("_lp").alias("mean_logprob"),
+        )
+        .withColumnRenamed("doc", id_col)
+    )

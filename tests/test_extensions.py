@@ -188,3 +188,36 @@ def test_ivf_lloyd_refinement(spark, docs):
         len(v) for v in want.values()
     )
     assert recall >= 0.5, f"refined IVF recall@5 too low: {recall:.2f}"
+
+
+def test_unigram_logprob_quality_signal(spark):
+    """Prose made of common tokens must outscore token soup, and the
+    numbers must match an exact replica computed in python from the same
+    tokenization (add-one smoothed corpus unigram LM)."""
+    import math
+
+    from pgdedupe_spark.operators.text import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "zqx jvk wpf qqq zzz xxy"),   # garbled: every token rare
+        (4, "the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.mean_logprob) for r in
+           unigram_logprob(df, "doc_id", "text").collect()}
+
+    # exact replica
+    import re
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in rows}
+    from collections import Counter
+    c = Counter(x for ts in toks.values() for x in ts)
+    t_plus_v = sum(c.values()) + len(c)
+    for d, ts in toks.items():
+        want = sum(math.log((c[x] + 1) / t_plus_v) for x in ts) / len(ts)
+        n, mlp = got[d]
+        assert n == len(ts)
+        assert abs(mlp - want) < 1e-12, (d, mlp, want)
+
+    assert got[4][1] > got[1][1] > got[3][1]  # common > prose > garbage
