@@ -489,3 +489,47 @@ def test_cdc_apply_is_idempotent_and_order_free(spark, feed):
         else:
             state[k] = v
     assert got_once == sorted((k, v) for k, v in state.items())
+
+
+# --- distributed prefix sum (operators/packing.py) ---------------------------
+
+prefix_strategy = st.lists(
+    st.integers(min_value=0, max_value=500), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(toks=prefix_strategy, nparts=st.integers(min_value=1, max_value=9))
+def test_prefix_sum_matches_python_cumsum(spark, toks, nparts):
+    """For any token-count list and any partition count, the distributed
+    prefix sum equals the sequential exclusive cumsum, and pack slices
+    conserve tokens with every non-final pack exactly full."""
+    from pgdedupe_spark.operators.packing import pack_assignments, prefix_sum
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(toks)], "doc_id long, n_tok long"
+    )
+    got = {
+        r.doc_id: r.cum_before
+        for r in prefix_sum(
+            df, [F.col("doc_id").asc()], "n_tok", num_partitions=nparts
+        ).collect()
+    }
+    acc, want = 0, {}
+    for i, n in enumerate(toks):
+        want[i] = acc
+        acc += n
+    assert got == want
+
+    ctx = 7
+    per_pack: dict[int, int] = {}
+    for r in pack_assignments(
+        df, "doc_id", "n_tok", ctx=ctx, num_partitions=nparts
+    ).collect():
+        per_pack[r.pack_id] = per_pack.get(r.pack_id, 0) + r.n_tok_in_pack
+    total = sum(toks)
+    assert sum(per_pack.values()) == total
+    if per_pack:
+        last = max(per_pack)
+        assert all(v == ctx for k, v in per_pack.items() if k != last)
