@@ -125,6 +125,11 @@ def zorder_column(df: DataFrame, cols: list[str], bits: int = 10):
     """
     from pyspark.sql import functions as F
 
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds the 63 usable bits "
+            "of a long — lower `bits` or cluster fewer columns"
+        )
     mm = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"_lo{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"_hi{i}") for i, c in enumerate(cols)],

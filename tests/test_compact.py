@@ -107,3 +107,13 @@ def test_zorder_rejects_combined_with_sort(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_table(spark, "in", "out", sort_by=["a"], zorder_by=["b"])
+
+
+def test_zorder_rejects_bit_overflow(spark, tmp_path):
+    import pytest as _pytest
+
+    from pgdedupe_spark.sources.io import zorder_column
+
+    df = spark.range(10).selectExpr(*[f"id as c{i}" for i in range(7)])
+    with _pytest.raises(ValueError):
+        zorder_column(df, [f"c{i}" for i in range(7)], bits=10)
