@@ -85,3 +85,18 @@ def test_pq_topk_on_empty_query_set(spark, sf_dir):
         emb, "vec_id", "embedding", dim=64, k=5, query_filter="vec_id < 0"
     )
     assert out.count() == 0
+
+
+def test_new_r5_ops_on_empty_frames(spark):
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.curation import corpus_split
+    from pgdedupe_spark.operators.quality import validate_table
+    from pgdedupe_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert unigram_logprob(docs, "doc_id", "text").count() == 0
+    w = {"train": 0.9, "val": 0.1}
+    assert corpus_split(docs, "doc_id", w).count() == 0
+    rep = validate_table(docs, [{"rule": "not_null", "col": "doc_id"}]).collect()
+    assert rep[0].passed
