@@ -188,3 +188,21 @@ def test_write_training_shards_layout(spark, tmp_path):
     a = {(r.doc_id, r.pack_id) for r in got.collect()}
     b = {(r.doc_id, r.pack_id) for r in got2.collect()}
     assert a != b
+
+
+def test_shard_read_prunes_partitions(spark, tmp_path):
+    """A trainer reading one shard must scan only that shard= directory:
+    the filter lands in the scan's PartitionFilters (same discipline the
+    persisted ANN indexes pin)."""
+    from pgdedupe_spark.operators.packing import write_training_shards
+
+    out = str(tmp_path / "shards")
+    write_training_shards(_docs(spark, n=300), "doc_id", "n_tok", out,
+                          ctx=64, packs_per_shard=2, seed=1)
+    one = spark.read.parquet(out).filter(F.col("shard") == 1)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "shard" in m.group(1), plan[:1500]
