@@ -72,7 +72,7 @@ def decode_capabilities() -> dict[str, bool]:
 
 
 # modalities with a dependency-free native container decoder in this module
-_NATIVE_DECODABLE = {"image", "audio"}
+_NATIVE_DECODABLE = {"image", "audio", "video"}
 
 
 def resolve_decode_mode(mode: str, modality: str = "image") -> str:
@@ -80,9 +80,10 @@ def resolve_decode_mode(mode: str, modality: str = "image") -> str:
 
     'fake'   → always runs (deterministic byte-stat stand-in);
     'native' → pure-numpy decode of the self-describing uncompressed
-               containers (image: PPM/PGM/BMP; audio: RIFF/WAV PCM) — no
-               optional deps, but the payloads must be those formats;
-               plan-time error for modalities without a native decoder;
+               containers (image: PPM/PGM/BMP; audio: RIFF/WAV PCM;
+               video: YUV4MPEG2) — no optional deps, but the payloads
+               must be those formats; plan-time error for modalities
+               without a native decoder;
     'strict' → full-library decode, or DecodeCapabilityError here and now;
     'auto'   → 'strict' when lib-capable, else 'fake' (never 'native':
                auto must run on arbitrary payload bytes).
@@ -306,6 +307,90 @@ def _native_audio_features(payload: bytes) -> np.ndarray:
     return _audio_feature_vector(x, rate)
 
 
+def native_video_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """Pure-numpy decode of YUV4MPEG2 (.y4m) — the video member of the
+    dependency-free native tier (image: PPM/PGM/BMP, audio: RIFF/WAV).
+
+    Y4M is the uncompressed interchange container every ffmpeg pipeline
+    can emit (`ffmpeg -i in.mp4 out.y4m`): an ASCII stream header
+    (``YUV4MPEG2 W.. H.. F<num>:<den> .. C<colorspace>``) followed by
+    ``FRAME``-delimited raw planar frames. Supports C420*/C422/C444/Cmono
+    plane geometry; returns (n_frames × H × W uint8 LUMA planes, fps).
+    Chroma planes are skipped over, not interpreted — luma carries the
+    features. Raises ValueError on anything else — mode='native'
+    declares the payloads ARE this container."""
+    b = bytes(payload)
+    nl = b.find(b"\n")
+    if not b.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError(f"unsupported video container for native decode: {b[:9]!r}")
+    w = h = 0
+    fps, cs = 0.0, "420"
+    for tok in b[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[:1] == "W":
+            w = int(t[1:])
+        elif t[:1] == "H":
+            h = int(t[1:])
+        elif t[:1] == "F" and ":" in t:
+            num, den = t[1:].split(":")
+            fps = int(num) / max(int(den), 1)
+        elif t[:1] == "C":
+            cs = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("420"):
+        frame_sz = w * h * 3 // 2
+    elif cs.startswith("422"):
+        frame_sz = w * h * 2
+    elif cs.startswith("444"):
+        frame_sz = w * h * 3
+    elif cs.startswith("mono"):
+        frame_sz = w * h
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{cs}")
+    frames, pos = [], nl + 1
+    while pos < len(b):
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME marker")
+        e = b.find(b"\n", pos)
+        if e < 0 or e + 1 + frame_sz > len(b):
+            raise ValueError("truncated Y4M frame")
+        pos = e + 1
+        frames.append(np.frombuffer(b, np.uint8, count=w * h, offset=pos).reshape(h, w))
+        pos += frame_sz
+    if not frames:
+        raise ValueError("Y4M stream holds no frames")
+    return np.stack(frames), fps
+
+
+def _video_feature_vector(frames: np.ndarray, fps: float) -> np.ndarray:
+    """The video real-decode feature convention (FEATURE_DIM doubles):
+    [n_frames, height, width, fps, duration_s, mean_luma, std_luma,
+    temporal_activity (mean |luma delta| between consecutive frames)]."""
+    n, h, w = frames.shape
+    f = frames.astype(np.float64)
+    activity = (
+        float(np.abs(np.diff(f, axis=0)).mean()) if n > 1 else 0.0
+    )
+    return np.array(
+        [
+            float(n),
+            float(h),
+            float(w),
+            float(fps),
+            n / fps if fps else 0.0,
+            float(f.mean()),
+            float(f.std()),
+            activity,
+        ]
+    )
+
+
+def _native_video_features(payload: bytes) -> np.ndarray:
+    frames, fps = native_video_decode(bytes(payload))
+    return _video_feature_vector(frames, fps)
+
+
 def decode_features(
     df: DataFrame, mode: str = "fake", modality: str = "image", batch_hint: int | None = None
 ) -> DataFrame:
@@ -318,7 +403,10 @@ def decode_features(
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            native = _native_audio_features if modality == "audio" else _native_features
+            native = {
+                "audio": _native_audio_features,
+                "video": _native_video_features,
+            }.get(modality, _native_features)
             decode = {
                 "strict": _pil_features,
                 "native": native,
@@ -427,12 +515,12 @@ def resize_media(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
 def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataFrame:
     """Frame-sampling stage (1 row → N rows — the mapInPandas shape built-in
     operators can't express): each video payload yields ``n_frames`` evenly
-    spaced frames. STUB decode: fake frames are contiguous byte slices
-    (ffmpeg/pyav would decode real ones); the fan-out semantics, schema,
-    and per-frame ordering are the tested contract. ``mode`` is
-    capability-resolved at plan time; the video probe (pyav) is False in
-    this container, so strict fails fast on the driver and the real-frame
-    branch is deliberately absent until a decoder exists."""
+    spaced frames. ``mode='native'`` REALLY decodes YUV4MPEG2 payloads
+    (:func:`native_video_decode`) and emits the sampled frames' raw luma
+    planes; ``fake`` frames are contiguous byte slices (the deterministic
+    stand-in for codecs that need pyav/ffmpeg — the strict probe is False
+    in this container and fails fast on the driver). Fan-out semantics,
+    schema, and per-frame ordering are the tested contract either way."""
     mode = resolve_decode_mode(mode, "video")  # strict → driver-side error
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,6 +528,18 @@ def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataF
             ids, idxs, payloads, sizes = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(p)
+                if mode == "native":
+                    frames, _fps = native_video_decode(b)
+                    picks = np.linspace(
+                        0, frames.shape[0] - 1, min(n_frames, frames.shape[0])
+                    ).astype(np.int64)
+                    for i, fi in enumerate(picks):
+                        frame = frames[fi].tobytes()
+                        ids.append(mid)
+                        idxs.append(i)
+                        payloads.append(frame)
+                        sizes.append(len(frame))
+                    continue
                 bounds = np.linspace(0, len(b), n_frames + 1).astype(np.int64)
                 for i in range(n_frames):
                     frame = b[bounds[i] : bounds[i + 1]]

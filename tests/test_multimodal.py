@@ -174,13 +174,14 @@ def test_native_resize_nearest_neighbor(spark):
 
 
 def test_native_mode_plan_time_gate(spark, media):
-    """'native' exists only for modalities with a dependency-free decoder:
-    image resolves, video/audio fail at plan time (driver-side)."""
+    """'native' exists only for modalities with a dependency-free decoder
+    (all three media kinds now have one); unknown modalities and missing
+    strict libraries still fail at plan time (driver-side)."""
     assert resolve_decode_mode("native", "image") == "native"
     with pytest.raises(DecodeCapabilityError, match="native"):
-        resolve_decode_mode("native", "video")
+        resolve_decode_mode("native", "pointcloud")
     with pytest.raises(DecodeCapabilityError):
-        sample_frames(media, mode="native")  # video-modality op, no .collect()
+        resolve_decode_mode("strict", "video")  # pyav absent here
 
 
 def test_resize_exact_output_size(spark, media):
@@ -271,7 +272,10 @@ def test_native_audio_features_through_spark(spark):
     assert got[2][0] == 16000.0 and got[2][2] == 2.0 and got[2][4] == 0.0
 
 
-def test_native_audio_mode_still_gated_for_video(spark):
+def test_native_mode_resolves_for_all_three_modalities(spark):
+    """Every modality now has a dependency-free native decoder (image:
+    PPM/PGM/BMP, audio: WAV, video: Y4M); unknown modalities still gate
+    at plan time."""
     from pgdedupe_spark.operators.multimodal import (
         DecodeCapabilityError,
         resolve_decode_mode,
@@ -279,6 +283,83 @@ def test_native_audio_mode_still_gated_for_video(spark):
 
     import pytest as _pytest
 
-    assert resolve_decode_mode("native", "audio") == "native"
+    for m in ("image", "audio", "video"):
+        assert resolve_decode_mode("native", m) == "native"
     with _pytest.raises(DecodeCapabilityError):
-        resolve_decode_mode("native", "video")
+        resolve_decode_mode("native", "pointcloud")
+
+
+def _y4m_bytes(frames, fps=(25, 1), colorspace="C420"):
+    """Deterministic YUV4MPEG2 fixture: luma planes supplied, chroma
+    filled with 128s sized per the colorspace."""
+    import numpy as np
+
+    n, h, w = frames.shape
+    chroma = {"C420": w * h // 2, "C422": w * h, "C444": w * h * 2, "Cmono": 0}[colorspace]
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 {colorspace}\n".encode())
+    for f in frames:
+        out += b"FRAME\n"
+        out += f.astype(np.uint8).tobytes()
+        out += bytes([128]) * chroma
+    return bytes(out)
+
+
+def test_native_video_decode_exact():
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import native_video_decode
+
+    h, w = 6, 8
+    frames = np.stack([np.full((h, w), 10 * (i + 1), np.uint8) for i in range(4)])
+    for cs in ("C420", "C422", "C444", "Cmono"):
+        got, fps = native_video_decode(_y4m_bytes(frames, colorspace=cs))
+        assert fps == 25.0
+        assert np.array_equal(got, frames), cs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        native_video_decode(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError):
+        native_video_decode(_y4m_bytes(frames)[:-5])  # truncated last frame
+
+
+def test_native_video_features_through_spark(spark):
+    """mode='native', modality='video' decodes Y4M inside mapInPandas;
+    features carry exact container facts and the temporal-activity
+    signal (|delta|=10 between consecutive constant frames)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import decode_features
+
+    h, w = 6, 8
+    frames = np.stack([np.full((h, w), 10 * (i + 1), np.uint8) for i in range(4)])
+    media = spark.createDataFrame(
+        [(1, "video", _y4m_bytes(frames))],
+        "media_id long, modality string, payload binary",
+    )
+    f = decode_features(media, mode="native", modality="video").collect()[0].features
+    assert f[0] == 4.0 and f[1] == float(h) and f[2] == float(w)
+    assert f[3] == 25.0 and abs(f[4] - 4 / 25.0) < 1e-12
+    assert f[5] == 25.0          # mean luma of 10,20,30,40
+    assert f[7] == 10.0          # constant +10 per frame step
+
+
+def test_native_frame_sampling_emits_real_luma_planes(spark):
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import sample_frames
+
+    h, w = 4, 4
+    frames = np.stack([np.full((h, w), 7 * i, np.uint8) for i in range(10)])
+    media = spark.createDataFrame(
+        [(1, "video", _y4m_bytes(frames))],
+        "media_id long, modality string, payload binary",
+    )
+    got = sorted(sample_frames(media, n_frames=4, mode="native").collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 1, 2, 3]
+    assert all(r.n_bytes == h * w for r in got)
+    picks = [0, 3, 6, 9]  # linspace(0, 9, 4)
+    for r, fi in zip(got, picks):
+        assert bytes(r.payload) == frames[fi].tobytes()
