@@ -359,3 +359,91 @@ def corpus_shuffle_order(df: DataFrame, id_col: str, seed: int = 0):
     :func:`~pgdedupe_spark.operators.packing.pack_assignments` ordered by
     this key to build shuffled fixed-length training windows."""
     return F.xxhash64(F.col(id_col), F.lit(int(seed)))
+
+
+def removable_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Keep-first policy for substring dedup (the action half of Lee et
+    al. — :func:`duplicated_spans` is the detector): a k-gram position in
+    doc D is *removable* when the same k-gram also appears in an earlier
+    document (min doc id < D), so exactly one copy of every duplicated
+    passage survives, in its earliest document. Consecutive removable
+    positions merge into maximal spans (same gaps-and-islands as the
+    detector). Output (id, span_start 1-based, span_len in tokens).
+
+    Scale: identical shuffle classes to duplicated_spans — k-gram
+    explode, one agg keyed by k-gram (min-doc + doc count piggyback on
+    the same pass), membership join, per-doc island window."""
+    w = word_tokens(F.col(text_col))
+    pos_kg = (
+        df.select(F.col(id_col), w.alias("_w"))
+        .filter(F.size("_w") >= k)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(F.col("_w")) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i, k)),
+                )
+            ).alias("_p0", "kg"),
+        )
+        .select(id_col, (F.col("_p0") + 1).cast("int").alias("pos"), "kg")
+    )
+    owners = (
+        pos_kg.groupBy("kg")
+        .agg(F.min(id_col).alias("_min_doc"), F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("kg", "_min_doc")
+    )
+    rem = (
+        pos_kg.join(owners, "kg")
+        .filter(F.col(id_col) > F.col("_min_doc"))
+        .select(id_col, "pos")
+        .distinct()
+    )
+    win = Window.partitionBy(id_col).orderBy("pos")
+    isl = rem.withColumn("_g", F.col("pos") - F.row_number().over(win))
+    return (
+        isl.groupBy(id_col, "_g")
+        .agg(
+            F.min("pos").cast("int").alias("span_start"),
+            (F.max("pos") - F.min("pos") + k).cast("int").alias("span_len"),
+        )
+        .drop("_g")
+    )
+
+
+def strip_spans(
+    df: DataFrame, spans: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove the given token spans from each document and rebuild the
+    text from the surviving tokens (space-joined normalized tokens — the
+    cleaned-corpus convention of substring dedup; docs without spans
+    keep their ORIGINAL text byte-for-byte).
+
+    Pure JVM: per-doc spans collect into an array column (bounded by the
+    doc's own span count), and a positional ``filter`` with a nested
+    ``exists`` drops covered tokens — no explode of the token stream, no
+    Python. One equi-join + one agg on the spans side."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("_spans")
+    )
+    w = word_tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731 — token position i+1 in any span?
+        F.col("_spans"),
+        lambda s: (i + 1 >= s["span_start"]) & (i + 1 < s["span_start"] + s["span_len"]),
+    )
+    kept = F.filter(w, lambda x, i: ~covered(i))
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.array_join(kept, " ")
+    )
+    n_removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(w) - F.size(kept)
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn("clean_text", out_text)
+        .withColumn("n_tokens_removed", n_removed.cast("int"))
+        .drop("_spans")
+    )

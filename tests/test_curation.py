@@ -317,3 +317,40 @@ def test_corpus_shuffle_order_is_seeded_permutation(spark):
     # decorrelated from ingest order: long runs of consecutive ids don't survive
     runs = sum(1 for x, y in zip(o0, o0[1:]) if y == x + 1)
     assert runs < 50
+
+
+def test_substring_dedup_keep_first_end_to_end(spark):
+    """removable_duplicate_spans + strip_spans: exactly one copy of every
+    duplicated passage survives, in its earliest document; unaffected
+    documents keep their original text byte-for-byte."""
+    from pgdedupe_spark.operators.curation import (
+        removable_duplicate_spans,
+        strip_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, f"intro one {shared} ending alpha"),
+        (2, f"intro TWO {shared} closing beta"),        # later copy → removable
+        (3, "totally unrelated Text! with, punctuation."),
+        (4, f"prefix four {shared} finale gamma"),      # another later copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = removable_duplicate_spans(df, "doc_id", "text", k=5)
+    got_spans = {(r.doc_id, r.span_start, r.span_len) for r in spans.collect()}
+    # docs 2 and 4 contain the 10-token shared passage at positions 3..12
+    assert got_spans == {(2, 3, 10), (4, 3, 10)}
+
+    out = {r.doc_id: r for r in strip_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == rows[0][1]              # earliest copy untouched
+    assert out[3].clean_text == rows[2][1]              # no spans → original text
+    assert out[1].n_tokens_removed == 0
+    assert out[2].clean_text == "intro two closing beta"  # rebuilt from kept tokens
+    assert out[4].clean_text == "prefix four finale gamma"
+    assert out[2].n_tokens_removed == 10 and out[4].n_tokens_removed == 10
+
+    # idempotence: a second detect pass on the cleaned corpus finds nothing
+    clean = strip_spans(df, spans, "doc_id", "text").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert removable_duplicate_spans(clean, "doc_id", "text", k=5).count() == 0
