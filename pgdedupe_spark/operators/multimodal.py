@@ -338,6 +338,8 @@ def native_video_decode(payload: bytes) -> tuple[np.ndarray, float]:
             cs = t[1:]
     if w <= 0 or h <= 0:
         raise ValueError("Y4M header missing W/H")
+    if any(d in cs for d in ("p10", "p12", "p14", "p16")):
+        raise ValueError(f"high-bit-depth Y4M (C{cs}) unsupported — 8-bit planes only")
     if cs.startswith("420"):
         frame_sz = w * h * 3 // 2
     elif cs.startswith("422"):

@@ -363,3 +363,15 @@ def test_native_frame_sampling_emits_real_luma_planes(spark):
     picks = [0, 3, 6, 9]  # linspace(0, 9, 4)
     for r, fi in zip(got, picks):
         assert bytes(r.payload) == frames[fi].tobytes()
+
+
+def test_native_video_rejects_high_bit_depth():
+    import numpy as np
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.multimodal import native_video_decode
+
+    frames = np.zeros((1, 2, 2), np.uint8)
+    payload = _y4m_bytes(frames).replace(b"C420", b"C420p10")
+    with _pytest.raises(ValueError, match="bit-depth"):
+        native_video_decode(payload)
