@@ -99,6 +99,11 @@ _PRIORITY = [
     "g1_connected_components",
 ]
 _TAIL = [
+    # r6 rotation is a wholesale swap: _TAIL below is EXACTLY 50 entries
+    # and _PRIORITY is exactly 50, covering all 100 driver-eligible
+    # queries in alternating rounds — keep it that way (new queries must
+    # displace into the other half or be bench/pytest-only), or the
+    # "no query >2 rounds without a driver row" promise breaks.
     # ann_pq_serve is new in r5 but the window is full; its recall,
     # IVFADC parity, and partition pruning are pytest-pinned
     # (tests/test_pq.py) — rotate it into the window in r6.
