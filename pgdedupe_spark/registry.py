@@ -3718,22 +3718,26 @@ def q13_customer_distribution(spark, sf_dir):
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
     join with a predicate in the ON clause (it filters the join, NOT the
     preserved side — customers with only urgent orders still appear with
-    c_count=0), then two aggregation levels. The right-side predicate is
-    legally pushed to the orders scan (PushedFilters, pinned in
-    tests/test_plans.py); the second agg's input is customer-sized, so
-    the whole distribution costs one shuffled join + two aggs."""
+    c_count=0), then two aggregation levels.
+
+    Plan choice: aggregate orders down to per-customer counts BEFORE the
+    outer join (count(o_orderkey) in the ON-filtered join ≡ the
+    pre-aggregated count, 0-coalesced) — the join's build side is then
+    customer-cardinality instead of orders-cardinality, so at 100 TB the
+    fact table shuffles once for its own aggregation and never carries
+    payload through the join (AQE broadcasts the counts frame). The
+    priority predicate still reaches the orders scan (PushedFilters,
+    pinned in tests/test_plans.py)."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
-    ords = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
-    per = (
-        cust.join(
-            ords,
-            (F.col("c_custkey") == F.col("o_custkey"))
-            & (F.col("o_orderpriority") != F.lit("1-URGENT")),
-            "left_outer",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != F.lit("1-URGENT"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
+    per = cust.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("c_count"))
     return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
