@@ -64,9 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     if args.capabilities:
         import json
 
-        from pgdedupe_spark.operators.multimodal import decode_capabilities
+        from pgdedupe_spark.operators.multimodal import (
+            _NATIVE_DECODABLE,
+            decode_capabilities,
+        )
 
-        print(json.dumps({"decode": decode_capabilities()}, sort_keys=True))
+        print(
+            json.dumps(
+                {
+                    "decode": decode_capabilities(),
+                    "native": sorted(_NATIVE_DECODABLE),
+                },
+                sort_keys=True,
+            )
+        )
         return 0
     missing = [n for n in ("config", "input", "output", "training") if not getattr(args, n)]
     if missing:

@@ -46,7 +46,10 @@ def test_capabilities_flag(capsys):
     without needing config/input/output/training (VERDICT r1 item 8)."""
     assert main(["--capabilities"]) == 0
     out = json.loads(capsys.readouterr().out.strip())
-    assert out == {"decode": {"audio": False, "image": False, "video": False}}
+    assert out == {
+        "decode": {"audio": False, "image": False, "video": False},
+        "native": ["audio", "image", "video"],
+    }
 
 
 def test_cli_end_to_end(spark, tmp_path):
