@@ -206,3 +206,19 @@ def test_shard_read_prunes_partitions(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "shard" in m.group(1), plan[:1500]
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Same seed → byte-identical shard assignment across writes (the
+    registry-wide determinism discipline, applied to the composed
+    layout writer)."""
+    from pgdedupe_spark.operators.packing import write_training_shards
+
+    docs = _docs(spark, n=250)
+    outs = []
+    for name in ("a", "b"):
+        out = str(tmp_path / name)
+        got = write_training_shards(docs, "doc_id", "n_tok", out,
+                                    ctx=64, packs_per_shard=3, seed=9)
+        outs.append(sorted(map(tuple, got.collect())))
+    assert outs[0] == outs[1]
