@@ -17,6 +17,10 @@ the registry don't already exercise):
 * q22-like  — decorrelated scalar-aggregate threshold + NOT EXISTS,
               cross-multiplied (bal·cnt > sum) so the compare is exact
               decimal on both engines (same trick as q17)
+* q2-like   — argmin-per-group via one struct-min aggregate
+* q11-like  — global-share HAVING, cross-multiplied scale-free threshold
+* q14-like  — conditional-aggregation ratio (promo revenue share)
+* q15-like  — argmax against a derived aggregate, ties preserved
 
 All money math follows the repo's decimal discipline: multiply/aggregate
 in DECIMAL(18,2), cast the final aggregate to DOUBLE.
@@ -243,4 +247,157 @@ def q22_idle_customers(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal")).cast("double").alias("totbal"),
         )
+    )
+
+
+@_q(
+    "q14_promo_share",
+    """
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4))
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+           AS DOUBLE) AS promo_share
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """Conditional-aggregation ratio (q14 promo-revenue share): both
+    sums accumulate in one pass over the joined frame; the division
+    runs once on the driver-visible scalar, decimal-ratioed identically
+    in both engines before the final double cast."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return (
+        l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).cast("decimal(38,4)").alias("_p"),
+            F.sum(rev).cast("decimal(38,4)").alias("_t"),
+        )
+        .select(
+            (F.lit(100.0) * F.col("_p") / F.col("_t")).cast("double").alias("promo_share")
+        )
+    )
+
+
+@_q(
+    "q11_heavy_parts",
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS v
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(v) AS DECIMAL(38,2)) AS t, COUNT(*) AS np FROM per_part
+    )
+    SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+    FROM per_part, tot
+    WHERE v * np * 2 > 3 * t
+    """,
+)
+def q11_heavy_parts(spark, sf_dir):
+    """Global-share HAVING (q11 pattern), scale-free form: keep parts
+    worth more than 1.5× the average part value (a fixed share fraction
+    empties as the part count grows). The comparison cross-multiplies
+    (2·v·n > 3·t ⇔ v > 1.5·t/n) so both engines compare exact decimals
+    instead of a rounded fraction; the 1-row total broadcasts onto the
+    per-part aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    per = l.groupBy("l_partkey").agg(
+        F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("_v")
+    )
+    tot = per.agg(
+        F.sum("_v").cast("decimal(38,2)").alias("_t"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("_v") * F.col("_np") * 2 > 3 * F.col("_t"))
+        .select("l_partkey", F.col("_v").cast("double").alias("part_value"))
+    )
+
+
+@_q(
+    "q2_min_balance_supplier",
+    """
+    WITH ranked AS (
+      SELECT p_partkey, s_suppkey, s_acctbal,
+             row_number() OVER (
+               PARTITION BY p_partkey ORDER BY s_acctbal, s_suppkey
+             ) AS rn
+      FROM (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey
+            FROM lineitem) ps
+      JOIN supplier ON s_suppkey = l_suppkey
+    )
+    SELECT p_partkey, s_suppkey AS best_suppkey,
+           CAST(s_acctbal AS DOUBLE) AS best_acctbal
+    FROM ranked WHERE rn = 1 AND p_partkey <= 100
+    """,
+)
+def q2_min_balance_supplier(spark, sf_dir):
+    """Argmin-per-group (the q2 min-supplycost pattern, on the
+    lineitem-derived part↔supplier bridge): a single struct-min
+    aggregate — min((acctbal, suppkey)) — replaces the rank window, so
+    one shuffle and deterministic tie-breaks by construction."""
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p_partkey"), "l_suppkey")
+        .filter(F.col("p_partkey") <= 100)
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    return (
+        ps.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_partkey")
+        .agg(F.min(F.struct("s_acctbal", "s_suppkey")).alias("_m"))
+        .select(
+            "p_partkey",
+            F.col("_m.s_suppkey").alias("best_suppkey"),
+            F.col("_m.s_acctbal").cast("double").alias("best_acctbal"),
+        )
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+               AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """Argmax vs a derived aggregate (q15 top-supplier view): the
+    revenue-per-supplier frame self-compares against its own scalar max
+    — ties all survive, exactly as the equality semantics demand. The
+    per-supplier frame computes ONCE (localCheckpoint) instead of
+    re-executing for the max branch (the self-join plan-shape rule)."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("decimal(38,4)")
+            .alias("_r")
+        )
+        .localCheckpoint(eager=True)
+    )
+    mx = rev.agg(F.max("_r").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_r") == F.col("_mx"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.col("_r").cast("double").alias("total_rev"))
     )
