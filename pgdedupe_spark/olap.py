@@ -21,6 +21,8 @@ the registry don't already exercise):
 * q11-like  — global-share HAVING, cross-multiplied scale-free threshold
 * q14-like  — conditional-aggregation ratio (promo revenue share)
 * q15-like  — argmax against a derived aggregate, ties preserved
+* GROUPING SETS — explicit non-hierarchical sets + GROUPING() id
+* ratio_to_report — window-over-aggregate share of total
 
 All money math follows the repo's decimal discipline: multiply/aggregate
 in DECIMAL(18,2), cast the final aggregate to DOUBLE.
@@ -400,4 +402,79 @@ def q15_top_supplier(spark, sf_dir):
         .filter(F.col("_r") == F.col("_mx"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", F.col("_r").cast("double").alias("total_rev"))
+    )
+
+
+@_q(
+    "q_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+           COALESCE(o_orderstatus,  '(all)') AS status,
+           GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS gid,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit non-hierarchical GROUPING SETS (two disjoint dimensions
+    + grand total — the case ROLLUP/CUBE can't express) with a
+    grouping-id disambiguator: still ONE Expand + one aggregation (the
+    a10/a13 plan discipline), via Spark SQL over a temp view."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, '(all)') AS pri,
+               COALESCE(o_orderstatus,  '(all)') AS status,
+               CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n_orders
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@_q(
+    "q_nation_share",
+    """
+    WITH per AS (
+      SELECT n_name, n_regionkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, n_regionkey
+    )
+    SELECT n_name,
+           CAST(bal AS DOUBLE) AS nation_bal,
+           CAST(bal AS DOUBLE)
+             / CAST(SUM(bal) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+             AS region_share
+    FROM per
+    """,
+)
+def q_nation_share(spark, sf_dir):
+    """Share-of-total via a window OVER an aggregate (ratio_to_report):
+    the per-nation aggregate shuffles once; the region-partitioned
+    window reuses nation-sized data (25 rows), never the fact table.
+    Sums stay exact DECIMAL (order-independent); only the FINAL ratio
+    divides as IEEE double — identical bits on both engines — because
+    decimal-division result-scale rules differ across engines (Spark
+    keeps scale 6, DuckDB widens) and would diverge in canonicalized
+    output."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    per = (
+        c.join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "n_regionkey")
+        .agg(F.sum(_dec("c_acctbal")).cast("decimal(38,2)").alias("_bal"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_regionkey")
+    return per.select(
+        "n_name",
+        F.col("_bal").cast("double").alias("nation_bal"),
+        (
+            F.col("_bal").cast("double") / F.sum("_bal").over(w).cast("double")
+        ).alias("region_share"),
     )
