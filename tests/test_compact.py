@@ -117,3 +117,24 @@ def test_zorder_rejects_bit_overflow(spark, tmp_path):
     df = spark.range(10).selectExpr(*[f"id as c{i}" for i in range(7)])
     with _pytest.raises(ValueError):
         zorder_column(df, [f"c{i}" for i in range(7)], bits=10)
+
+
+def test_zorder_handles_nulls_and_negatives(spark, tmp_path):
+    """NULLs scale to the low corner and negative domains min-max
+    normalize — no crash, full row parity, z column dropped."""
+    src = str(tmp_path / "nn")
+    df = spark.range(2_000).selectExpr(
+        "id",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE id - 1000 END AS x",
+        "CAST(id % 50 AS DOUBLE) - 25.0 AS y",
+    )
+    df.repartition(8).write.parquet(src)
+    _, total = table_file_stats(spark, src)
+    out = str(tmp_path / "nn_z")
+    got = compact_table(spark, src, out, target_file_bytes=max(1, total // 4),
+                        zorder_by=["x", "y"])
+    assert got.count() == 2_000
+    assert set(got.columns) == {"id", "x", "y"}
+    a = sorted(r.id for r in spark.read.parquet(src).collect())
+    b = sorted(r.id for r in got.collect())
+    assert a == b
