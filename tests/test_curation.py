@@ -354,3 +354,17 @@ def test_substring_dedup_keep_first_end_to_end(spark):
         "doc_id", F.col("clean_text").alias("text")
     )
     assert removable_duplicate_spans(clean, "doc_id", "text", k=5).count() == 0
+
+
+def test_strip_spans_empty_spans_is_identity(spark):
+    from pgdedupe_spark.operators.curation import strip_spans
+
+    df = spark.createDataFrame(
+        [(1, "Keep ALL of this, punctuation too!"), (2, None)],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame([], "doc_id long, span_start int, span_len int")
+    out = {r.doc_id: r for r in strip_spans(df, spans, "doc_id", "text").collect()}
+    assert out[1].clean_text == "Keep ALL of this, punctuation too!"
+    assert out[1].n_tokens_removed == 0
+    assert out[2].clean_text is None and out[2].n_tokens_removed == 0
