@@ -89,6 +89,12 @@ HEADLINE = [
     "corpus_token_budget",
     "q13_customer_distribution",
     "pack_scale_probe",
+    # r6: olap.py shapes promoted into the driver rotation (VERDICT r5 #3)
+    "q4_order_priority",
+    "q7_nation_flow",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
 ]
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
@@ -175,7 +181,13 @@ def main() -> None:
     if errors:
         out["errors"] = errors
         out["queries"] = {**warm, **{n: None for n in errors}}
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # tee to a file as well: BENCH_r05's stdout capture clipped the head of
+    # the JSON line and lost 34 warm entries — the file copy makes artifact
+    # truncation unable to lose data again (VERDICT r5 "What's wrong" #2)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
     spark.stop()
 
 

@@ -3773,3 +3773,31 @@ def pack_scale_probe(spark, sf_dir):
         F.count(F.lit(1)).alias("rows"), F.sum("take_tokens").alias("tok")
     ).withColumn("part", F.lit("budget"))
     return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Driver-window promotion (VERDICT r5 #3): five olap.py TPC-H shapes a real
+# user hits daily (EXISTS semi join, two-role dimension, NOT-IN anti join,
+# disjunctive-predicate join, decorrelated-threshold join) enter the
+# driver's 100-query rotation, displacing five saturated trivial rows that
+# have carried near-zero information since r1. The displaced rows stay
+# registered — tests/test_oracle.py still DuckDB-checks everything in
+# QUERIES — but PYTEST_ONLY below excludes them from the driver ordering
+# (__spark_entry__._ordered_names()) so the 100-query invariant holds.
+# ---------------------------------------------------------------------------
+
+from pgdedupe_spark import olap as _olap  # noqa: E402
+
+for _name in (
+    "q4_order_priority",
+    "q7_nation_flow",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+):
+    QUERIES[_name] = _olap.QUERIES[_name]
+    ORACLES[_name] = _olap.ORACLES[_name]
+
+PYTEST_ONLY = frozenset(
+    {"p5_empty_clone", "p6_topk", "a6_counts", "f6_cast_ratio", "a9_union_distinct"}
+)

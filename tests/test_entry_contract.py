@@ -13,10 +13,21 @@ from pgdedupe_spark import registry
 def test_ordering_covers_registry_exactly_once():
     names = list(entry.queries())
     assert len(names) == len(set(names)), "duplicate names in ordering"
-    expected = set(registry.QUERIES) - entry._BENCH_ONLY
+    expected = set(registry.QUERIES) - entry._BENCH_ONLY - registry.PYTEST_ONLY
     assert set(names) == expected, (
         set(names) ^ expected
     )
+
+
+def test_pytest_only_rows_stay_registered_with_oracles():
+    """Demoted saturated rows (VERDICT r5 #3) must keep their DuckDB
+    oracle coverage — they left the driver window, not the test suite."""
+    for name in registry.PYTEST_ONLY:
+        assert name in registry.QUERIES, name
+        assert name in registry.ORACLES, name
+    assert not (registry.PYTEST_ONLY & entry._BENCH_ONLY)
+    assert not (registry.PYTEST_ONLY & set(entry._PRIORITY))
+    assert not (registry.PYTEST_ONLY & set(entry._TAIL))
 
 
 def test_window_is_exactly_fifty():
