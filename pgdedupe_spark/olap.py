@@ -139,8 +139,17 @@ def q7_nation_flow(spark, sf_dir):
 )
 def q16_supplier_variety(spark, sf_dir):
     """NOT IN over a non-null key → LEFT ANTI join (build side = the
-    excluded suppliers, tiny), then a grouped exact COUNT(DISTINCT)."""
-    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded suppliers, tiny), then a grouped exact COUNT(DISTINCT).
+
+    NULL semantics guard: SQL ``NOT IN`` drops rows whose probe key is
+    NULL (the comparison is UNKNOWN) while LEFT ANTI would keep them, so
+    the probe side filters ``l_suppkey IS NOT NULL`` explicitly — parity
+    holds even if a future data generator introduces NULL suppkeys."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+    )
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 10)
     )

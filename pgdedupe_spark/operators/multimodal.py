@@ -521,8 +521,14 @@ def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataF
     (:func:`native_video_decode`) and emits the sampled frames' raw luma
     planes; ``fake`` frames are contiguous byte slices (the deterministic
     stand-in for codecs that need pyav/ffmpeg — the strict probe is False
-    in this container and fails fast on the driver). Fan-out semantics,
-    schema, and per-frame ordering are the tested contract either way."""
+    in this container and fails fast on the driver). Fan-out contract:
+    ``fake`` always emits exactly ``n_frames`` rows per payload (byte
+    slices can be empty); ``native`` emits ``min(n_frames, actual
+    frame count)`` rows — a real decoder cannot sample frames a short
+    video does not have, and duplicating frames would silently bias any
+    downstream per-frame statistic. Both cases are pinned in
+    tests/test_multimodal.py. Schema and per-frame ordering are identical
+    either way."""
     mode = resolve_decode_mode(mode, "video")  # strict → driver-side error
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -123,6 +123,10 @@ def pack_assignments(
     is exact at any corpus size. Output size is Σ ceil(n_tok/ctx) + (#docs
     that straddle a boundary) ≈ input size — the explode is bounded.
     """
+    if ctx <= 0:
+        # ctx=0 would make `_start div ctx` NULL and the explode silently
+        # drop every row — an empty frame masquerading as success
+        raise ValueError(f"ctx must be a positive pack length, got {ctx}")
     if order_exprs is None:
         order_exprs = [F.col(id_col).asc_nulls_first()]
     base = df.filter(F.col(n_tokens_col) > F.lit(0))
@@ -195,6 +199,8 @@ def write_training_shards(
     every shard holds ``packs_per_shard·ctx`` tokens except the last."""
     from pgdedupe_spark.operators.curation import corpus_shuffle_order
 
+    if packs_per_shard <= 0:
+        raise ValueError(f"packs_per_shard must be positive, got {packs_per_shard}")
     order = [corpus_shuffle_order(docs, id_col, seed), F.col(id_col).asc()]
     slices = pack_assignments(
         docs, id_col, n_tokens_col, ctx, order_exprs=order,

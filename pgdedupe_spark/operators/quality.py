@@ -32,6 +32,12 @@ from pyspark.sql import functions as F
 
 _REPORT_SCHEMA = "rule string, column string, violations bigint, passed boolean"
 
+def _c(name: str):
+    """Column reference by LITERAL name: F.col() parses backticks as
+    quoting, so user column names containing backticks (or names that look
+    like nested paths) must be escaped before resolution."""
+    return F.col("`" + str(name).replace("`", "``") + "`")
+
 
 def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Run every rule; return (rule, column, violations, passed) — one row
@@ -48,7 +54,7 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in rules:
         kind = r["rule"]
         if kind == "not_null":
-            aggs.append(_viol(F.col(r["col"]).isNull()))
+            aggs.append(_viol(_c(r["col"]).isNull()))
             labels.append((kind, r["col"]))
         elif kind == "unique":
             cols = r.get("cols", [r.get("col")])
@@ -57,15 +63,19 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
             # uniqueness violations (pair with not_null to forbid)
             key_nonnull = None
             for c in cols:
-                e = F.col(c).isNotNull()
+                e = _c(c).isNotNull()
                 key_nonnull = e if key_nonnull is None else (key_nonnull & e)
             aggs.append(
                 F.sum(F.when(key_nonnull, 1).otherwise(0))
-                - F.count_distinct(*[F.col(c) for c in cols])
+                - F.count_distinct(*[_c(c) for c in cols])
             )
             labels.append((kind, ",".join(cols)))
         elif kind == "in_range":
-            c = F.col(r["col"])
+            if "min" not in r and "max" not in r:
+                # a boundless range would silently always pass — that is a
+                # config typo, not a satisfied expectation
+                raise ValueError(f"in_range rule on {r['col']!r} needs min and/or max")
+            c = _c(r["col"])
             cond = F.lit(False)
             if "min" in r:
                 cond = cond | (c < F.lit(r["min"]))
@@ -74,11 +84,11 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
             aggs.append(_viol(cond))
             labels.append((kind, r["col"]))
         elif kind == "in_set":
-            c = F.col(r["col"])
+            c = _c(r["col"])
             aggs.append(_viol(c.isNotNull() & ~c.isin(*r["values"])))
             labels.append((kind, r["col"]))
         elif kind == "matches":
-            c = F.col(r["col"])
+            c = _c(r["col"])
             aggs.append(_viol(c.isNotNull() & ~c.rlike(r["pattern"])))
             labels.append((kind, r["col"]))
         elif kind == "foreign_key":
@@ -89,12 +99,24 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
     reports: list[DataFrame] = []
     if aggs:
         wide = df.agg(*[a.cast("long").alias(f"_v{i}") for i, a in enumerate(aggs)])
-        stack = ", ".join(
-            f"'{k}', '{c}', coalesce(`_v{i}`, 0L)" for i, (k, c) in enumerate(labels)
+        # unpivot via explode-of-structs with lit() labels — no SQL-string
+        # interpolation, so rule/column names containing quotes or
+        # backticks can neither break the statement nor inject into it
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("rule"),
+                    F.lit(c).alias("column"),
+                    F.coalesce(F.col(f"_v{i}"), F.lit(0).cast("long")).alias(
+                        "violations"
+                    ),
+                )
+                for i, (k, c) in enumerate(labels)
+            ]
         )
         reports.append(
-            wide.selectExpr(
-                f"stack({len(labels)}, {stack}) AS (rule, column, violations)"
+            wide.select(F.explode(rows).alias("_r")).select(
+                "_r.rule", "_r.column", "_r.violations"
             )
         )
 
@@ -102,10 +124,10 @@ def validate_table(df: DataFrame, rules: list[dict]) -> DataFrame:
         if r["rule"] != "foreign_key":
             continue
         unresolved = (
-            df.select(F.col(r["col"]))
-            .filter(F.col(r["col"]).isNotNull())
+            df.select(_c(r["col"]).alias(r["col"]))
+            .filter(_c(r["col"]).isNotNull())
             .join(
-                r["ref"].select(F.col(r["ref_col"]).alias(r["col"])).distinct(),
+                r["ref"].select(_c(r["ref_col"]).alias(r["col"])).distinct(),
                 r["col"],
                 "left_anti",
             )

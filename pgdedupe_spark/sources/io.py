@@ -173,8 +173,10 @@ def compact_table(
     per-file min/max ranges are bounded in every listed dimension and
     predicates on ANY of them prune files (pinned quantitatively in
     tests/test_compact.py). Without either, a plain round-robin
-    repartition just fixes file sizes. Reads the input once, writes
-    once."""
+    repartition just fixes file sizes. The plain and ``sort_by`` paths
+    read the input once and write once; ``zorder_by`` adds one extra
+    aggregate-only scan up front (the per-column min/max collect that
+    scales the Morton code) before the rewrite pass."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     n_files, total = table_file_stats(spark, path)
@@ -182,11 +184,16 @@ def compact_table(
     df = spark.read.parquet(path)
     if zorder_by:
         z = zorder_column(df, zorder_by)
+        # collision-safe temp name: a user table may legitimately carry
+        # a `_z` column, which must survive the rewrite untouched
+        zc = "_z"
+        while zc in df.columns:
+            zc += "_"
         df = (
-            df.withColumn("_z", z)
-            .repartitionByRange(n_out, "_z")
-            .sortWithinPartitions("_z")
-            .drop("_z")
+            df.withColumn(zc, z)
+            .repartitionByRange(n_out, zc)
+            .sortWithinPartitions(zc)
+            .drop(zc)
         )
     elif sort_by:
         df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)

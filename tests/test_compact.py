@@ -138,3 +138,21 @@ def test_zorder_handles_nulls_and_negatives(spark, tmp_path):
     a = sorted(r.id for r in spark.read.parquet(src).collect())
     b = sorted(r.id for r in got.collect())
     assert a == b
+
+
+def test_zorder_preserves_user_column_named_z(spark, tmp_path):
+    """A user table may carry `_z` itself — the Morton temp column picks a
+    collision-free name so the user's data survives the rewrite."""
+    import pyspark.sql.functions as F
+
+    from pgdedupe_spark.sources.io import compact_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(100).select(
+        F.col("id").alias("a"),
+        (F.col("id") * 3).alias("b"),
+        (F.col("id") + 1000).alias("_z"),
+    ).write.parquet(src)
+    out = compact_table(spark, src, dst, zorder_by=["a", "b"])
+    assert "_z" in out.columns
+    assert out.agg(F.sum(F.col("_z") - F.col("a"))).collect()[0][0] == 100 * 1000

@@ -375,3 +375,25 @@ def test_native_video_rejects_high_bit_depth():
     payload = _y4m_bytes(frames).replace(b"C420", b"C420p10")
     with _pytest.raises(ValueError, match="bit-depth"):
         native_video_decode(payload)
+
+
+def test_native_frame_sampling_short_video_contract(spark):
+    """A 2-frame video sampled at n_frames=4 yields exactly 2 rows in
+    native mode (a real decoder cannot invent frames; duplicating them
+    would bias per-frame statistics) while the fake path keeps its
+    constant 4-row fan-out. Documented in sample_frames (ADVICE r5)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import sample_frames
+
+    frames = np.stack([np.full((4, 4), 11 * i, np.uint8) for i in range(2)])
+    media = spark.createDataFrame(
+        [(1, "video", _y4m_bytes(frames))],
+        "media_id long, modality string, payload binary",
+    )
+    got = sorted(sample_frames(media, n_frames=4, mode="native").collect(),
+                 key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in got] == [0, 1]
+    assert [bytes(r.payload) for r in got] == [frames[0].tobytes(), frames[1].tobytes()]
+    fake = sample_frames(media, n_frames=4, mode="fake").collect()
+    assert len(fake) == 4

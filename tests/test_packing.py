@@ -222,3 +222,20 @@ def test_write_training_shards_deterministic(spark, tmp_path):
                                     ctx=64, packs_per_shard=3, seed=9)
         outs.append(sorted(map(tuple, got.collect())))
     assert outs[0] == outs[1]
+
+
+def test_nonpositive_ctx_and_shard_size_rejected(spark, tmp_path):
+    """ctx=0 used to NULL out `_start div ctx` and silently return an
+    empty frame (ADVICE r5) — both knobs now fail fast on the driver."""
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.packing import write_training_shards
+
+    docs = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    for bad in (0, -4):
+        with _pytest.raises(ValueError, match="ctx"):
+            pack_assignments(docs, "doc_id", "n_tok", ctx=bad)
+    with _pytest.raises(ValueError, match="packs_per_shard"):
+        write_training_shards(
+            docs, "doc_id", "n_tok", str(tmp_path / "s"), ctx=8, packs_per_shard=0
+        )

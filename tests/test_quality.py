@@ -87,3 +87,24 @@ def test_empty_rules_and_empty_frame(spark):
     ]).collect()}
     assert out["not_null"].violations == 0 and out["not_null"].passed
     assert out["unique"].violations == 0 and out["unique"].passed
+
+
+def test_in_range_without_bounds_rejected(spark):
+    """A boundless in_range rule always passed silently (ADVICE r5) —
+    it is a config typo and must raise."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="in_range"):
+        validate_table(_frame(spark), [{"rule": "in_range", "col": "n"}])
+
+
+def test_rule_labels_are_injection_safe(spark):
+    """Rule/column labels travel as lit() values, not interpolated SQL —
+    a quoted/backticked column name must neither break nor inject."""
+    df = _frame(spark).withColumnRenamed("n", "weird `col` 'name'")
+    out = validate_table(
+        df, [{"rule": "in_range", "col": "weird `col` 'name'", "min": 0}]
+    ).collect()
+    assert len(out) == 1
+    assert out[0].column == "weird `col` 'name'"
+    assert out[0].violations == 1  # the fixture's n=-3 row, correctly counted
