@@ -27,12 +27,36 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the storage blocks behind a localCheckpoint'ed frame NOW.
+
+    ``DataFrame.unpersist()`` is CacheManager-level and does NOT touch
+    checkpoint blocks (verified empirically — the block survives), so this
+    reaches the LogicalRDD's underlying RDD. Best-effort: on failure the
+    GC-driven ContextCleaner eventually frees it anyway; this just makes
+    iterative algorithms hold O(1) checkpoints instead of O(rounds)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, return_rounds: bool = False
+) -> DataFrame:
     """Weak connected components of an undirected edge list (id1, id2).
 
     Returns (id, component) with component = min id reachable. Vertices only
     appear if they occur in an edge (singletons are handled by callers via
     outer-join + coalesce, as the reference does with its right join J3).
+
+    With ``return_rounds=True`` returns ``(labels, rounds)`` where rounds
+    counts propagation iterations until fixpoint — the observable that pins
+    the pointer-doubling guarantee (O(log d) rounds for diameter d, NOT
+    O(d); asserted in tests/test_properties.py and measured at 10M-edge
+    scale by the ``cc_scale_probe`` bench query).
     """
     sym = (
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
@@ -51,7 +75,9 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     sym.persist(StorageLevel.MEMORY_AND_DISK)
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # propagate: each vertex takes min(own label, neighbours' labels,
         # label-of-label). The third term is pointer doubling — label chains
         # halve every round, so convergence takes O(log d) rounds instead of
@@ -81,10 +107,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             )
         ).localCheckpoint(eager=True)
         changed = stepped.filter(F.col("component") < F.col("_old")).limit(1).count()
+        # the new checkpoint is materialized and lineage-truncated, so the
+        # superseded round's blocks are dead — free them NOW instead of
+        # waiting for GC-driven cleanup. At 10M+ vertices each round holds
+        # hundreds of MB; without this the probe-scale run accumulates
+        # O(rounds) cached copies (measured OOM-adjacent at cc_scale_probe
+        # size before this existed).
+        _free_local_checkpoint(labels)
         labels = stepped.drop("_old")
         if changed == 0:
             break
     sym.unpersist()
+    if return_rounds:
+        return labels, rounds
     return labels
 
 
