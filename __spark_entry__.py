@@ -82,7 +82,7 @@ _PRIORITY = [
     "events_daily_from_hourly",
     "events_pivot",
     "p2_filter_projection",
-    "p3_distinct",
+    "stats_validate",  # data-quality gate under the hard signal (new r6)
     "a7_mode_plurality",
     "a8_ratio_metrics",
     "a11_percentiles",
@@ -158,7 +158,14 @@ _TAIL = [
 # synthetic-input benchmark queries: no parquet table input and/or not
 # DuckDB-reproducible (xxhash64-seeded corpus) — benched + pytest-pinned,
 # not part of the driver's oracle contract
-_BENCH_ONLY = {"dedup_ngram_zipf", "ann_lsh_stress", "merge_scale_probe", "pack_scale_probe"}
+_BENCH_ONLY = {
+    "dedup_ngram_zipf",
+    "ann_lsh_stress",
+    "merge_scale_probe",
+    "pack_scale_probe",
+    "cc_scale_probe",
+    "ann_pq_stress",
+}
 
 
 def _ordered_names() -> list[str]:

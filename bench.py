@@ -95,7 +95,16 @@ HEADLINE = [
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # r6: iterative-operator scale probe — 10M-edge chain graph through CC
+    "cc_scale_probe",
+    # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
+    "ann_pq_stress",
 ]
+
+# heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
+# their cost is dominated by data volume, not JIT, so a second warm run
+# buys noise reduction that isn't worth +3 min of bench wall-clock
+HEAVY_PROBES = {"cc_scale_probe", "ann_pq_stress"}
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
 # over round, so the all-query total is not comparable across artifacts.
@@ -139,6 +148,30 @@ def main() -> None:
     # session startup
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # machine-speed canaries (fixed work, no plan dependence): recorded so
+    # round-over-round drift can be attributed — if the canaries move with
+    # the query times, the machine changed, not the plans. Motivated by the
+    # r4→r5 legacy24 +26% that reproduced bit-stable in r6 while every plan
+    # pin stayed green (environment, not code).
+    def _canary_jvm() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 2654435761)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    def _canary_scan() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice)", "count(distinct l_orderkey)"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _canary_jvm()  # JIT warmup; throw away
+    canary = {
+        "jvm_codegen_sec": min(_canary_jvm() for _ in range(3)),
+        "parquet_scan_agg_sec": min(_canary_scan() for _ in range(3)),
+        "cpus": os.cpu_count(),
+    }
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -148,7 +181,7 @@ def main() -> None:
         # the whole artifact — the JSON line always prints
         try:
             warm_runs = []
-            for i in range(3):
+            for i in range(2 if name in HEAVY_PROBES else 3):
                 t0 = time.perf_counter()
                 # count() forces full execution of every operator in the plan
                 fn(spark, sf_dir).count()
@@ -176,6 +209,7 @@ def main() -> None:
         "value_legacy24": round(sum(warm[n] for n in LEGACY24 if n in warm), 3),
         "value_legacy24_cold": round(sum(cold[n] for n in LEGACY24 if n in cold), 3),
         "timing": "warm = min of runs 2-3 (steady-state); cold = first run",
+        "canary": canary,
         "sf": float(sf),
     }
     if errors:
