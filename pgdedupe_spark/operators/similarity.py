@@ -394,32 +394,49 @@ def _assign_cells(
     embeddings: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment as one JVM argmax fold over the
-    centroid literal array — no shuffle, no Python in the row path."""
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("cid"),
-                F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            )
-            for cid, vec in centroids
-        ]
-    )
+    centroid literal array — no shuffle, no Python in the row path.
 
-    def _cos(vc: Column, cc: Column) -> Column:
-        dot = F.aggregate(F.zip_with(vc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-        nv = F.sqrt(F.aggregate(F.zip_with(vc, vc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
-        nc = F.sqrt(F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x))
-        return dot / (nv * nc)
+    Expression-size engineering (same rules as :func:`pq_encode`, measured
+    when the 64-centroid stress tier landed): the literals and lambdas are
+    generated SQL text (py4j round-trips per F.lit/Python-lambda node cost
+    seconds of client time at 64×64), the row norm is computed ONCE as a
+    temp column instead of per centroid, centroid norms are precomputed
+    driver-side (same left-fold sum order and IEEE sqrt as the old in-plan
+    expression, so assignments are bit-identical to the original
+    formulation), and the cosine appears exactly once per centroid in the
+    plan (the old when/otherwise fold inlined it twice). First-wins strict
+    ``>`` keeps the original tie-break; a zero vector still lands in
+    cell -1 (NaN compares false)."""
+    import math
 
-    best = F.aggregate(
-        cent_lit,
-        F.struct(F.lit(-1).alias("cid"), F.lit(-2.0).alias("s")),
-        lambda acc, c: F.when(
-            _cos(F.col(vec_col), c["cv"]) > acc["s"],
-            F.struct(c["cid"].alias("cid"), _cos(F.col(vec_col), c["cv"]).alias("s")),
-        ).otherwise(acc),
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
+    nrms = []
+    for _, vec in centroids:
+        acc = 0.0
+        for x in vec:  # left-fold in index order == the old JVM aggregate
+            acc += float(x) * float(x)
+        nrms.append(math.sqrt(acc))
+    nrm_lit = "array(" + ",".join(f"{v!r}D" for v in nrms) + ")"
+    cent2d = _sql_array2d(np.array([vec for _, vec in centroids], dtype=np.float64))
+    nv_sql = (
+        f"sqrt(aggregate(zip_with(`{vec_col}`, `{vec_col}`, (x, y) -> x * y), "
+        f"0D, (a, b) -> a + b))"
     )
-    return embeddings.withColumn("cell", best["cid"])
+    fold = (
+        f"aggregate("
+        f"transform({cent2d}, (cc, i) -> named_struct("
+        f"'s', aggregate(zip_with(`{vec_col}`, cc, (x, y) -> x * y), 0D, (a, b) -> a + b)"
+        f" / (`_nv` * element_at({nrm_lit}, i + 1)), "
+        f"'cid', element_at({cids}, i + 1))), "
+        f"named_struct('s', CAST(-2.0 AS DOUBLE), 'cid', -1), "
+        f"(acc, s) -> IF(s.s > acc.s, s, acc)"
+        f").cid AS cell"
+    )
+    return (
+        embeddings.withColumn("_nv", F.expr(nv_sql))
+        .selectExpr("*", fold)
+        .drop("_nv")
+    )
 
 
 def ivf_index(

@@ -117,3 +117,27 @@ def test_simhash_banding_is_pigeonhole_complete(spark):
     assert got == want, (
         f"banding missed {len(want - got)} pairs / invented {len(got - want)}"
     )
+
+
+def test_pq_stress_planted_recall(spark, tmp_path):
+    """The ann_pq_stress configuration (m=16 ksub=32, 64 coarse cells,
+    8 probes, refine=8) must put the planted twin (cosine ≈0.95) at
+    rank 1 for ≥ 0.9 of queries on the hash-synthesized corpus — the
+    pin that makes the bench probe's wall-time numbers mean something.
+    Run at the probe's pytest floor (5k vectors, same code path and
+    knobs as the sf0.1 bench run)."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+
+    n = 5000
+    emb = hash_embeddings(spark, n_vecs=n, dim=64)
+    path = str(tmp_path / "pq_stress")
+    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=64)
+    out = pq_topk_from_index(
+        spark, path, emb, "vec_id", "embedding", k=5, n_probe=8, refine=8,
+        query_filter=f"vec_id % {n // 50} = 1 AND vec_id > 0",
+    )
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert len(top1) == 50
+    hits = sum(1 for q, nb in top1.items() if nb == q - 1)
+    assert hits >= 45, f"planted twin found at rank 1 for only {hits}/50 queries"
