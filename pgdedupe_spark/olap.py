@@ -23,6 +23,15 @@ the registry don't already exercise):
 * q15-like  — argmax against a derived aggregate, ties preserved
 * GROUPING SETS — explicit non-hierarchical sets + GROUPING() id
 * ratio_to_report — window-over-aggregate share of total
+* q6-like   — pure scan-aggregate, every predicate pushed to parquet
+* q8-like   — 7-join dimensional snowflake, nation in two roles, share ratio
+* q9-like   — LIKE-gated part dim, profit expression, nation×year rollup
+* q12-like  — fact-fact join with non-equi residual + complementary
+              conditional counts in one pass
+* q20-like  — nested IN with correlated aggregate threshold, decorrelated
+              to stacked aggs + semi join, cross-multiplied share compare
+* q21-like  — EXISTS + NOT EXISTS self-joins with <> residuals (the
+              hardest correlated form), planned as semi+anti joins
 
 All money math follows the repo's decimal discipline: multiply/aggregate
 in DECIMAL(18,2), cast the final aggregate to DOUBLE.
@@ -486,4 +495,328 @@ def q_nation_share(spark, sf_dir):
         (
             F.col("_bal").cast("double") / F.sum("_bal").over(w).cast("double")
         ).alias("region_share"),
+    )
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(coalesce(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * CAST(l_discount AS DECIMAL(18,2))), 0) AS DOUBLE)
+           AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+      AND CAST(l_quantity AS DECIMAL(18,2)) < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): the pure scan-aggregate — every
+    predicate (date range, discount band, quantity cap) pushes into the
+    parquet scan, no join, one partial-aggregated global sum. The shape
+    that pins predicate pushdown is doing its job: at 100 TB this reads
+    only the min/max-pruned row groups of 4 columns."""
+    l = _t(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    disc = _dec("l_discount")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & disc.between(0.05, 0.07)
+            & (qty < 24)
+        )
+        .agg(
+            F.coalesce(F.sum(_dec("l_extendedprice") * disc), F.lit(0))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+    WITH flat AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the deepest dimensional snowflake
+    in the suite — 7 joins, the nation dim playing two roles (customer
+    region gate vs supplier nationality). Every dim side broadcasts; the
+    fact scan carries only join keys + money columns. The per-year share
+    follows the q14 decimal-ratio discipline (exact decimal sums, one
+    division, final double cast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    n1 = n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk"))
+    n2 = n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("_cnk") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("_crk"))
+        .join(F.broadcast(n2), F.col("_snk") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            # exact decimal sums; cast each to double BEFORE dividing —
+            # decimal/decimal result scale differs between Spark and
+            # DuckDB (measured: 0.003572 vs 0.00357153701), while the
+            # double division of identical doubles is IEEE-identical
+            F.sum(nation_rev).cast("double").alias("_n"),
+            F.sum(rev).cast("double").alias("_t"),
+        )
+        .select(
+            "o_year", (F.col("_n") / F.col("_t")).cast("double").alias("mkt_share")
+        )
+    )
+
+
+@_q(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year), adapted to
+    the reduced schema: no partsupp table, so supply cost is proxied by
+    p_retailprice·quantity — the PLAN is the point: a LIKE-filtered part
+    dim gates the fact scan, supplier→nation resolves the grouping
+    nation, and profit aggregates exact-decimal before one final double
+    cast. Substring predicates can't push to parquet stats, so the part
+    filter rides the broadcast-join build side instead."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+    )
+    profit = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")) - _dec(
+        "p_retailprice"
+    ) * _dec("l_quantity")
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("_nk") == F.col("s_nationkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@_q(
+    "q12_shipmode_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape (late shipments by mode × priority), adapted:
+    lineitem has no shipmode/commit/receipt dates, so "mode" is
+    l_linestatus and lateness is ship > order + 1 year. The plan point
+    survives intact: a non-equi residual on the fact-fact equi join and
+    two complementary conditional counts folding in ONE aggregation pass
+    (not two joins, not two scans)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q20_part_promotion",
+    """
+    WITH per_sp AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sq
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey, l_partkey
+    ), per_p AS (
+      SELECT l_partkey AS pk,
+             CAST(SUM(sq) AS DECIMAL(38,2)) AS pt,
+             COUNT(*) AS ns
+      FROM per_sp GROUP BY l_partkey
+    )
+    SELECT s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM per_sp JOIN per_p ON pk = l_partkey
+      WHERE sq * ns > 2 * pt
+    )
+    """,
+)
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers holding significant stock of promoted
+    parts), adapted to the reduced schema: no partsupp, so "significant"
+    means the supplier shipped >25% of a widget-part's total shipped
+    quantity. The classic nested-IN-with-correlated-aggregate
+    decorrelates into two stacked aggregations + a semi join on the
+    supplier dim; the threshold is scale-free (supplier share > 2× the
+    part's average supplier share) and cross-multiplies (sq·ns > 2·pt)
+    so both engines compare exact decimals. At 100 TB the
+    per-(supp,part) aggregate is the only fact-sized shuffle —
+    everything after is part-count sized."""
+    l = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", "l_quantity")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    per_sp = (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("_sq"))
+    )
+    per_p = per_sp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum("_sq").cast("decimal(38,2)").alias("_pt"),
+        F.count(F.lit(1)).alias("_ns"),
+    )
+    qualifying = (
+        per_sp.join(per_p, F.col("_pk") == F.col("l_partkey"))
+        .filter(F.col("_sq") * F.col("_ns") > 2 * F.col("_pt"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(qualifying, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+    )
+
+
+@_q(
+    "q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+      GROUP BY l_orderkey, l_suppkey
+    ), members AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+      SELECT 1 FROM members m
+      WHERE m.l_orderkey = l1.l_orderkey AND m.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM late l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the suite's
+    hardest correlated form — one EXISTS and one NOT EXISTS, both
+    correlated on the same key with a <> residual, over a self-joined
+    fact. Lateness adapts to the reduced schema (ship > order + 1 year).
+    Spark plans both as dedicated LeftSemi/LeftAnti joins over the
+    pre-deduplicated (order, supplier) frames — the fact table is
+    aggregated ONCE per role, and no correlated re-scan per outer row
+    survives (the 100×-scale property; a nested-loop translation would
+    be quadratic in order membership)."""
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    members = l.select("l_orderkey", "l_suppkey").distinct()
+    other_members = members.select(
+        F.col("l_orderkey").alias("_ok"), F.col("l_suppkey").alias("_sk")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("_lok"), F.col("l_suppkey").alias("_lsk")
+    )
+    waiting = (
+        late.join(
+            other_members,
+            (F.col("_ok") == F.col("l_orderkey")) & (F.col("_sk") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("_lok") == F.col("l_orderkey"))
+            & (F.col("_lsk") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -30,3 +30,29 @@ def test_q4_semi_join_and_q16_anti_join_plans(spark):
     p16 = q16._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in p16
     assert "CartesianProduct" not in p4 and "CartesianProduct" not in p16
+
+
+def test_q21_exists_pair_plans_as_semi_plus_anti(spark):
+    """The EXISTS/NOT-EXISTS pair must plan as one LeftSemi and one
+    LeftAnti join — if either decorrelation regresses to a nested loop
+    or an inner-join+distinct the probe re-scans per outer row."""
+    sf = SFS[0]
+    p = (
+        olap.QUERIES["q21_waiting_supplier"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_snowflake_broadcasts_every_dim(spark):
+    """Q8's seven joins: all five dim sides (part, supplier,two nation
+    roles, region) must broadcast — any dim that falls to sort-merge
+    shuffles the fact table once more per join at 100 TB."""
+    sf = SFS[0]
+    p = (
+        olap.QUERIES["q8_market_share"](spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert p.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in p
