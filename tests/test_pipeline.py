@@ -180,3 +180,29 @@ def test_every_source_row_mapped(spark, source):
     # rows passing the filter all get a dedupe_id; filtered rows get NULL
     n_filtered = df.filter("last_name is not null").count()
     assert res.unique_map.filter(F.col("dedupe_id").isNotNull()).count() == n_filtered
+
+
+@pytest.mark.slow
+def test_quality_at_reference_integration_scale(spark):
+    """The reference's integration gate at the reference's own scale
+    (tests/test_integration.py:18,30): 2,000 persons (~8k entry rows at
+    the generator's mean 4 records/person), full pipeline, and the same
+    rudimentary quality bound — count(distinct dedupe_id) < 2× population
+    (the reference asserts < 4000). The small-N quality gates above pin
+    purity; this one pins that the quality holds at the scale the
+    reference actually certified. Marked slow: ~the longest single test
+    in the suite, deselect with -m 'not slow' for the quick loop."""
+    n_people = 2000
+    rows, truth, _ = generate_population(n_people, seed=0)
+    df = spark.createDataFrame(
+        rows,
+        "entry_id long, first_name string, last_name string, ssn string, sex string, dob string",
+    )
+    res = run_pipeline(df, _config(), training_pairs())
+    n_rows = df.count()
+    n_clusters = res.unique_map.select("dedupe_id").distinct().count()
+    assert n_clusters < 2 * n_people, f"{n_clusters} clusters for {n_people} people"
+    # the bound must not be green-washed by barely merging anything
+    assert n_clusters < n_rows * 0.7, f"barely merged: {n_clusters}/{n_rows}"
+    # every source row that passed the filter must be mapped exactly once
+    assert res.unique_map.count() == res.unique_map.select("entry_id").distinct().count()

@@ -223,3 +223,76 @@ def test_file_sink_checkpoint_recovery_exactly_once(spark, tmp_path):
     assert got.count() == 250                      # no reprocessing of b1
     ids = sorted(r.event_id for r in got.collect())
     assert ids == list(range(250))                 # every event exactly once
+
+
+def test_stateful_restart_recovers_from_checkpoint(spark, tmp_path, batch_events):
+    """Fault injection for the custom stateful operator (VERDICT r5 #4):
+    kill the applyInPandasWithState query mid-stream (stop after the first
+    committed microbatch, with most input files still unprocessed), restart
+    from the same checkpoint, and assert the final per-user state equals
+    the batch twin — the state store must replay, not re-add (no duplicate
+    counting), and nothing may be lost.
+
+    The max-aggregation over the union of both phases' update outputs is
+    kill-point-independent: n_events is monotone per user, and any batch
+    emitted-but-uncommitted at the kill is replayed identically after the
+    restart, so duplicates collapse."""
+    import time
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # many small files + maxFilesPerTrigger=1 → the stop lands mid-stream
+    batch_events.repartition(32).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def stateful(trigger_kwargs):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        # the memory sink refuses checkpoint recovery ("this query does not
+        # support recovering from checkpoint location"), so updates append
+        # to parquet via foreachBatch — an at-least-once sink whose replayed
+        # batches the max-aggregation below absorbs by construction
+        def append(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        return (
+            stateful_user_counts(sdf)
+            .writeStream.foreachBatch(append)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # phase 1: free-running trigger; kill after >=1 committed batch
+    q1 = stateful({"processingTime": "50 milliseconds"})
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination(60)
+    done_batches = len([p for p in q1.recentProgress if p["numInputRows"] > 0])
+    assert done_batches >= 1, "phase 1 never committed a batch"
+
+    # phase 2: restart from the SAME checkpoint, drain the rest
+    q2 = stateful({"availableNow": True})
+    q2.awaitTermination(180)
+
+    updates = spark.read.parquet(out)
+    final = updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.unix_micros(F.max("last_seen")).alias("last_seen_us"),
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.max("event_time")).alias("last_seen_us"),
+    )
+    cols = ["user_id", "n_events", "last_seen_us"]
+    assert _rows(final, cols) == _rows(want, cols)
