@@ -22,6 +22,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the 10M-vertex CC probe peaks near the 8 GiB default driver heap when it
+# runs late in a long bench session; the bench box has 128 GiB, so give the
+# single-JVM session real headroom (env still wins if set)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 from pgdedupe_spark import get_spark  # noqa: E402
 from pgdedupe_spark import registry  # noqa: E402
 
@@ -155,7 +160,11 @@ def main() -> None:
     # pin stayed green (environment, not code).
     def _canary_jvm() -> float:
         t0 = time.perf_counter()
-        spark.range(200_000_000).selectExpr("sum(id * 2654435761)").collect()
+        # pmod keeps each element < 1000 so the 200M-element sum stays far
+        # from long overflow under ANSI mode (a raw id*const sum overflowed
+        # and killed the whole bench before fault isolation — hence the
+        # try/except below too)
+        spark.range(200_000_000).selectExpr("sum(pmod(xxhash64(id), 1000))").collect()
         return round(time.perf_counter() - t0, 3)
 
     def _canary_scan() -> float:
@@ -165,12 +174,15 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
-    _canary_jvm()  # JIT warmup; throw away
-    canary = {
-        "jvm_codegen_sec": min(_canary_jvm() for _ in range(3)),
-        "parquet_scan_agg_sec": min(_canary_scan() for _ in range(3)),
-        "cpus": os.cpu_count(),
-    }
+    try:
+        _canary_jvm()  # JIT warmup; throw away
+        canary = {
+            "jvm_codegen_sec": min(_canary_jvm() for _ in range(3)),
+            "parquet_scan_agg_sec": min(_canary_scan() for _ in range(3)),
+            "cpus": os.cpu_count(),
+        }
+    except Exception as exc:  # noqa: BLE001 — a broken canary must not cost the artifact
+        canary = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
@@ -196,8 +208,19 @@ def main() -> None:
             cold.pop(name, None)
             warm.pop(name, None)
         # drop any caches the first run left behind so the two runs are
-        # independent and memory doesn't accumulate across queries
+        # independent and memory doesn't accumulate across queries.
+        # clearCache() is CacheManager-only: localCheckpoint blocks (prefix
+        # sums, CC rounds) survive it and accumulated ~GBs over a 58-query
+        # session — enough that the CC probe OOM'd in-session while passing
+        # standalone. Queries are independent here, so drop every persisted
+        # RDD between queries (same lesson as SCALE.md rule 7).
         spark.catalog.clearCache()
+        try:
+            jsc = spark.sparkContext._jsc
+            for jrdd in jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
 
     out = {
         "metric": "headline_queries_total_sec",

@@ -32,6 +32,13 @@ def get_spark(app_name: str = "pgdedupe_spark", shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # JVM unified logging defaults to STDOUT; GCLocker/alloc warnings
+        # interleaving with program output corrupted two bench artifacts
+        # (r5 truncation, r6 run-2 JSON) — route JVM warnings to stderr
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:all=warning:stderr"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
