@@ -447,3 +447,86 @@ def strip_spans(
         .withColumn("n_tokens_removed", n_removed.cast("int"))
         .drop("_spans")
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Semantic decontamination: flag corpus documents whose embedding is
+    cosine-similar (>= ``threshold``) to ANY benchmark/eval embedding —
+    the paraphrase-robust complement of the n-gram :func:`decontaminate`
+    (which only catches near-verbatim leakage).
+
+    Adds ``contaminated`` (bool) and ``bench_hits`` (how many benchmark
+    vectors matched) to every corpus row; callers filter or audit.
+
+    Scale shape: both sides bucket through the SAME seeded hyperplane
+    tables (one scan each — `similarity._bucketize`), candidates come
+    from the (table, bucket) equi-join against the benchmark side (eval
+    sets are small, so the bucketed benchmark broadcasts), pairs dedup
+    BEFORE the exact cosine verify, and the verified hit set left-joins
+    back to the corpus. The corpus is never self-joined and never
+    compared all-pairs against the benchmark: candidate volume ≈
+    bucket-collision fraction × corpus. ``exact=True`` swaps the LSH
+    candidate stage for the full cross product — the O(n·m) verifier
+    used by tests to certify recall, same guard philosophy as
+    `similarity.cosine_pairs`.
+
+    Recall note (same math as :func:`similarity.lsh_cosine_topk`): at
+    threshold 0.9 a true hit agrees per plane with p ≈ 0.856; 8 planes ×
+    8 tables → table-hit 0.29, overall 1-(1-0.29)^8 ≈ 0.93+; raise
+    n_tables for stricter gates. Pinned against the exact path in
+    tests/test_curation.py."""
+    from pgdedupe_spark.operators.similarity import _bucketize, _table_planes
+
+    bench_id_col = bench_id_col or id_col
+    bench_vec_col = bench_vec_col or vec_col
+    bench = benchmark.select(
+        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bv")
+    )
+    corp = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+
+    if exact:
+        cand = corp.select("_cid").crossJoin(F.broadcast(bench.select("_bid")))
+    else:
+        planes = _table_planes(dim, n_planes, n_tables, seed)
+        cb = _bucketize(corp, "_cid", "_cv", planes)
+        bb = _bucketize(bench, "_bid", "_bv", planes)
+        cand = (
+            cb.join(F.broadcast(bb), ["table", "bucket"])
+            .select("_cid", "_bid")
+            .distinct()
+        )
+
+    dot = F.aggregate(
+        F.zip_with("_cv", "_bv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c_: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(c_, c_, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    hits = (
+        cand.join(F.broadcast(bench), "_bid")
+        .join(corp, "_cid")
+        .withColumn("_sim", dot / (norm(F.col("_cv")) * norm(F.col("_bv"))))
+        .filter(F.col("_sim") >= threshold)
+        .groupBy("_cid")
+        .agg(F.count(F.lit(1)).alias("bench_hits"))
+    )
+    return (
+        corpus.join(
+            hits.select(F.col("_cid").alias(id_col), "bench_hits"), id_col, "left"
+        )
+        .withColumn("bench_hits", F.coalesce("bench_hits", F.lit(0)))
+        .withColumn("contaminated", F.col("bench_hits") > 0)
+    )

@@ -213,3 +213,58 @@ def write_training_shards(
         .parquet(out_path)
     )
     return docs.sparkSession.read.parquet(out_path)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    chunk: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Per-document fixed-size chunking with overlap — the RAG/serving
+    sibling of :func:`pack_assignments` (which chunks the *concatenated*
+    corpus stream; this chunks each document independently, so no prefix
+    sum and no cross-document coupling).
+
+    One output row per chunk: ``chunk_idx`` (0-based), ``start_tok``
+    (offset within the document), ``n_tok_in_chunk``. Chunks start at
+    ``0, chunk-overlap, 2·(chunk-overlap), …`` while the start still
+    exposes ≥1 token the previous chunk didn't cover (``start <
+    n_tok - overlap``, plus chunk 0 for any non-empty doc); the last
+    chunk truncates at the document end.
+
+    Invariants (pinned in tests/test_packing.py):
+    * zero-token documents contribute nothing;
+    * chunk coverage: union of [start, start+len) intervals == [0, n_tok)
+      (no gaps — consecutive starts differ by chunk-overlap < chunk);
+    * every chunk except possibly the last has length ``chunk`` iff
+      n_tok >= chunk.
+
+    Scale shape: pure per-row interval arithmetic + one bounded explode
+    (fan-out ≈ n_tok/(chunk-overlap) per doc) — embarrassingly parallel,
+    no shuffle, no Python."""
+    if chunk <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk}")
+    if overlap < 0 or overlap >= chunk:
+        raise ValueError(f"overlap must satisfy 0 <= overlap < chunk, got {overlap}")
+    stride = chunk - overlap
+    n_tok = F.col(n_tokens_col).cast("long")
+    # last start index: largest k with k*stride < n_tok - overlap, and k>=0
+    # (integer `div`, same discipline as pack_assignments — float division
+    # would round at 2^53-scale token counts)
+    last_k = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(CAST(`{n_tokens_col}` AS BIGINT) - {int(overlap)} - 1) div {int(stride)}"),
+    )
+    base = df.filter(n_tok > 0)
+    start = F.col("chunk_idx") * stride
+    return (
+        base.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), last_k)))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            start.cast("long").alias("start_tok"),
+            F.least(F.lit(chunk).cast("long"), n_tok - start).alias("n_tok_in_chunk"),
+        )
+    )

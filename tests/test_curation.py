@@ -368,3 +368,52 @@ def test_strip_spans_empty_spans_is_identity(spark):
     assert out[1].clean_text == "Keep ALL of this, punctuation too!"
     assert out[1].n_tokens_removed == 0
     assert out[2].clean_text is None and out[2].n_tokens_removed == 0
+
+
+def test_decontaminate_embeddings_lsh_vs_exact(spark):
+    """Semantic decontamination: benchmark = every 10th base vector; the
+    planted near-duplicates (vec_id % 10 == 1, cosine ≈0.95 to vec_id-1)
+    must be flagged by the exact path, and the LSH candidate stage must
+    recover ≥0.9 of the exact path's contaminated set while clean rows
+    stay clean on both paths."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.curation import decontaminate_embeddings
+
+    emb = hash_embeddings(spark, n_vecs=1000, dim=64)
+    bench = emb.filter("vec_id % 10 = 0").withColumnRenamed("vec_id", "bid")
+    corpus = emb.filter("vec_id % 10 <> 0")
+
+    def flagged(**kw):
+        out = decontaminate_embeddings(
+            corpus, bench, "vec_id", "embedding",
+            bench_id_col="bid", bench_vec_col="embedding",
+            threshold=0.9, **kw,
+        )
+        rows = out.collect()
+        assert len(rows) == corpus.count()  # every corpus row present once
+        return {r.vec_id for r in rows if r.contaminated}
+
+    # independent oracle: numpy brute force over the collected vectors
+    # (1000×64 — driver-trivial). The planted twins cluster near cosine
+    # 0.95 but the per-component jitter is random, so membership at the
+    # 0.9 threshold is data-determined — the oracle, not the plant list,
+    # defines truth.
+    import numpy as np
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    bench_ids = [i for i in vecs if i % 10 == 0]
+    corp_ids = [i for i in vecs if i % 10 != 0]
+    B = np.stack([vecs[i] for i in bench_ids])
+    C = np.stack([vecs[i] for i in corp_ids])
+    sims = (C @ B.T) / (
+        np.linalg.norm(C, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+    )
+    want = {cid for row, cid in zip(sims >= 0.9, corp_ids) if row.any()}
+    assert want, "fixture drifted: no contaminated rows at threshold 0.9"
+
+    exact = flagged(exact=True)
+    assert exact == want, (sorted(exact ^ want)[:10], len(exact), len(want))
+
+    approx = flagged()
+    assert len(approx & exact) / len(exact) >= 0.9
+    assert approx <= exact                           # verify stage is exact

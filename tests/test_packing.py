@@ -239,3 +239,62 @@ def test_nonpositive_ctx_and_shard_size_rejected(spark, tmp_path):
         write_training_shards(
             docs, "doc_id", "n_tok", str(tmp_path / "s"), ctx=8, packs_per_shard=0
         )
+
+
+def test_chunk_documents_matches_reference(spark):
+    """Per-document chunking vs a pure-python reference over edge-shaped
+    docs: shorter than a chunk, exactly one chunk, exact multiple,
+    one-past-multiple, overlap regimes, zero tokens."""
+    from pgdedupe_spark.operators.packing import chunk_documents
+
+    docs = [(i, n) for i, n in enumerate([0, 1, 7, 8, 9, 16, 17, 100])]
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+
+    def ref(n_tok, chunk, overlap):
+        """First-principles: emit the first chunk, then keep striding while
+        the PREVIOUS chunk did not already reach the end of the document
+        (a further chunk would only re-cover overlap)."""
+        if n_tok <= 0:
+            return []
+        stride = chunk - overlap
+        out, start = [(0, 0, min(chunk, n_tok))], stride
+        while out[-1][1] + chunk < n_tok:
+            out.append((len(out), start, min(chunk, n_tok - start)))
+            start += stride
+        return out
+
+    for chunk, overlap in [(8, 0), (8, 3), (5, 4), (8, 7)]:
+        got = {
+            (r.doc_id, r.chunk_idx): (r.start_tok, r.n_tok_in_chunk)
+            for r in chunk_documents(df, "doc_id", "n_tok", chunk, overlap).collect()
+        }
+        for doc_id, n_tok in docs:
+            want = ref(n_tok, chunk, overlap)
+            mine = sorted(
+                ((k[1], v) for k, v in got.items() if k[0] == doc_id)
+            )
+            # coverage invariant: union of intervals == [0, n_tok), no gaps
+            covered = 0
+            for _, (start, ln) in mine:
+                assert start <= covered, (doc_id, chunk, overlap, mine)
+                covered = max(covered, start + ln)
+            assert covered == n_tok, (doc_id, chunk, overlap, mine)
+            # full chunks except possibly the last
+            for _, (start, ln) in mine[:-1]:
+                assert ln == chunk
+            # reference agreement on chunk starts/lengths
+            assert [(i, (s, ln)) for i, s, ln in want] == mine, (doc_id, chunk, overlap)
+
+
+def test_chunk_documents_validation(spark):
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n_tok long")
+    with _pytest.raises(ValueError, match="chunk"):
+        chunk_documents(df, "doc_id", "n_tok", 0)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "n_tok", 4, 4)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "n_tok", 4, -1)
