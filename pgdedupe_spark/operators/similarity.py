@@ -995,3 +995,76 @@ def pq_topk_from_index(
     )
     cand = _pq_adc_shortlist(q_lut, codes, int(refine) * k, join_on=["cell"])
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
+
+
+def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
+    """Append a new corpus batch to a persisted ANN index — LSH
+    (:func:`write_lsh_index`), IVF (:func:`write_ivf_index`) or PQ/IVFADC
+    (:func:`write_pq_index`) — without rebuilding. The layout kind is
+    detected from the self-describing ``/meta`` row; the batch must carry
+    the writer's recorded (id_col, vec_col) columns, and ids must be new
+    (dedup is the caller's contract, same as the base table's).
+
+    Consistency guarantees per layout:
+
+    * **LSH** — hyperplanes regenerate from the persisted (dim, n_planes,
+      n_tables, seed), so appended rows land in EXACTLY the buckets a
+      full rebuild would put them in: append ≡ rebuild, bit-for-bit.
+    * **IVF / PQ** — cell assignment uses the PERSISTED centroids (and PQ
+      codes the persisted codebooks): the layout stays internally
+      consistent and serving stays correct, but centroids are NOT
+      retrained, so a distribution-shifted batch can imbalance cells
+      (the standard IVF trade-off; monitor and rebuild when skew grows).
+
+    Scale shape: one scan of the new batch → the same bucketize/assign/
+    encode expressions the writer used → ``mode("append")`` into the same
+    partition directories. Existing files are never touched, so probing/
+    pruning semantics are unchanged; appended batches add one file per
+    touched partition (run :func:`pgdedupe_spark.sources.io.compact_table`
+    on the index when small files accumulate)."""
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    fields = set(meta.asDict())
+    id_col, vec_col = str(meta.id_col), str(meta.vec_col)
+    batch = new_embeddings.select(F.col(id_col), F.col(vec_col))
+
+    if "n_planes" in fields:  # LSH layout
+        planes = _table_planes(int(meta.dim), int(meta.n_planes), int(meta.n_tables), int(meta.seed))
+        bucketed = _bucketize(batch, id_col, vec_col, planes)
+        (
+            bucketed.repartition("table", "bucket")
+            .write.partitionBy("table", "bucket")
+            .mode("append")
+            .parquet(index_path + "/buckets")
+        )
+        return
+
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cv])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    ]
+    centroids.sort(key=lambda cv: cv[0])
+    assigned = _assign_cells(batch, vec_col, centroids)
+
+    if "m" in fields:  # PQ / IVFADC layout
+        m, ksub, dsub = int(meta.m), int(meta.ksub), int(meta.dim) // int(meta.m)
+        brows = spark.read.parquet(index_path + "/codebooks").collect()
+        books = np.zeros((m, ksub, dsub))
+        for r in brows:
+            books[int(r.j), int(r.c)] = [float(x) for x in r.cv]
+        codes = pq_encode(assigned, id_col, vec_col, books, keep=("cell",))
+        (
+            codes.repartition("cell")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(index_path + "/codes")
+        )
+        return
+
+    # plain IVF layout
+    (
+        assigned.select(F.col(id_col), "cell")
+        .repartition("cell")
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(index_path + "/cells")
+    )

@@ -56,3 +56,18 @@ def test_q8_snowflake_broadcasts_every_dim(spark):
     )
     assert p.count("BroadcastHashJoin") >= 5
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", sorted(olap.QUERIES))
+def test_olap_query_is_deterministic(spark, name):
+    """Same D13 contract the registry carries (test_determinism_registry):
+    two runs in one session, identical row multisets."""
+    from collections import Counter
+
+    from tests.oracle_utils import _norm
+
+    def rows():
+        df = olap.QUERIES[name](spark, SFS[0])
+        return Counter(tuple(_norm(v) for v in row) for row in df.collect())
+
+    assert rows() == rows(), f"{name}: nondeterministic"
