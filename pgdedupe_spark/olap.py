@@ -32,6 +32,8 @@ the registry don't already exercise):
               to stacked aggs + semi join, cross-multiplied share compare
 * q21-like  — EXISTS + NOT EXISTS self-joins with <> residuals (the
               hardest correlated form), planned as semi+anti joins
+* ranking windows — NTILE / PERCENT_RANK / CUME_DIST / LAG delta in one
+              shared window sort, exact-decimal tie-free ordering
 
 All money math follows the repo's decimal discipline: multiply/aggregate
 in DECIMAL(18,2), cast the final aggregate to DOUBLE.
@@ -819,4 +821,42 @@ def q21_waiting_supplier(spark, sf_dir):
         waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_q(
+    "q_ranking_windows",
+    """
+    SELECT c_mktsegment,
+           c_custkey,
+           CAST(ntile(4) OVER w AS INT) AS bal_quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS bal_pct_rank,
+           CAST(cume_dist() OVER w AS DOUBLE) AS bal_cume,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                - lag(CAST(c_acctbal AS DECIMAL(18,2)), 1, CAST(0 AS DECIMAL(18,2)))
+                  OVER w AS DOUBLE) AS bal_step
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(c_acctbal AS DECIMAL(18,2)), c_custkey)
+    """,
+)
+def q_ranking_windows(spark, sf_dir):
+    """Ranking-window breadth in one pass: NTILE bucketing, PERCENT_RANK,
+    CUME_DIST and a LAG delta over the SAME window spec — Spark plans
+    one sort per partition key, all four functions sharing it (a second
+    Window spec would double the sort). Determinism discipline: the order
+    key is (exact-decimal balance, unique custkey), so ties cannot swap
+    between runs or engines; the lag delta subtracts exact decimals and
+    only the final value casts to double."""
+    from pyspark.sql import Window
+
+    bal = _dec("c_acctbal")
+    w = Window.partitionBy("c_mktsegment").orderBy(bal, F.col("c_custkey"))
+    return _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.percent_rank().over(w).cast("double").alias("bal_pct_rank"),
+        F.cume_dist().over(w).cast("double").alias("bal_cume"),
+        (bal - F.lag(bal, 1, 0).over(w)).cast("double").alias("bal_step"),
     )
