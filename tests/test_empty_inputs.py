@@ -100,3 +100,48 @@ def test_new_r5_ops_on_empty_frames(spark):
     assert corpus_split(docs, "doc_id", w).count() == 0
     rep = validate_table(docs, [{"rule": "not_null", "col": "doc_id"}]).collect()
     assert rep[0].passed
+
+
+def test_chunk_and_semantic_decon_on_empty(spark):
+    from pgdedupe_spark.operators.curation import decontaminate_embeddings
+    from pgdedupe_spark.operators.packing import chunk_documents
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n_tok long")
+    assert chunk_documents(empty_docs, "doc_id", "n_tok", 8, 2).count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # empty corpus → empty report; empty benchmark → nothing contaminated
+    assert decontaminate_embeddings(empty_emb, some, "vec_id", "embedding").count() == 0
+    out = decontaminate_embeddings(some, empty_emb, "vec_id", "embedding").collect()
+    assert len(out) == 2 and not any(r.contaminated for r in out)
+    # exact path too (crossJoin against an empty broadcast side)
+    out = decontaminate_embeddings(
+        some, empty_emb, "vec_id", "embedding", exact=True
+    ).collect()
+    assert len(out) == 2 and not any(r.contaminated for r in out)
+
+
+def test_index_append_empty_batch_is_noop(spark, tmp_path):
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import (
+        index_append,
+        lsh_topk_from_index,
+        write_lsh_index,
+    )
+
+    emb = hash_embeddings(spark, n_vecs=50, dim=64)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb, "vec_id", "embedding", path, n_planes=4, n_tables=2)
+    before = spark.read.parquet(path + "/buckets").count()
+    index_append(spark, path, emb.filter("vec_id < 0"))
+    assert spark.read.parquet(path + "/buckets").count() == before
+    # the index still serves after the no-op append
+    assert (
+        lsh_topk_from_index(
+            spark, path, emb, "vec_id", "embedding", k=2, query_filter="vec_id < 2"
+        ).count()
+        > 0
+    )
