@@ -14,9 +14,11 @@ CAPABILITY resolved at plan time (VERDICT r1 item 8):
   and ``fake`` always works;
 * ``native`` (VERDICT r4 item 4) is a REAL decode tier with zero optional
   dependencies: pure-numpy decoders for the self-describing uncompressed
-  containers — images (P6 PPM, P5 PGM, 24-bit BI_RGB BMP) and audio
-  (RIFF/WAV PCM 8/16-bit). It exists so the
-  real-decode path is exercisable and exactly testable in ANY deployment;
+  containers — images (P6 PPM, P5 PGM, 24-bit BI_RGB BMP — plus REAL
+  compressed 8-bit PNG: stdlib zlib inflate + full filter
+  reconstruction, no optional deps) and audio (RIFF/WAV PCM 8/16-bit).
+  It exists so the real-decode path is exercisable and exactly testable
+  in ANY deployment;
   it is never chosen by ``auto`` because, unlike ``fake``, it requires the
   payloads to actually BE one of those containers (auto must run on
   arbitrary bytes);
@@ -80,7 +82,7 @@ def resolve_decode_mode(mode: str, modality: str = "image") -> str:
 
     'fake'   → always runs (deterministic byte-stat stand-in);
     'native' → pure-numpy decode of the self-describing uncompressed
-               containers (image: PPM/PGM/BMP; audio: RIFF/WAV PCM;
+               containers (image: PPM/PGM/BMP/PNG; audio: RIFF/WAV PCM;
                video: YUV4MPEG2) — no optional deps, but the payloads
                must be those formats; plan-time error for modalities
                without a native decoder;
@@ -189,18 +191,110 @@ def _read_pnm_header(b: bytes) -> tuple[int, int, int, int]:
     return vals[0], vals[1], vals[2], pos + 1  # +1: single whitespace byte
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG per-scanline filtering (spec §9): each row starts with a
+    filter-type byte, predictions are mod-256 against the left (a), above
+    (b) and upper-left (c) reconstructed bytes at a distance of one pixel
+    (= ch bytes at bit depth 8). None/Up vectorize whole-row; Sub is a
+    per-channel mod-256 cumulative sum; Average/Paeth are sequential by
+    definition and run per-pixel — this is the correctness tier, and the
+    scale story is mapInPandas parallelism across images, not per-image
+    decode speed."""
+    stride = w * ch
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f, line = int(rows[y, 0]), rows[y, 1:].copy()
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: cumsum per channel, mod 256
+            px = line.reshape(w, ch).astype(np.int64)
+            out[y] = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = line + prev  # uint8 wraparound == mod 256
+        elif f == 3:  # Average
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(line[i]) + (a + int(prev[i])) // 2) % 256
+            out[y] = cur
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) % 256
+            out[y] = cur
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+    return out.reshape(h, w, ch)
+
+
+def _png_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Real PNG decode with stdlib zlib only: 8-bit, color types 0 (gray),
+    2 (RGB), 4 (gray+alpha), 6 (RGBA), non-interlaced. Alpha strips so
+    the returned channels match the PPM/BMP tier conventions (gray→1,
+    color→3)."""
+    import zlib
+
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(int(color))
+    if channels is None:
+        raise ValueError(f"PNG color type {color} unsupported")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + w * channels):
+        raise ValueError("PNG scanline data size mismatch")
+    arr = _png_unfilter(raw, h, w, channels)
+    if channels in (2, 4):  # strip alpha → match the PPM/BMP conventions
+        arr = arr[:, :, : channels - 1].copy()
+    return arr, w, h
+
+
 def native_image_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
-    """Pure-numpy decode of the self-describing uncompressed image
-    containers — the dependency-free REAL decode tier:
+    """Pure-numpy decode of the self-describing image containers — the
+    dependency-free REAL decode tier:
 
     * P6 PPM (binary RGB) / P5 PGM (binary grayscale), maxval ≤ 255;
     * BMP with a 40-byte BITMAPINFOHEADER, 24-bit BI_RGB (uncompressed),
       bottom-up or top-down, row stride padded to 4 bytes — emitted as
-      RGB top-down so BMP and PPM of the same pixels decode identically.
+      RGB top-down so BMP and PPM of the same pixels decode identically;
+    * PNG (a REAL compressed format — stdlib zlib inflate + full
+      filter-reconstruction, spec §9): 8-bit gray/RGB/gray+alpha/RGBA,
+      non-interlaced; alpha strips so channel conventions match.
 
     Returns (H×W×C uint8 array, width, height). Raises ValueError on any
     other container — callers choosing mode='native' declare their
     payloads are these formats (auto never routes here)."""
+    if bytes(payload[: len(_PNG_SIG)]) == _PNG_SIG:
+        return _png_decode(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         w, h, maxval, off = _read_pnm_header(payload)
@@ -454,7 +548,7 @@ def resize_media(df: DataFrame, width: int, height: int, mode: str = "fake") -> 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if mode == "native":
-                # real resize, no deps: decode PPM/PGM/BMP, nearest-neighbor
+                # real resize, no deps: decode PPM/PGM/BMP/PNG, nearest-neighbor
                 # index grids, emit the raw interleaved pixel bytes (the
                 # PIL .tobytes() analog)
                 out = []
