@@ -340,10 +340,14 @@ def native_audio_decode(payload: bytes) -> tuple[np.ndarray, int]:
     Walks the RIFF chunk list (chunks may appear in any order and carry
     odd-length padding); supports uncompressed PCM (format tag 1) at 8
     bits (unsigned) or 16 bits (signed little-endian), any channel
-    count. Returns (n_samples × n_channels float64 array scaled to
-    [-1, 1], sample_rate). Raises ValueError for anything else — same
-    contract as the image decoder: mode='native' declares the payloads
-    ARE this container."""
+    count, plus the REAL compressed telephony codings G.711 A-law
+    (tag 6) and μ-law (tag 7) — 8-bit logarithmic companding expanded to
+    linear by the spec formulas (sign/exponent/mantissa fields; μ-law
+    bytes are stored complemented, A-law bytes XOR 0x55, exponent-0
+    A-law segments are linear). Returns (n_samples × n_channels float64
+    array scaled to [-1, 1], sample_rate). Raises ValueError for
+    anything else — same contract as the image decoder: mode='native'
+    declares the payloads ARE this container."""
     b = bytes(payload)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(f"unsupported audio container for native decode: {b[:4]!r}")
@@ -363,14 +367,41 @@ def native_audio_decode(payload: bytes) -> tuple[np.ndarray, int]:
     n_ch = int.from_bytes(fmt[2:4], "little")
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if tag != 1 or bits not in (8, 16) or n_ch < 1:
-        raise ValueError(f"only PCM 8/16-bit WAV supported (tag={tag}, bits={bits})")
-    if bits == 16:
+    if n_ch < 1:
+        raise ValueError("WAV with zero channels")
+    if tag == 1 and bits == 16:
         raw = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
         x = raw.astype(np.float64) / 32768.0
-    else:
+    elif tag == 1 and bits == 8:
         raw = np.frombuffer(data, dtype=np.uint8)
         x = (raw.astype(np.float64) - 128.0) / 128.0
+    elif tag in (6, 7) and bits == 8:
+        raw = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+        if tag == 7:  # μ-law (G.711): bytes stored one's-complemented
+            u = ~raw & 0xFF
+            sign = np.where(u & 0x80, -1.0, 1.0)
+            exp = (u >> 4) & 0x07
+            mant = u & 0x0F
+            mag = ((mant << 3) + 0x84 << exp) - 0x84  # bias 132, re-removed
+            x = sign * mag.astype(np.float64) / 32768.0
+        else:  # A-law (G.711): even bits inverted (XOR 0x55)
+            a = raw ^ 0x55
+            # ITU sign convention differs from mu-law: A-law sign bit SET
+            # means POSITIVE (CCITT reference alaw2linear)
+            sign = np.where(a & 0x80, 1.0, -1.0)
+            exp = (a >> 4) & 0x07
+            mant = a & 0x0F
+            mag = np.where(
+                exp == 0,
+                (mant << 4) + 8,  # linear segment
+                ((mant << 4) + 0x108) << (exp - 1),
+            )
+            x = sign * mag.astype(np.float64) / 32768.0
+    else:
+        raise ValueError(
+            f"only PCM 8/16-bit or G.711 A-law/mu-law WAV supported "
+            f"(tag={tag}, bits={bits})"
+        )
     n = (x.size // n_ch) * n_ch
     return x[:n].reshape(-1, n_ch), rate
 

@@ -520,3 +520,83 @@ def test_native_png_rejects_unsupported():
     interlaced[8 + 8 + 12] = 1
     with _pytest.raises(ValueError, match="interlaced"):
         native_image_decode(bytes(interlaced))
+
+
+def _wav_g711(samples_bytes, rate, tag, n_ch=1):
+    """RIFF/WAVE container around raw G.711 bytes (format tag 6=A-law,
+    7=mu-law), 8 bits per sample."""
+    fmt = (
+        tag.to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * n_ch).to_bytes(4, "little")
+        + n_ch.to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(samples_bytes).to_bytes(4, "little") + samples_bytes
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+def test_native_g711_decode_spot_values_and_roundtrip():
+    """G.711 companded WAV (REAL compressed audio, tag 6/7): exact spot
+    values from the published tables (mu-law 0xFF→0, 0x80→+32124,
+    0x00→-32124; A-law 0xD5→+8, 0xAA→+32256, 0x2A→-32256 — note the
+    ITU A-law sign convention: sign bit SET is positive), then a
+    roundtrip through forward encoders written independently from the
+    spec — decoded linear must land within the segment quantization step
+    of the original for every 16-bit test level."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import native_audio_decode
+
+    def dec(tag, bs):
+        x, rate = native_audio_decode(_wav_g711(bytes(bs), 8000, tag))
+        assert rate == 8000
+        return np.round(x[:, 0] * 32768.0).astype(int)
+
+    assert list(dec(7, [0xFF, 0x80, 0x00])) == [0, 32124, -32124]
+    assert list(dec(6, [0xD5, 0xAA, 0x2A])) == [8, 32256, -32256]
+
+    def mulaw_encode(v):
+        bias, clip = 0x84, 32635
+        s = 0x80 if v < 0 else 0
+        m = min(abs(v), clip) + bias
+        exp = 7
+        for e in range(7, -1, -1):
+            if m >= (1 << (e + 7)):
+                exp = e
+                break
+        else:
+            exp = 0
+        mant = (m >> (exp + 3)) & 0x0F
+        return (~(s | (exp << 4) | mant)) & 0xFF
+
+    def alaw_encode(v):
+        s = 0x80 if v >= 0 else 0  # A-law sign bit SET for positive
+        m = min(abs(v), 32767)
+        if m < 256:
+            code = m >> 4
+        else:
+            exp = 7
+            for e in range(7, 0, -1):
+                if m >= (1 << (e + 7)):
+                    exp = e
+                    break
+            mant = (m >> (exp + 3)) & 0x0F
+            code = (exp << 4) | mant
+        return (s | code) ^ 0x55
+
+    levels = [0, 1, 7, 42, 300, 1234, 8000, 20000, 32000, -1, -55, -3000, -32000]
+    mu = dec(7, [mulaw_encode(v) for v in levels])
+    al = dec(6, [alaw_encode(v) for v in levels])
+    for orig, got_mu, got_al in zip(levels, mu, al):
+        step = max(16, abs(orig) >> 3)  # segment step grows with magnitude
+        assert abs(got_mu - orig) <= step, ("mu", orig, got_mu)
+        assert abs(got_al - orig) <= step, ("alaw", orig, got_al)
+
+
+def test_native_g711_rejects_unknown_tag():
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.multimodal import native_audio_decode
+
+    with _pytest.raises(ValueError, match="supported"):
+        native_audio_decode(_wav_g711(b"\x00\x01", 8000, tag=2))  # ADPCM
