@@ -71,3 +71,27 @@ def test_olap_query_is_deterministic(spark, name):
         return Counter(tuple(_norm(v) for v in row) for row in df.collect())
 
     assert rows() == rows(), f"{name}: nondeterministic"
+
+
+def test_full_tpch_pattern_sweep_is_complete():
+    """Every classic q1–q22 plan pattern has a named analog between the
+    driver registry and olap.py — the breadth claim in the module
+    docstring, pinned so a refactor can't silently drop one."""
+    from pgdedupe_spark import registry
+
+    names = set(registry.QUERIES) | set(olap.QUERIES)
+    analogs = {
+        1: "q1_pricing_summary", 2: "q2_min_balance_supplier",
+        3: "q3_shipping_priority", 4: "q4_order_priority",
+        5: "q5_regional_revenue", 6: "q6_forecast_revenue",
+        7: "q7_nation_flow", 8: "q8_market_share",
+        9: "q9_product_profit", 10: "q10_returned_items",
+        11: "q11_heavy_parts", 12: "q12_shipmode_priority",
+        13: "q13_customer_distribution", 14: "q14_promo_share",
+        15: "q15_top_supplier", 16: "q16_supplier_variety",
+        17: "q17_small_qty_revenue", 18: "q18_large_orders",
+        19: "q19_disjunctive_revenue", 20: "q20_part_promotion",
+        21: "q21_waiting_supplier", 22: "q22_idle_customers",
+    }
+    missing = {q: n for q, n in analogs.items() if n not in names}
+    assert not missing, missing

@@ -558,3 +558,39 @@ def test_connected_components_pointer_doubling_round_count(spark):
         F.max("component").alias("m"),
     ).collect()[0]
     assert (got.n, got.c, got.m) == (n, 1, 0)
+
+
+chunk_cases = st.lists(st.integers(0, 60), min_size=1, max_size=8)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n_toks=chunk_cases, chunk=st.integers(1, 12), data=st.data())
+def test_chunk_documents_invariants(spark, n_toks, chunk, data):
+    """For arbitrary document sizes and (chunk, overlap) combos: zero-token
+    docs vanish, chunk intervals tile [0, n_tok) with stride chunk-overlap
+    and no gaps, every chunk but the last is full when the doc allows."""
+    from pgdedupe_spark.operators.packing import chunk_documents
+
+    overlap = data.draw(st.integers(0, chunk - 1))
+    df = spark.createDataFrame(list(enumerate(n_toks)), "doc_id long, n_tok long")
+    rows = chunk_documents(df, "doc_id", "n_tok", chunk, overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.start_tok, r.n_tok_in_chunk))
+    stride = chunk - overlap
+    for doc_id, n_tok in enumerate(n_toks):
+        got = sorted(by_doc.get(doc_id, []))
+        if n_tok == 0:
+            assert got == []
+            continue
+        assert got, (doc_id, n_tok)
+        assert [i for i, _, _ in got] == list(range(len(got)))
+        covered = 0
+        for idx, (i, s, ln) in enumerate(got):
+            assert s == i * stride
+            assert 1 <= ln <= chunk
+            assert s <= covered          # no gap
+            covered = max(covered, s + ln)
+            if idx < len(got) - 1:
+                assert ln == chunk       # only the last chunk may truncate
+        assert covered == n_tok
