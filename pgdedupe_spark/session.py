@@ -19,6 +19,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "pgdedupe_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    # JVM unified logging defaults to STDOUT; its GCLocker/alloc warnings
+    # interleave with program output (this corrupted two bench artifacts).
+    # spark.driver.extraJavaOptions is IGNORED for the driver in client
+    # mode (the JVM is already being launched when the conf is read), so
+    # the flag must ride the spark-submit launch env instead. No-op if the
+    # JVM is already up (getOrCreate reuses it).
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "-Xlog" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (opts + " -Xlog:all=warning:stderr").strip()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cpus == "*" else max(8, int(cpus))
@@ -32,11 +41,10 @@ def get_spark(app_name: str = "pgdedupe_spark", shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # JVM unified logging defaults to STDOUT; GCLocker/alloc warnings
-        # interleaving with program output corrupted two bench artifacts
-        # (r5 truncation, r6 run-2 JSON) — route JVM warnings to stderr
+        # kept for cluster mode, where executors DO honor it (client-mode
+        # driver gets the same flag via SPARK_SUBMIT_OPTS above)
         .config(
-            "spark.driver.extraJavaOptions",
+            "spark.executor.extraJavaOptions",
             os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:all=warning:stderr"),
         )
         .config("spark.ui.enabled", "false")
