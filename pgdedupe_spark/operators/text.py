@@ -182,3 +182,81 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .withColumnRenamed("doc", id_col)
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, train_df: DataFrame | None = None
+) -> DataFrame:
+    """Bigram-LM quality score — the KenLM/CCNet filter pattern one order
+    up from :func:`unigram_logprob`: per document, the mean add-one-
+    smoothed log-probability of its token TRANSITIONS,
+    ``p(w2|w1) = (C(w1,w2)+1) / (C(w1)+V)``. Repetitive or garbled text
+    scores far below prose even when its unigrams look normal (the
+    failure mode the unigram gate misses).
+
+    ``train_df`` is the actual CCNet deployment shape: train the LM on a
+    trusted/clean corpus and score a candidate corpus against it
+    (defaults to self-scoring). Unseen bigrams and unseen contexts fall
+    back to the smoothed floor (numerator 1; context count 0), so
+    scoring a disjoint-vocabulary document is well-defined and maximally
+    penalized rather than an error.
+
+    Output: (id, n_bigrams, mean_logprob); documents with fewer than two
+    tokens emit n_bigrams=0 and NULL mean_logprob (no transitions to
+    score — callers decide whether empty-ish docs pass the gate).
+
+    Plan: one explode per side builds (w1, w2) transition streams via a
+    JVM ``transform`` over the sliced token array (no Python, fan-out =
+    tokens-1); the LM is two hash aggregations (bigram and context
+    counts, token-partitioned — the natural 100 TB layout); scoring is
+    two left joins against those counts (AQE broadcasts small LMs). The
+    vocabulary size is the single collected scalar."""
+    src = train_df if train_df is not None else df
+
+    def transitions(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_t"))
+            .filter(F.size("_t") >= 2)
+            .select(
+                "doc",
+                F.explode(
+                    F.expr(
+                        "transform(slice(_t, 1, size(_t) - 1),"
+                        " (w, i) -> struct(w AS w1, element_at(_t, i + 2) AS w2))"
+                    )
+                ).alias("_b"),
+            )
+            .select("doc", F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+        )
+
+    train = transitions(src)
+    bigrams = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cb"))
+    contexts = bigrams.groupBy("w1").agg(F.sum("_cb").alias("_cw"))
+    vocab = (
+        src.select(F.explode(tokens(F.col(text_col))).alias("_w"))
+        .agg(F.count_distinct("_w"))
+        .collect()[0][0]
+    )
+    v = float(vocab or 1)
+
+    score = transitions(df)
+    logp = F.log(
+        (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(1.0))
+        / (F.coalesce(F.col("_cw"), F.lit(0)) + F.lit(v))
+    )
+    per_doc = (
+        score.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, "w1", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("mean_logprob"),
+        )
+    )
+    # docs with <2 tokens have no transition rows — re-attach with NULLs
+    base = df.select(F.col(id_col).alias("doc"))
+    return (
+        base.join(per_doc, "doc", "left")
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        .withColumnRenamed("doc", id_col)
+    )

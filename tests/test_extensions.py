@@ -221,3 +221,58 @@ def test_unigram_logprob_quality_signal(spark):
         assert abs(mlp - want) < 1e-12, (d, mlp, want)
 
     assert got[4][1] > got[1][1] > got[3][1]  # common > prose > garbage
+
+
+def test_bigram_logprob_exact_and_ccnet_pattern(spark):
+    """Bigram LM: (a) self-scored numbers match an exact python replica
+    of add-one-smoothed transition probabilities over the same
+    tokenization; (b) the CCNet deployment shape — LM trained on clean
+    prose, scoring a held-out corpus — ranks prose above repetitive
+    degeneration that a unigram gate cannot see; (c) short docs emit
+    n_bigrams=0 / NULL score."""
+    import math
+    import re
+    from collections import Counter
+
+    from pgdedupe_spark.operators.text import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the rug"),
+        (3, "mat the on sat cat the"),  # same unigrams as #1, scrambled
+        (4, "one"),                     # <2 tokens → no transitions
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.mean_logprob) for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in rows}
+    bigr = {d: list(zip(ts, ts[1:])) for d, ts in toks.items()}
+    cb = Counter(b for bs in bigr.values() for b in bs)
+    cw = Counter(b[0] for bs in bigr.values() for b in bs)
+    v = len({x for ts in toks.values() for x in ts})
+    for d, bs in bigr.items():
+        n, mlp = got[d]
+        assert n == len(bs)
+        if not bs:
+            assert mlp is None
+            continue
+        want = sum(math.log((cb[b] + 1) / (cw[b[0]] + v)) for b in bs) / len(bs)
+        assert abs(mlp - want) < 1e-12, (d, mlp, want)
+
+    # scrambled doc shares doc 1's unigrams but not its transitions —
+    # bigram score separates them while a unigram score cannot
+    assert got[1][1] > got[3][1]
+
+    # CCNet shape: train on clean, score held-out candidates
+    clean = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(5)],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(100, "the cat sat on the rug"), (101, "mat mat mat mat mat mat")],
+        "doc_id long, text string",
+    )
+    scored = {r.doc_id: r.mean_logprob for r in
+              bigram_logprob(cand, "doc_id", "text", train_df=clean).collect()}
+    assert scored[100] > scored[101]
