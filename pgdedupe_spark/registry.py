@@ -3807,6 +3807,9 @@ PYTEST_ONLY = frozenset(
         "a9_union_distinct",
         # demoted in r6 to make window room for stats_validate (VERDICT r5 #8)
         "p3_distinct",
+        # born pytest-only in r6 (window full): full oracle coverage via
+        # tests/test_oracle.py, streaming parity in tests/test_streaming.py
+        "events_attribution_outer",
     }
 )
 
@@ -3932,4 +3935,58 @@ def stats_validate(spark, sf_dir):
             {"rule": "matches", "col": "o_orderpriority", "pattern": "^[1-5]-"},
             {"rule": "foreign_key", "col": "o_custkey", "ref": customer, "ref_col": "c_custkey"},
         ],
+    )
+
+
+@query(
+    "events_attribution_outer",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+      FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, purchase_id, click_id, purchase_us, click_us, amount
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+     AND click_us < purchase_us
+     AND click_us >= purchase_us - 3600000000
+    """,
+)
+def events_attribution_outer(spark, sf_dir):
+    """LEFT OUTER attribution: every purchase, with NULL click columns
+    when no click preceded it within the hour — the batch twin of the
+    stream-stream outer join (streaming/ops.py
+    purchase_attribution_outer_stream; parity pinned in
+    tests/test_streaming.py, where the stream's end-of-stream watermark
+    caveat is also documented). Same hash-join shape as
+    `events_attribution` with NULL-extension; the unmatched-purchase
+    rows are exactly the "conversion without marketing touch" set a
+    funnel analysis needs. Registered PYTEST_ONLY from birth: the
+    driver's 100-query window is full, and the demotion mechanism
+    (VERDICT r5 #3) gives it full DuckDB coverage via tests/test_oracle
+    without displacing a driver row."""
+    ev = _events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_us").alias("click_us"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_us") < F.col("purchase_us"))
+            & (F.col("click_us") >= F.col("purchase_us") - F.lit(3_600_000_000)),
+            "left",
+        )
+        .select("user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount")
     )

@@ -242,3 +242,61 @@ def click_purchase_join_stream(
         "click_time",
         "amount",
     )
+
+
+def purchase_attribution_outer_stream(
+    events: DataFrame, window: str = "1 hour", delay: str = "1 hour"
+) -> DataFrame:
+    """Stream-STREAM **left-outer** join: every purchase, attributed to the
+    same user's clicks in the preceding ``window`` — or emitted with NULL
+    click columns once the watermark proves no matching click can still
+    arrive. The outer variant is the shape
+    :func:`click_purchase_join_stream` (inner) cannot answer: "which
+    purchases had NO preceding click?" — the question conversion analysis
+    actually asks.
+
+    Mechanics the inner join doesn't exercise: the unmatched purchase row
+    is NOT emitted when first seen — the engine must hold it in state
+    until the click-side watermark passes purchase_time (only then is
+    "no click existed" provable), so outer results arrive late by up to
+    the watermark delay. Both sides' state stays watermark+range bounded
+    exactly as in the inner case. Batch twin: registry
+    `events_attribution_outer` (same logical join, NULL-extending);
+    parity pinned in tests/test_streaming.py."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", delay)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_time", delay)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            click_time < purchase_time AND
+            click_time >= purchase_time - INTERVAL {window}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_time",
+        "click_time",
+        "amount",
+    )

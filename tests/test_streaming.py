@@ -41,6 +41,21 @@ def _rows(df, cols):
     return sorted(map(tuple, df.select(*cols).collect()))
 
 
+def batch_events_for(spark):
+    """Non-fixture twin of batch_events for tests that need it outside the
+    fixture cache (same derivation, same SF_DIR)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    dtype = dict(df.dtypes)["ts"]
+    return df.select(
+        "event_id",
+        event_time_col(dtype).alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 def test_dedup_stream_parity(spark, batch_events):
     sdf = dedup_stream(read_events_stream(spark, SF_DIR), ["event_id"])
     got = run_to_memory_table(sdf, "t_dedup")
@@ -296,3 +311,54 @@ def test_stateful_restart_recovers_from_checkpoint(spark, tmp_path, batch_events
     )
     cols = ["user_id", "n_events", "last_seen_us"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_stream_left_outer_join_parity(spark):
+    """Stream-stream LEFT OUTER attribution vs the batch twin
+    `events_attribution_outer`. Matched rows must agree exactly. For
+    NULL-extended rows the stream carries a documented end-of-stream
+    caveat: "no click existed" only becomes provable when the click-side
+    watermark passes the purchase time, and with a finite availableNow
+    source the final watermark stops at max(event_time) - delay — so
+    unmatched purchases NEWER than that stay in state, unemitted. The
+    assertion therefore requires stream-null-rows == batch-null-rows
+    restricted to provable purchases, and that the stream emitted no row
+    the batch doesn't have."""
+    from pgdedupe_spark import registry
+    from pgdedupe_spark.streaming.ops import purchase_attribution_outer_stream
+
+    sdf = purchase_attribution_outer_stream(read_events_stream(spark, SF_DIR))
+    got_df = run_to_memory_table(sdf, "t_attr_outer").select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_time").alias("purchase_us"),
+        F.unix_micros("click_time").alias("click_us"),
+        "amount",
+    )
+    cols = ["user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount"]
+    got = set(_rows(got_df, cols))
+    want_df = registry.QUERIES["events_attribution_outer"](spark, SF_DIR)
+    want = set(_rows(want_df, cols))
+
+    assert got <= want, "stream emitted rows the batch twin does not have"
+    matched_want = {r for r in want if r[2] is not None}
+    assert {r for r in got if r[2] is not None} == matched_want
+
+    # the GLOBAL watermark is the min across both input sides (each side
+    # contributes max(event_time) - delay), so provability must use the
+    # min-of-sides basis, not the purchase side alone
+    delay_us = 3_600_000_000
+    ev = batch_events_for(spark)
+    side_max = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.unix_micros(F.max("event_time")).alias("mx"))
+        .collect()
+    )
+    wm_us = min(r.mx for r in side_max) - delay_us
+    provable_nulls = {r for r in want if r[2] is None and r[3] < wm_us}
+    stream_nulls = {r for r in got if r[2] is None}
+    assert provable_nulls <= stream_nulls, (
+        len(provable_nulls - stream_nulls), "provably-unmatched purchases missing"
+    )
