@@ -417,3 +417,23 @@ def test_decontaminate_embeddings_lsh_vs_exact(spark):
     approx = flagged()
     assert len(approx & exact) / len(exact) >= 0.9
     assert approx <= exact                           # verify stage is exact
+
+
+def test_decontaminate_embeddings_plan_shape(spark):
+    """The LSH candidate stage must never cross-product the corpus: the
+    executed plan joins bucketed sides on (table, bucket) with the
+    benchmark broadcast, and CartesianProduct appears only in the
+    explicitly-guarded exact certifier."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.curation import decontaminate_embeddings
+
+    emb = hash_embeddings(spark, n_vecs=200, dim=64)
+    bench = emb.filter("vec_id % 10 = 0").withColumnRenamed("vec_id", "bid")
+    corpus = emb.filter("vec_id % 10 <> 0")
+    out = decontaminate_embeddings(
+        corpus, bench, "vec_id", "embedding",
+        bench_id_col="bid", bench_vec_col="embedding",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

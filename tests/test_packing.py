@@ -298,3 +298,17 @@ def test_chunk_documents_validation(spark):
         chunk_documents(df, "doc_id", "n_tok", 4, 4)
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, "doc_id", "n_tok", 4, -1)
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    """Per-document chunking is embarrassingly parallel — the executed
+    plan must contain no Exchange (a shuffle here would mean the interval
+    arithmetic accidentally grew a global dependency)."""
+    from pgdedupe_spark.operators.packing import chunk_documents
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50 + 1).alias("n_tok")
+    )
+    out = chunk_documents(df, "doc_id", "n_tok", 16, 4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
