@@ -1021,7 +1021,9 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
     partition directories. Existing files are never touched, so probing/
     pruning semantics are unchanged; appended batches add one file per
     touched partition (run :func:`pgdedupe_spark.sources.io.compact_table`
-    on the index when small files accumulate)."""
+    with ``partition_by`` matching the layout — e.g. ``["cell"]`` — when
+    small files accumulate; plain compaction would flatten the partition
+    directories the probe pruning depends on)."""
     meta = spark.read.parquet(index_path + "/meta").collect()[0]
     fields = set(meta.asDict())
     id_col, vec_col = str(meta.id_col), str(meta.vec_col)

@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from pgdedupe_spark.ml.training import read_training as read_training_json  # noqa: F401
@@ -157,6 +158,7 @@ def compact_table(
     target_file_bytes: int = 128 * 1024 * 1024,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite a parquet table into right-sized files — the maintenance
     operation every long-lived 100 TB table needs (streaming ingest and
@@ -176,12 +178,32 @@ def compact_table(
     repartition just fixes file sizes. The plain and ``sort_by`` paths
     read the input once and write once; ``zorder_by`` adds one extra
     aggregate-only scan up front (the per-column min/max collect that
-    scales the Morton code) before the rewrite pass."""
+    scales the Morton code) before the rewrite pass.
+
+    ``partition_by`` preserves a hive-partitioned layout (``cell=…``,
+    ``table=…/bucket=…``, ``shard=…``): rows shuffle on the partition
+    columns so each directory rewrites to ONE file, and the directory
+    structure — and therefore every partition-pruning read path (the
+    ANN serving indexes, training shards) — survives the compaction.
+    Without it a partitioned source would be silently flattened into an
+    unpartitioned copy, which is exactly what the small-file cleanup
+    after :func:`~pgdedupe_spark.operators.similarity.index_append`
+    must not do."""
     if sort_by and zorder_by:
         raise ValueError("sort_by and zorder_by are mutually exclusive")
     n_files, total = table_file_stats(spark, path)
     n_out = max(1, -(-total // max(1, target_file_bytes)))
     df = spark.read.parquet(path)
+    if partition_by:
+        if sort_by or zorder_by:
+            raise ValueError("partition_by does not compose with sort/zorder")
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+            .mode("overwrite")
+            .parquet(out_path)
+        )
+        return spark.read.parquet(out_path)
     if zorder_by:
         z = zorder_column(df, zorder_by)
         # collision-safe temp name: a user table may legitimately carry

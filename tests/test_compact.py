@@ -156,3 +156,69 @@ def test_zorder_preserves_user_column_named_z(spark, tmp_path):
     out = compact_table(spark, src, dst, zorder_by=["a", "b"])
     assert "_z" in out.columns
     assert out.agg(F.sum(F.col("_z") - F.col("a"))).collect()[0][0] == 100 * 1000
+
+
+def test_partitioned_compaction_preserves_layout_and_serving(spark, tmp_path):
+    """The index-maintenance loop end-to-end: append leaves 2 files per
+    touched bucket directory; compact_table(partition_by=...) must merge
+    them to one file per directory WITHOUT flattening the hive layout —
+    and the compacted index must serve identically."""
+    import os
+
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import (
+        index_append,
+        lsh_topk_from_index,
+        write_lsh_index,
+    )
+    from pgdedupe_spark.sources.io import compact_table
+
+    emb = hash_embeddings(spark, n_vecs=400, dim=64)
+    path = str(tmp_path / "lsh")
+    write_lsh_index(emb.filter("vec_id < 200"), "vec_id", "embedding", path,
+                    n_planes=3, n_tables=2)
+    index_append(spark, path, emb.filter("vec_id >= 200"))
+
+    def files_per_dir(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            data = [f for f in files if f.endswith(".parquet")]
+            if data:
+                out[os.path.relpath(dirpath, root)] = len(data)
+        return out
+
+    before = files_per_dir(path + "/buckets")
+    assert any(n > 1 for n in before.values()), "append should leave extra files"
+
+    serve = lambda p: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in lsh_topk_from_index(
+            spark, p, emb, "vec_id", "embedding", k=3, query_filter="vec_id < 5"
+        ).collect()
+    )
+    want = serve(path)
+
+    compacted = str(tmp_path / "lsh2")
+    os.makedirs(compacted)
+    compact_table(
+        spark, path + "/buckets", compacted + "/buckets",
+        partition_by=["table", "bucket"],
+    )
+    # meta travels with the index; copy it alongside the compacted buckets
+    spark.read.parquet(path + "/meta").coalesce(1).write.parquet(compacted + "/meta")
+
+    after = files_per_dir(compacted + "/buckets")
+    assert set(after) == set(before), "partition directories must survive"
+    assert all(n == 1 for n in after.values()), after
+    assert serve(compacted) == want
+
+
+def test_partition_by_rejects_sort_combination(spark, tmp_path):
+    import pytest as _pytest
+
+    from pgdedupe_spark.sources.io import compact_table
+
+    src = str(tmp_path / "src")
+    spark.range(10).withColumn("p", F.col("id") % 2).write.partitionBy("p").parquet(src)
+    with _pytest.raises(ValueError, match="compose"):
+        compact_table(spark, src, str(tmp_path / "dst"), partition_by=["p"], sort_by=["id"])
