@@ -1070,3 +1070,97 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
         .mode("append")
         .parquet(index_path + "/cells")
     )
+
+
+def embedding_dedup_pairs(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scalable embedding near-duplicate pairs — the LSH-front-ended
+    production counterpart of the O(n²)-guarded :func:`cosine_pairs`
+    verifier: candidates are (id1 < id2) pairs sharing a bucket in ANY
+    hyperplane table, deduplicated BEFORE the exact cosine verify, and
+    only pairs at cosine ≥ ``threshold`` survive. Same quantized-integer
+    dot product as the verifier, so on any corpus small enough to run
+    both, the output is a subset of cosine_pairs with recall set by the
+    (n_planes, n_tables) schedule — the SemDeDup-style candidate
+    generation for 100 TB corpora (never all-pairs; candidate volume =
+    bucket collision mass).
+
+    Output: (id1, id2, sim) with id1 < id2."""
+    table_planes = _table_planes(dim, n_planes, n_tables, seed)
+    bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
+    a = bucketed.select(F.col(id_col).alias("id1"), "table", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id2"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    q = embeddings.select(
+        F.col(id_col).alias("_id"), _quantize(F.col(vec_col)).alias("_q")
+    ).withColumn("_n", F.sqrt(_dot_long(F.col("_q"), F.col("_q")).cast("double")))
+    lhs = q.select(
+        F.col("_id").alias("id1"), F.col("_q").alias("_q1"), F.col("_n").alias("_n1")
+    )
+    rhs = q.select(
+        F.col("_id").alias("id2"), F.col("_q").alias("_q2"), F.col("_n").alias("_n2")
+    )
+    return (
+        cand.join(lhs, "id1")
+        .join(rhs, "id2")
+        .withColumn(
+            "sim",
+            _dot_long(F.col("_q1"), F.col("_q2")).cast("double")
+            / (F.col("_n1") * F.col("_n2")),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id1", "id2", "sim")
+    )
+
+
+def embedding_near_dup_clusters(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication end-to-end: LSH-bucketed
+    candidate pairs (:func:`embedding_dedup_pairs`) → distributed
+    connected components → one row per member of a multi-document
+    cluster with its cluster label (min member id — the canonical
+    keep), cluster size, and a ``keep`` flag. Filtering ``keep OR
+    cluster IS NULL`` on the joined corpus is the dedup action; the
+    text-side twin is ``dedup.near_duplicate_clusters`` (n-gram
+    Jaccard), and this is the variant that also catches paraphrases
+    with no lexical overlap.
+
+    Scale shape: bucket join → pair verify → pointer-doubling CC —
+    every stage bucketed or vertex-sized, never all-pairs."""
+    from pgdedupe_spark.operators.clustering import connected_components
+
+    pairs = embedding_dedup_pairs(
+        embeddings, id_col, vec_col, threshold, dim, n_planes, n_tables, seed
+    )
+    comps = connected_components(pairs.select("id1", "id2"))
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("keep"),
+        )
+    )

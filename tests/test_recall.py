@@ -141,3 +141,63 @@ def test_pq_stress_planted_recall(spark, tmp_path):
     assert len(top1) == 50
     hits = sum(1 for q, nb in top1.items() if nb == q - 1)
     assert hits >= 45, f"planted twin found at rank 1 for only {hits}/50 queries"
+
+
+def test_embedding_dedup_pairs_subset_and_recall(spark):
+    """The SemDeDup front-end: LSH-bucketed pair generation must emit a
+    SUBSET of the exact verifier's pairs (same quantized dot product, so
+    the verify stage cannot invent pairs) with recall >= 0.9 at the
+    shipped (8 planes x 8 tables) schedule on the planted-twin corpus."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import cosine_pairs, embedding_dedup_pairs
+
+    emb = hash_embeddings(spark, n_vecs=1500, dim=64)
+    exact = {(r.id1, r.id2) for r in
+             cosine_pairs(emb, "vec_id", "embedding", threshold=0.9).collect()}
+    approx = {(r.id1, r.id2) for r in
+              embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.9).collect()}
+    assert exact, "fixture drifted: no exact pairs at 0.9"
+    assert approx <= exact
+    assert len(approx & exact) / len(exact) >= 0.9
+
+
+def test_embedding_near_dup_clusters_semantics(spark):
+    """Cluster output contract: only multi-member clusters appear, the
+    label is the min member id, exactly the min member carries keep=True,
+    and cluster_size matches the member count. The planted twins
+    (i-1, i) at i % 10 == 1 must share a cluster."""
+    from pgdedupe_spark.corpus import hash_embeddings
+    from pgdedupe_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_near_dup_clusters,
+    )
+
+    emb = hash_embeddings(spark, n_vecs=1000, dim=64)
+    # ground truth: planted twin pairs whose exact cosine clears the
+    # threshold (jitter is random per component, so membership at 0.9 is
+    # data-determined — ~83% of plants on this corpus)
+    exact_twins = {
+        (r.id1, r.id2)
+        for r in cosine_pairs(emb, "vec_id", "embedding", threshold=0.9).collect()
+        if r.id2 == r.id1 + 1 and r.id2 % 10 == 1
+    }
+    assert len(exact_twins) >= 50, "fixture drifted"
+    rows = embedding_near_dup_clusters(emb, "vec_id", "embedding", threshold=0.9).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    assert by_cluster, "no clusters found — fixture drifted"
+    cluster_of = {}
+    for label, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        assert len(ids) >= 2
+        assert label == ids[0]
+        assert all(m.cluster_size == len(ids) for m in members)
+        assert [m.vec_id for m in members if m.keep] == [ids[0]]
+        for i in ids:
+            cluster_of[i] = label
+    # >=90% of the truly-above-threshold twin pairs share a cluster
+    covered = sum(
+        1 for a, b in exact_twins if cluster_of.get(a) == cluster_of.get(b) is not None
+    )
+    assert covered >= 0.9 * len(exact_twins), (covered, len(exact_twins))
