@@ -15,8 +15,10 @@ CAPABILITY resolved at plan time (VERDICT r1 item 8):
 * ``native`` (VERDICT r4 item 4) is a REAL decode tier with zero optional
   dependencies: pure-numpy decoders for the self-describing uncompressed
   containers — images (P6 PPM, P5 PGM, 24-bit BI_RGB BMP — plus REAL
-  compressed 8-bit PNG: stdlib zlib inflate + full filter
-  reconstruction, no optional deps) and audio (RIFF/WAV PCM 8/16-bit).
+  compressed formats with no optional deps: 8-bit PNG via stdlib zlib
+  inflate + full filter reconstruction, and GIF 87a/89a via a complete
+  LZW implementation) and audio (RIFF/WAV PCM 8/16-bit and the G.711
+  A-law/mu-law companded codings).
   It exists so the real-decode path is exercisable and exactly testable
   in ANY deployment;
   it is never chosen by ``auto`` because, unlike ``fake``, it requires the
@@ -82,7 +84,7 @@ def resolve_decode_mode(mode: str, modality: str = "image") -> str:
 
     'fake'   → always runs (deterministic byte-stat stand-in);
     'native' → pure-numpy decode of the self-describing uncompressed
-               containers (image: PPM/PGM/BMP/PNG; audio: RIFF/WAV PCM;
+               containers (image: PPM/PGM/BMP/PNG/GIF; audio: RIFF/WAV PCM + G.711;
                video: YUV4MPEG2) — no optional deps, but the payloads
                must be those formats; plan-time error for modalities
                without a native decoder;
@@ -288,13 +290,18 @@ def native_image_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
       RGB top-down so BMP and PPM of the same pixels decode identically;
     * PNG (a REAL compressed format — stdlib zlib inflate + full
       filter-reconstruction, spec §9): 8-bit gray/RGB/gray+alpha/RGBA,
-      non-interlaced; alpha strips so channel conventions match.
+      non-interlaced; alpha strips so channel conventions match;
+    * GIF 87a/89a (a second REAL compressed format — full LZW with
+      growing code widths, CLEAR resets and the KwKwK case): global or
+      local palette, optional interlacing, first frame, as RGB.
 
     Returns (H×W×C uint8 array, width, height). Raises ValueError on any
     other container — callers choosing mode='native' declare their
     payloads are these formats (auto never routes here)."""
     if bytes(payload[: len(_PNG_SIG)]) == _PNG_SIG:
         return _png_decode(bytes(payload))
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         w, h, maxval, off = _read_pnm_header(payload)
@@ -690,3 +697,111 @@ def sample_frames(df: DataFrame, n_frames: int = 4, mode: str = "fake") -> DataF
             )
 
     return df.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavour LZW (LSB-first bit packing, growing code width up to 12
+    bits, CLEAR resets the dictionary, KwKwK case handled): returns the
+    palette-index stream."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    dictionary: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_free = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                dictionary = {i: bytes([i]) for i in range(clear)}
+                next_free = end + 1
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return list(out)
+            if prev is None:
+                entry = dictionary[code]
+            elif code in dictionary:
+                entry = dictionary[code]
+                dictionary[next_free] = prev + entry[:1]
+                next_free += 1
+            elif code == next_free:  # KwKwK
+                entry = prev + prev[:1]
+                dictionary[next_free] = entry
+                next_free += 1
+            else:
+                raise ValueError(f"LZW code {code} out of range")
+            out.extend(entry)
+            prev = entry
+            if next_free >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    return list(out)
+
+
+def _gif_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Real GIF decode, stdlib-only: 87a/89a, global or local color table,
+    optional interlacing, first image frame. Extensions (GCE/comment/
+    application) are skipped; transparency is ignored (the frame renders
+    with its palette colors). Returns (H×W×3 uint8 RGB, width, height)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    if len(payload) < 14:
+        raise ValueError("truncated GIF header")
+    u16 = lambda o: int.from_bytes(payload[o : o + 2], "little")  # noqa: E731
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            w, h = u16(pos + 5), u16(pos + 7)
+            ipacked = payload[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            rows = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            return table[rows].astype(np.uint8), w, h
+        elif b == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")

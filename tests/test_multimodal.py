@@ -137,6 +137,10 @@ def test_native_decode_ppm_pgm_bmp_exact():
     assert np.array_equal(arr2, arr)
 
     with pytest.raises(ValueError, match="unsupported image container"):
+        native_image_decode(b"II*\x00....")  # TIFF: genuinely unsupported
+    # GIF is now a real decode path — a truncated one must still raise
+    # a clean ValueError, not an index error
+    with pytest.raises(ValueError, match="truncated GIF"):
         native_image_decode(b"GIF89a....")
 
 
@@ -600,3 +604,157 @@ def test_native_g711_rejects_unknown_tag():
 
     with _pytest.raises(ValueError, match="supported"):
         native_audio_decode(_wav_g711(b"\x00\x01", 8000, tag=2))  # ADPCM
+
+
+def _gif_bytes(idx_rows, palette, interlaced=False, local_table=False):
+    """Serialize palette-index rows as a valid GIF89a with a REAL forward
+    LZW encoder (dictionary-building, growing code widths — written from
+    the spec, sharing no code with the decoder)."""
+    import numpy as np
+
+    h, w = idx_rows.shape
+    n = len(palette)
+    size_field = max(1, (n - 1).bit_length()) - 1
+    table_n = 2 << size_field
+    table = bytes(
+        b for i in range(table_n)
+        for b in (palette[i] if i < n else (0, 0, 0))
+    )
+
+    min_code = max(2, size_field + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    rows = idx_rows
+    if interlaced:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        rows = idx_rows[order]
+    stream = [int(x) for x in rows.reshape(-1)]
+
+    # forward LZW
+    out_codes = [clear]
+    dictionary = {bytes([i]): i for i in range(1 << min_code)}
+    next_free = end + 1
+    buf = b""
+    for px in stream:
+        cand = buf + bytes([px])
+        if cand in dictionary:
+            buf = cand
+        else:
+            out_codes.append(dictionary[buf])
+            dictionary[cand] = next_free
+            next_free += 1
+            buf = bytes([px])
+            if next_free > 4096:
+                out_codes.append(clear)
+                dictionary = {bytes([i]): i for i in range(1 << min_code)}
+                next_free = end + 1
+    if buf:
+        out_codes.append(dictionary[buf])
+    out_codes.append(end)
+
+    # pack codes LSB-first with the decoder-synchronized width schedule:
+    # the decoder adds NO dictionary entry for the first code after a
+    # CLEAR (it has no previous string yet), so the width simulation must
+    # skip that increment or the two sides desynchronize one code early
+    bits = bytearray()
+    acc = nbits = 0
+    code_size = min_code + 1
+    next_free = end + 1
+    first_after_clear = True
+    for code in out_codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            code_size = min_code + 1
+            next_free = end + 1
+            first_after_clear = True
+        elif code != end:
+            if first_after_clear:
+                first_after_clear = False
+            else:
+                next_free += 1
+            if next_free >= (1 << code_size) and code_size < 12:
+                code_size += 1
+    if nbits:
+        bits.append(acc & 0xFF)
+
+    sub = b"".join(
+        bytes([min(255, len(bits) - i)]) + bytes(bits[i : i + 255])
+        for i in range(0, len(bits), 255)
+    ) + b"\x00"
+
+    gct_flag = 0 if local_table else (0x80 | size_field)
+    header = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([gct_flag, 0, 0])
+        + (b"" if local_table else table)
+    )
+    # a graphic-control extension, to exercise the skip path
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ipacked = (0x80 | size_field if local_table else 0) | (0x40 if interlaced else 0)
+    img = (
+        b"\x2c" + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([ipacked])
+        + (table if local_table else b"")
+        + bytes([min_code]) + sub
+    )
+    return header + ext + img + b"\x3b"
+
+
+def test_native_gif_decode_lzw_paths():
+    """Real LZW through every decoder path: repetitive pixels force
+    dictionary growth AND the KwKwK case, >255-byte payloads exercise
+    sub-block reassembly, plus interlacing, local color tables, and the
+    extension-skip path (the fixture carries a GCE)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    palette = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (99, 99, 99)]
+    h, w = 17, 23
+    idx = (np.add.outer(np.arange(h), np.arange(w)) % 3).astype(np.int64)
+    idx[3, :] = 1  # a constant run → KwKwK territory
+    rgb = np.array(palette, np.uint8)[idx]
+
+    for interlaced in (False, True):
+        for local in (False, True):
+            arr, ww, hh = native_image_decode(
+                _gif_bytes(idx, palette, interlaced=interlaced, local_table=local)
+            )
+            assert (ww, hh) == (w, h)
+            assert np.array_equal(arr, rgb), (interlaced, local)
+
+    # large image → many sub-blocks, code width growth beyond min+1
+    h2, w2 = 40, 60
+    idx2 = ((np.arange(h2 * w2) * 7) % 4).reshape(h2, w2)
+    rgb2 = np.array(palette, np.uint8)[idx2]
+    arr, _, _ = native_image_decode(_gif_bytes(idx2.astype(np.int64), palette))
+    assert np.array_equal(arr, rgb2)
+
+
+def test_native_gif_features_match_ppm_of_same_pixels(spark):
+    """Same pixels as GIF and PPM must produce identical native feature
+    vectors (LZW shares no code with the PPM raster path)."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import decode_features
+
+    palette = [(0, 0, 0), (255, 255, 255), (128, 64, 32), (1, 2, 3)]
+    idx = (np.add.outer(np.arange(6), np.arange(9)) % 4).astype(np.int64)
+    rgb = np.array(palette, np.uint8)[idx]
+    ppm = b"P6\n9 6\n255\n" + rgb.tobytes()
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(_gif_bytes(idx, palette))), (2, "image", bytearray(ppm))],
+        "media_id long, modality string, payload binary",
+    )
+    got = {r.media_id: list(r.features) for r in decode_features(media, mode="native").collect()}
+    assert got[1] == got[2]
