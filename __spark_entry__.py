@@ -31,28 +31,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks exactly the first 50 queries per round, so the dict
 # below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
-# tests/test_entry_contract.py). Round 6 executes the wholesale tail↔priority
-# swap promised in r5: _PRIORITY below is the entire r5 _TAIL — led by the
-# five queries that have NEVER had a driver row (new in r5, window was full)
-# and the five olap.py TPC-H shapes newly promoted into the rotation
-# (VERDICT r5 #3) in place of five saturated trivial rows now demoted to
-# registry.PYTEST_ONLY (still DuckDB-checked every pytest run). _TAIL is the
-# entire r5 _PRIORITY (all green in CORRECTNESS_r05 and re-verified at
-# sf0.001 by tests/test_oracle.py every pytest run); rotate it back in r7.
+# tests/test_entry_contract.py). Round 7 executes the wholesale
+# tail↔priority swap promised in r6: _PRIORITY below is the r6 _TAIL (the
+# r5 window, all 50 green in CORRECTNESS_r05) — led by the four queries
+# getting their FIRST driver row: events_attribution_outer (born
+# PYTEST_ONLY in r6, VERDICT r6 #3) and three of the five newly promoted
+# olap.py shapes (VERDICT r6 #4: q21/q20/q12 here, q8/grouping-sets in
+# _TAIL for r8). Six saturated trivial rows (a12_setops, a14_except,
+# a15_union_by_name, f12_posexplode, f5_concat_null, p2_filter_projection
+# — green since r1-r3) are demoted to registry.PYTEST_ONLY to make the
+# room; they keep full DuckDB oracle coverage via tests/test_oracle.py.
 _PRIORITY = [
-    # -- never driver-checked (new in r5; window was full) — lead with these --
-    "ann_pq_serve",  # persisted PQ/IVFADC serving (rows-only; pytest recall pin)
-    "multimodal_audio_native",  # native WAV decode features (exact pytest pin)
-    "pack_sequences",  # prefix-sum pack map, oracle-eligible
-    "corpus_token_budget",  # prefix-sum budget selection, oracle-eligible
-    "q13_customer_distribution",  # TPC-H Q13: pre-agg before outer join
-    # -- newly promoted olap.py shapes (VERDICT r5 #3): first driver rows --
-    "q4_order_priority",  # EXISTS correlated semi join + non-equi residual
-    "q7_nation_flow",  # two-role dimension join with inequality theta
-    "q16_supplier_variety",  # NOT-IN anti join -> grouped COUNT(DISTINCT)
-    "q19_disjunctive_revenue",  # disjunction of conjunctions across join sides
-    "q22_idle_customers",  # decorrelated scalar threshold + NOT EXISTS
-    # -- r4-green tail rotated back in (no driver row since r4) --
+    # -- never driver-checked — lead with these --
+    "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
+    "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
+    "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
+    "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
+    # -- r5-green tail rotated back in (no driver row since r5) --
+    "a1_exact_collapse",
+    "pipeline_entity_map",
+    "d5_learned_rules",
+    "ann_lsh_serve",
+    "ann_ivf_serve",
+    "events_user_state",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q17_small_qty_revenue",
+    "j10_merge_upsert",
+    "j11_cdc_apply",
+    "a13_cube",
+    "stats_analyze",
+    "events_histogram",
+    "w3_rolling",
+    "f11_string_agg",
+    "events_retention",
+    "events_gapfill",
+    "j12_full_outer",
+    "events_attribution",
+    "ann_pq_topk",
+    "events_time_weighted",
+    "corpus_mix_weighted",
+    "a10_rollup",
+    "f_array_ops",
+    "decontaminate_ngrams",
+    "text_repetition_signals",
+    "pii_redact_ids",
+    "corpus_quota_sample",
+    "dedup_near_clusters",
+    "text_duplicated_spans",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "sample_stratified",
+    "dedup_ngram_jaccard",
+    "text_quality_stats",
+    "text_language_id",
+    "text_fingerprint",
+    "multimodal_binary_stats",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "j6_update_join",
+    "g1_connected_components",
+]
+_TAIL = [
+    # r8 rotation is a wholesale swap again: _TAIL below is the r6 window
+    # (all 50 green in CORRECTNESS_r06) minus the two demoted trivial rows,
+    # plus the remaining two promoted olap shapes (q8, grouping-sets) —
+    # leading so they get their first driver row in r8. _PRIORITY above is
+    # exactly 50; the two lists partition the 100 driver-eligible queries
+    # in alternating rounds — keep it that way (new queries must displace
+    # into the other half, demote a saturated row to registry.PYTEST_ONLY,
+    # or be bench/pytest-only), or the "no query >2 rounds without a
+    # driver row" promise breaks.
+    "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
+    "q_grouping_sets",  # explicit GROUPING SETS + GROUPING() id (first row r8)
+    "ann_pq_serve",
+    "multimodal_audio_native",
+    "pack_sequences",
+    "corpus_token_budget",
+    "q13_customer_distribution",
+    "q4_order_priority",
+    "q7_nation_flow",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     "dedup_incremental",
     "q1_pricing_summary",
     "q5_regional_revenue",
@@ -81,77 +145,16 @@ _PRIORITY = [
     "events_user_seq",
     "events_daily_from_hourly",
     "events_pivot",
-    "p2_filter_projection",
-    "stats_validate",  # data-quality gate under the hard signal (new r6)
+    "stats_validate",
     "a7_mode_plurality",
     "a8_ratio_metrics",
     "a11_percentiles",
-    "f5_concat_null",
     "f9_string_funcs",
     "f10_datetime_funcs",
     "j8_anti_join",
     "j9_semi_join",
     "text_token_counts",
     "text_tfidf",
-]
-_TAIL = [
-    # r7 rotation is a wholesale swap again: _TAIL below is EXACTLY the r5
-    # window (all 50 green in CORRECTNESS_r05: 43 hash-matched + 7
-    # rows-only-by-design) and _PRIORITY above is exactly 50, covering all
-    # 100 driver-eligible queries in alternating rounds — keep it that way
-    # (new queries must displace into the other half, demote a saturated
-    # row to registry.PYTEST_ONLY, or be bench/pytest-only), or the
-    # "no query >2 rounds without a driver row" promise breaks.
-    "a1_exact_collapse",
-    "pipeline_entity_map",
-    "d5_learned_rules",
-    "ann_lsh_serve",
-    "ann_ivf_serve",
-    "events_user_state",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q17_small_qty_revenue",
-    "j10_merge_upsert",
-    "j11_cdc_apply",
-    "a13_cube",
-    "stats_analyze",
-    "events_histogram",
-    "w3_rolling",
-    "f11_string_agg",
-    "events_retention",
-    "events_gapfill",
-    "j12_full_outer",
-    "a14_except",
-    "f12_posexplode",
-    "a15_union_by_name",
-    "events_attribution",
-    "ann_pq_topk",
-    "events_time_weighted",
-    "corpus_mix_weighted",
-    "a10_rollup",
-    "a12_setops",
-    "f_array_ops",
-    "decontaminate_ngrams",
-    "text_repetition_signals",
-    "pii_redact_ids",
-    "corpus_quota_sample",
-    "dedup_near_clusters",
-    "text_duplicated_spans",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "sample_stratified",
-    "dedup_ngram_jaccard",
-    "text_quality_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "multimodal_binary_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "j6_update_join",
-    "g1_connected_components",
 ]
 
 

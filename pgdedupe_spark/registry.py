@@ -3794,6 +3794,16 @@ for _name in (
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # second promotion wave (VERDICT r6 #4): the five hardest remaining
+    # olap.py plan patterns enter the rotation in r7/r8 — correlated
+    # EXISTS+NOT-EXISTS self-joins, nested-IN with correlated agg,
+    # fact-fact non-equi residual, the 7-join snowflake, and explicit
+    # GROUPING SETS with a GROUPING() id.
+    "q21_waiting_supplier",
+    "q20_part_promotion",
+    "q12_shipmode_priority",
+    "q8_market_share",
+    "q_grouping_sets",
 ):
     QUERIES[_name] = _olap.QUERIES[_name]
     ORACLES[_name] = _olap.ORACLES[_name]
@@ -3807,9 +3817,17 @@ PYTEST_ONLY = frozenset(
         "a9_union_distinct",
         # demoted in r6 to make window room for stats_validate (VERDICT r5 #8)
         "p3_distinct",
-        # born pytest-only in r6 (window full): full oracle coverage via
-        # tests/test_oracle.py, streaming parity in tests/test_streaming.py
-        "events_attribution_outer",
+        # demoted in r7 (VERDICT r6 #3/#4): six saturated trivial shapes —
+        # green since r1-r3, near-zero marginal information — make window
+        # room for events_attribution_outer + the five promoted olap
+        # shapes. All keep full DuckDB oracle coverage via
+        # tests/test_oracle.py every pytest run.
+        "a12_setops",
+        "a14_except",
+        "a15_union_by_name",
+        "f12_posexplode",
+        "f5_concat_null",
+        "p2_filter_projection",
     }
 )
 
