@@ -27,20 +27,33 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
+def _free_local_checkpoint(df: DataFrame) -> bool:
     """Release the storage blocks behind a localCheckpoint'ed frame NOW.
 
     ``DataFrame.unpersist()`` is CacheManager-level and does NOT touch
     checkpoint blocks (verified empirically — the block survives), so this
-    reaches the LogicalRDD's underlying RDD. Best-effort: on failure the
-    GC-driven ContextCleaner eventually frees it anyway; this just makes
+    reaches the LogicalRDD's underlying RDD. A frame derived from a
+    checkpoint (e.g. ``ckpt.drop(col)``) analyzes to Project/Filter nodes
+    OVER the LogicalRDD, so this walks single-child wrappers down to it —
+    passing only the exact checkpointed frame used to silently no-op on
+    such derivations (found in review r6). Returns True iff an RDD was
+    actually unpersisted, so tests can assert the release happened rather
+    than trust the comment. Best-effort on failure: the GC-driven
+    ContextCleaner eventually frees the blocks anyway; this just makes
     iterative algorithms hold O(1) checkpoints instead of O(rounds)."""
     try:
         plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getName().endswith("LogicalRDD"):
-            plan.rdd().unpersist(False)
+        for _ in range(16):
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(False)
+                return True
+            children = plan.children()
+            if children.size() != 1:
+                return False
+            plan = children.apply(0)
+        return False
     except Exception:
-        pass
+        return False
 
 
 def connected_components(
@@ -73,6 +86,11 @@ def connected_components(
         .select(F.col("src").alias("id"), "component")
         .withColumn("component", F.least("id", "component"))
     ).localCheckpoint(eager=True)
+    # the frame returned by localCheckpoint analyzes straight to LogicalRDD;
+    # keep THAT reference for the release call — `labels` is rebound to a
+    # .drop() projection over it from round 2 onward, and freeing via the
+    # projection relies on the wrapper-walk above.
+    prev_ckpt = labels
 
     sym.persist(StorageLevel.MEMORY_AND_DISK)
     rounds = 0
@@ -128,8 +146,10 @@ def connected_components(
         # waiting for GC-driven cleanup. At 10M+ vertices each round holds
         # hundreds of MB; without this the probe-scale run accumulates
         # O(rounds) cached copies (measured OOM-adjacent at cc_scale_probe
-        # size before this existed).
-        _free_local_checkpoint(labels)
+        # size before this existed). Free via the checkpointed frame itself
+        # (prev_ckpt), not the .drop() projection `labels` was rebound to.
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
         labels = stepped.drop("_old")
         if changed == 0:
             break

@@ -406,8 +406,23 @@ def _assign_cells(
     formulation), and the cosine appears exactly once per centroid in the
     plan (the old when/otherwise fold inlined it twice). First-wins strict
     ``>`` keeps the original tie-break; a zero vector still lands in
-    cell -1 (NaN compares false)."""
+    cell -1 (NaN compares false).
+
+    The output column is ``cell`` by contract (index layouts partition on
+    it); an input already carrying one would be silently replaced, so that
+    collision raises instead. The norm temp column picks a collision-safe
+    name (same guard as compact_table's ``_z``; ADVICE r6 — a bare
+    ``_nv`` clobbered, then dropped, any user column of that name)."""
     import math
+
+    if "cell" in embeddings.columns:
+        raise ValueError(
+            "_assign_cells writes its assignment to a `cell` column; "
+            "rename the existing `cell` column before indexing"
+        )
+    nv = "_nv"
+    while nv in embeddings.columns:
+        nv += "_"
 
     cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
     nrms = []
@@ -426,16 +441,16 @@ def _assign_cells(
         f"aggregate("
         f"transform({cent2d}, (cc, i) -> named_struct("
         f"'s', aggregate(zip_with(`{vec_col}`, cc, (x, y) -> x * y), 0D, (a, b) -> a + b)"
-        f" / (`_nv` * element_at({nrm_lit}, i + 1)), "
+        f" / (`{nv}` * element_at({nrm_lit}, i + 1)), "
         f"'cid', element_at({cids}, i + 1))), "
         f"named_struct('s', CAST(-2.0 AS DOUBLE), 'cid', -1), "
         f"(acc, s) -> IF(s.s > acc.s, s, acc)"
         f").cid AS cell"
     )
     return (
-        embeddings.withColumn("_nv", F.expr(nv_sql))
+        embeddings.withColumn(nv, F.expr(nv_sql))
         .selectExpr("*", fold)
-        .drop("_nv")
+        .drop(nv)
     )
 
 
@@ -794,9 +809,26 @@ def pq_encode(
     step = embeddings.selectExpr(f"`{id_col}`", *keep_cols, *best_exprs).persist()
     codes_sql = "array(" + ",".join(f"_b_{j}.i" for j in range(m)) + ")"
     pqnorm_sql = "sqrt(" + " + ".join(f"_b_{j}.n2" for j in range(m)) + ")"
-    return step.selectExpr(
+    out = step.selectExpr(
         f"`{id_col}`", *keep_cols, f"{codes_sql} AS codes", f"{pqnorm_sql} AS _pqnorm"
     )
+    # hand the persisted projection to the caller so it can be released
+    # once the codes are consumed (write paths call release_encode_cache
+    # after their write action; ADVICE r6 — without this every
+    # write_pq_index/index_append leaked a cached frame for the session).
+    out._pq_encode_cache = step
+    return out
+
+
+def release_encode_cache(df: DataFrame) -> None:
+    """Unpersist the projection :func:`pq_encode` cached behind ``df``
+    (no-op for frames without one). Call after the action that consumed
+    the codes — the cache only exists to stop the optimizer re-walking
+    the codebook expression tree while the encode is live."""
+    cache = getattr(df, "_pq_encode_cache", None)
+    if cache is not None:
+        cache.unpersist()
+        df._pq_encode_cache = None
 
 
 def pq_cosine_topk(
@@ -827,9 +859,8 @@ def pq_cosine_topk(
         embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
     )
     mm, ksub_, dsub = books.shape
-    codes = pq_encode(embeddings, id_col, vec_col, books).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    encoded = pq_encode(embeddings, id_col, vec_col, books)
+    codes = encoded.withColumnRenamed(id_col, "neighbor_id")
 
     q = _pq_query_lut(
         embeddings.filter(F.expr(query_filter)).selectExpr(
@@ -838,7 +869,12 @@ def pq_cosine_topk(
         books,
     )
     cand = _pq_adc_shortlist(q, codes, int(refine) * k)
-    return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
+    out = _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
+    # the returned plan still resolves against the encode cache; carry the
+    # handle so the consumer can release_encode_cache(out) post-action
+    # instead of leaking it for the session (ADVICE r6).
+    out._pq_encode_cache = encoded._pq_encode_cache
+    return out
 
 
 def _pq_query_lut(q: DataFrame, books: np.ndarray) -> DataFrame:
@@ -927,6 +963,7 @@ def write_pq_index(
         .mode("overwrite")
         .parquet(path + "/codes")
     )
+    release_encode_cache(codes)
     spark = embeddings.sparkSession
     m_, ksub_, dsub = books.shape
     spark.createDataFrame(
@@ -1060,6 +1097,7 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
             .mode("append")
             .parquet(index_path + "/codes")
         )
+        release_encode_cache(codes)
         return
 
     # plain IVF layout

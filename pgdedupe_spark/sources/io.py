@@ -182,9 +182,11 @@ def compact_table(
 
     ``partition_by`` preserves a hive-partitioned layout (``cell=…``,
     ``table=…/bucket=…``, ``shard=…``): rows shuffle on the partition
-    columns so each directory rewrites to ONE file, and the directory
-    structure — and therefore every partition-pruning read path (the
-    ANN serving indexes, training shards) — survives the compaction.
+    columns (plus a size-derived salt, so a skewed directory still splits
+    into ~``target_file_bytes`` files instead of one giant one) and each
+    directory rewrites to as few files as its size allows, while the
+    directory structure — and therefore every partition-pruning read path
+    (the ANN serving indexes, training shards) — survives the compaction.
     Without it a partitioned source would be silently flattened into an
     unpartitioned copy, which is exactly what the small-file cleanup
     after :func:`~pgdedupe_spark.operators.similarity.index_append`
@@ -197,8 +199,45 @@ def compact_table(
     if partition_by:
         if sort_by or zorder_by:
             raise ValueError("partition_by does not compose with sort/zorder")
+        # honor target_file_bytes INSIDE each partition directory: a skewed
+        # partition (the imbalanced IVF cell index_append's docstring warns
+        # about) must split into ceil(part_bytes/target) files, not one
+        # arbitrarily large file with no read parallelism (ADVICE r6).
+        # Per-partition bytes ≈ row share × real on-disk total; the salt
+        # that spreads an oversized directory across writer tasks is a
+        # deterministic row hash, so the rewrite stays reproducible. Salt
+        # values may co-locate in one task (hash partitioning), so file
+        # count per directory is ≤ the computed split — sizes stay within
+        # a small factor of target, which is the point.
+        rows_c, nf_c, salt_c = "_rows", "_nf", "_salt"
+        while any(c in df.columns for c in (rows_c, nf_c, salt_c)):
+            rows_c, nf_c, salt_c = rows_c + "_", nf_c + "_", salt_c + "_"
+        counts = df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias(rows_c))
+        total_rows = counts.agg(F.sum(rows_c)).collect()[0][0] or 1
+        bytes_per_row = total / max(1, total_rows)
+        per = counts.withColumn(
+            nf_c,
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col(rows_c)
+                    * F.lit(float(bytes_per_row))
+                    / F.lit(float(max(1, target_file_bytes)))
+                ),
+            ).cast("int"),
+        ).drop(rows_c)
+        salted = df.join(F.broadcast(per), partition_by).withColumn(
+            salt_c, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col(nf_c))
+        )
         (
-            df.repartition(*[F.col(c) for c in partition_by])
+            # explicit task count (= total desired files): with the count
+            # left implicit, AQE's post-shuffle coalescing re-merges the
+            # salted groups whenever they undershoot its advisory size and
+            # the split silently vanishes (observed at test scale).
+            salted.repartition(
+                int(max(1, n_out)), *[F.col(c) for c in [*partition_by, salt_c]]
+            )
+            .drop(nf_c, salt_c)
             .write.partitionBy(*partition_by)
             .mode("overwrite")
             .parquet(out_path)

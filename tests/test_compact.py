@@ -213,6 +213,44 @@ def test_partitioned_compaction_preserves_layout_and_serving(spark, tmp_path):
     assert serve(compacted) == want
 
 
+def test_partitioned_compaction_splits_oversized_partition(spark, tmp_path):
+    """target_file_bytes must be honored INSIDE partition directories
+    (ADVICE r6): a skewed partition — one hive directory holding ~90% of
+    the bytes — has to compact into multiple ~target-sized files, not one
+    giant file with no read parallelism, while small partitions still
+    merge to a single file and the rows survive exactly."""
+    import os
+
+    from pgdedupe_spark.sources.io import compact_table
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # partition 0 is ~19× the others; pad a text column so bytes are real
+    df = spark.range(20_000).selectExpr(
+        "id",
+        "IF(id < 18000, 0, CAST(id % 20 AS BIGINT)) AS p",
+        "repeat(uuid(), 8) AS payload",
+    )
+    df.repartition(16).write.partitionBy("p").parquet(src)
+
+    from pgdedupe_spark.sources.io import table_file_stats
+
+    _, total = table_file_stats(spark, src)
+    target = max(1, total // 8)  # big partition ≈ 90% of bytes ⇒ ≥4 splits
+    out = compact_table(spark, src, dst, target_file_bytes=target, partition_by=["p"])
+
+    per_dir = {}
+    for dirpath, _, files in os.walk(dst):
+        data = [f for f in files if f.endswith(".parquet")]
+        if data:
+            per_dir[os.path.basename(dirpath)] = len(data)
+    assert per_dir.get("p=0", 0) >= 3, per_dir
+    assert all(n == 1 for d, n in per_dir.items() if d != "p=0"), per_dir
+    assert out.count() == 20_000
+    got = {(r.id, r.p) for r in out.select("id", "p").collect()}
+    want = {(r.id, r.p) for r in df.select("id", "p").collect()}
+    assert got == want
+
+
 def test_partition_by_rejects_sort_combination(spark, tmp_path):
     import pytest as _pytest
 

@@ -152,3 +152,47 @@ def test_pq_index_reader_uses_persisted_id_col(spark, emb, tmp_path):
         pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=4)
     )
     assert out == base
+
+
+def test_pq_write_paths_release_encode_cache(spark, emb, tmp_path):
+    """pq_encode persists its heavy projection; the write paths must
+    unpersist it once codes are on disk (ADVICE r6 — before this, every
+    write_pq_index/index_append leaked one cached frame per call for the
+    session's lifetime, exactly the accumulation bench.py scrubs)."""
+    from pgdedupe_spark.operators.similarity import index_append, write_pq_index
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in list(jmap):
+        jmap[k].unpersist(False)
+
+    path = str(tmp_path / "pq_index")
+    write_pq_index(
+        emb.filter("vec_id < 300"), "vec_id", "embedding", path,
+        dim=64, m=8, ksub=16, n_centroids=8,
+    )
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    index_append(spark, path, emb.filter("vec_id >= 300"))
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_assign_cells_collision_guards(spark, emb):
+    """_assign_cells must not clobber user columns (ADVICE r6): a
+    pre-existing `_nv` column survives the assignment untouched, and a
+    pre-existing `cell` column raises instead of being silently replaced."""
+    from pgdedupe_spark.operators.similarity import _assign_cells
+
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter("vec_id < 4").collect()
+    ]
+    with_nv = emb.filter("vec_id < 50").withColumn("_nv", emb.vec_id * 7)
+    out = _assign_cells(with_nv, "embedding", centroids)
+    assert "_nv" in out.columns and "cell" in out.columns
+    rows = out.select("vec_id", "_nv", "cell").collect()
+    assert all(r._nv == r.vec_id * 7 for r in rows)
+    assert all(r.cell >= 0 for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cell"):
+        _assign_cells(out, "embedding", centroids)
