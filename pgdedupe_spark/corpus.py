@@ -103,3 +103,55 @@ def hash_embeddings(
         "vec_id",
         F.array(*[component(F.lit(d)) for d in range(dim)]).alias("embedding"),
     )
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n_vecs: int = 5000,
+    dim: int = 64,
+    n_hot: int = 8,
+    hot_pct: int = 80,
+    spread_pct: int = 25,
+    cluster_every: int = 10,
+    jitter_pct: int = 5,
+    seed: int = 23,
+) -> DataFrame:
+    """(vec_id, embedding) — the ADVERSARIAL distribution for bucketed ANN
+    indexes: ``hot_pct``% of vectors concentrate in ``n_hot`` tight
+    clusters (vector = cluster center + ``spread_pct``% jitter; within-
+    cluster cosine ≈ 0.95 at the default) and the rest are uniform
+    background, with the same planted near-duplicate twins as
+    :func:`hash_embeddings` (every ``cluster_every``-th vector copies its
+    predecessor, twins always share cluster membership).
+
+    This is where LSH/IVF/PQ actually fail at 100 TB: a near-uniform
+    corpus spreads evenly over buckets/cells, while real embedding
+    corpora are mixture-shaped — hot cells hold many× the mean, bucket
+    joins straggle, and coarse quantizers trained on uniform assumptions
+    collapse recall. Built entirely JVM-side, deterministic for a given
+    seed (xxhash64, no RNG, no Python in the row path)."""
+    base = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    is_dup = (F.col("vec_id") % cluster_every == 1) & (F.col("vec_id") > 0)
+    src = F.when(is_dup, F.col("vec_id") - 1).otherwise(F.col("vec_id"))
+    is_hot = F.pmod(F.xxhash64(F.lit(seed + 3), src), F.lit(100)) < hot_pct
+    cl = F.pmod(F.xxhash64(F.lit(seed + 4), src), F.lit(n_hot))
+
+    def _unif(h):
+        return (F.pmod(h, F.lit(_M)) + F.lit(0.5)) / F.lit(float(_M)) * 2.0 - 1.0
+
+    def component(d):
+        jittered = is_dup & (
+            F.pmod(F.xxhash64(F.lit(seed + 1), F.col("vec_id"), d), F.lit(100))
+            < jitter_pct
+        )
+        center = _unif(F.xxhash64(F.lit(seed + 5), cl, d))
+        noise = _unif(F.xxhash64(F.lit(seed), src, d))
+        clustered = center + noise * F.lit(spread_pct / 100.0)
+        body = F.when(is_hot, clustered).otherwise(noise)
+        redraw = _unif(F.xxhash64(F.lit(seed + 2), F.col("vec_id"), d))
+        return F.when(jittered, redraw).otherwise(body).cast("float")
+
+    return base.select(
+        "vec_id",
+        F.array(*[component(F.lit(d)) for d in range(dim)]).alias("embedding"),
+    )
