@@ -854,7 +854,16 @@ def pq_cosine_topk(
     shortlist re-rank join), never scanned per-candidate. ``refine`` ≥
     corpus/k degrades to exact brute force (pinned); the default trades
     that for a 16× smaller scan. Output (query_id, neighbor_id, sim,
-    rank) like every other ANN entry point."""
+    rank) like every other ANN entry point.
+
+    Distribution sensitivity (measured, pinned in tests/test_recall.py
+    ``test_ann_recall_on_clustered_mixture``): on mixture-shaped corpora
+    — hot tight clusters, the realistic embedding regime — the default
+    (m=16, refine=8) recall drops to ~0.71 because cluster-mates sit
+    inside ADC's quantization error and the shortlist misses. Either
+    ``refine=32`` (4× shortlist, recall 0.956) or ``m=32`` (finer codes,
+    2× bytes/row, recall 0.944) restores ≥0.9; prefer refine when scan
+    bytes dominate, m when re-rank joins do."""
     books = pq_train_codebooks(
         embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
     )

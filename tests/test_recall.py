@@ -201,3 +201,95 @@ def test_embedding_near_dup_clusters_semantics(spark):
         1 for a, b in exact_twins if cluster_of.get(a) == cluster_of.get(b) is not None
     )
     assert covered >= 0.9 * len(exact_twins), (covered, len(exact_twins))
+
+
+def test_ann_recall_on_clustered_mixture(spark):
+    """Adversarial-distribution recall pins (VERDICT r6 #5): every prior
+    recall pin used planted-twin or near-uniform corpora, which spread
+    evenly over LSH buckets / IVF cells. Real embedding corpora are
+    mixture-shaped — hot tight clusters over uniform background — and
+    that is where bucketed ANN actually fails at scale. On
+    clustered_embeddings (80% of mass in 8 clusters at within-cluster
+    cosine ≈0.95):
+
+    * LSH and IVF hold ≥0.9 recall at their SHIPPED knobs;
+    * PQ at the shipped (m=16, refine=8) drops to ~0.71 — cluster-mates
+      sit inside ADC's quantization error and the shortlist misses —
+      and either mitigation restores ≥0.9: refine=32 (4× shortlist,
+      measured 0.956) or m=32 (finer codes, 2× bytes, measured 0.944).
+      The degraded number is asserted too, so if codes ever get
+      silently better/worse the documented trade-off stays true."""
+    from pgdedupe_spark.corpus import clustered_embeddings
+    from pgdedupe_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+        pq_cosine_topk,
+    )
+
+    n = 3000
+    emb = clustered_embeddings(spark, n_vecs=n, dim=64)
+    qf = "vec_id % 60 = 1 AND vec_id > 0"  # 50 queries, hot + background mix
+    pairs = lambda df: {(r.query_id, r.neighbor_id) for r in df.collect()}  # noqa: E731
+    exact = pairs(cosine_topk(emb, "vec_id", "embedding", k=5, query_filter=qf))
+    assert len(exact) == 250
+
+    lsh = pairs(lsh_cosine_topk(
+        emb, "vec_id", "embedding", k=5, n_planes=8, n_tables=8,
+        n_flip_probes=4, query_filter=qf,
+    ))
+    assert len(lsh & exact) / len(exact) >= 0.9
+
+    ivf = pairs(ivf_cosine_topk(
+        emb, "vec_id", "embedding", k=5, n_centroids=32, n_probe=8,
+        query_filter=qf,
+    ))
+    assert len(ivf & exact) / len(exact) >= 0.9
+
+    shipped = pairs(pq_cosine_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, m=16, ksub=32, refine=8,
+        query_filter=qf,
+    ))
+    r_shipped = len(shipped & exact) / len(exact)
+    assert 0.55 <= r_shipped < 0.9, f"shipped-PQ mixture recall moved: {r_shipped:.3f}"
+
+    deep = pairs(pq_cosine_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, m=16, ksub=32, refine=32,
+        query_filter=qf,
+    ))
+    assert len(deep & exact) / len(exact) >= 0.9
+
+    fine = pairs(pq_cosine_topk(
+        emb, "vec_id", "embedding", dim=64, k=5, m=32, ksub=32, refine=8,
+        query_filter=qf,
+    ))
+    assert len(fine & exact) / len(exact) >= 0.9
+
+
+def test_ivf_cell_skew_bounded_on_clustered_mixture(spark, tmp_path):
+    """The straggler-cell pin (VERDICT r6 #5): IVF's hash-ranked seeding
+    samples centroid seeds FROM the data distribution, so hot clusters
+    get proportionally many centroids and no cell becomes the one
+    straggler task that dominates a probe scan. Pin it from the index
+    FILES (the observable a 100 TB operator would monitor): on the
+    mixture corpus, max-cell/mean-cell stays bounded (measured 3.5 at 32
+    centroids) and every cell is non-empty enough to matter."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.corpus import clustered_embeddings
+    from pgdedupe_spark.operators.similarity import write_ivf_index
+
+    emb = clustered_embeddings(spark, n_vecs=3000, dim=64)
+    path = str(tmp_path / "ivf_mix")
+    write_ivf_index(emb, "vec_id", "embedding", path, n_centroids=32)
+    counts = [
+        r.c
+        for r in spark.read.parquet(path + "/cells")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert sum(counts) == 3000
+    assert len(counts) >= 24, f"only {len(counts)} non-empty cells of 32"
+    ratio = max(counts) / (sum(counts) / len(counts))
+    assert ratio <= 6.0, f"straggler cell: max/mean = {ratio:.2f}"
