@@ -362,3 +362,116 @@ def test_stream_stream_left_outer_join_parity(spark):
     assert provable_nulls <= stream_nulls, (
         len(provable_nulls - stream_nulls), "provably-unmatched purchases missing"
     )
+
+
+def _hourly_stream_src(tmp_path):
+    """24 hourly single-file batches, 100 events each, deliberately
+    out-of-order: 10 of every batch's events carry the PREVIOUS hour's
+    timestamps (late within the 1h watermark). File mtimes increase so
+    maxFilesPerTrigger=1 replays them in order — a 24-hour stream in 24
+    microbatches, 2400 rows total."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+    HOUR = 3_600_000_000
+    base = 1_600_000_000_000_000  # epoch µs
+    for i in range(24):
+        ids, us, users, etypes, values = [], [], [], [], []
+        for j in range(100):
+            ids.append(i * 100 + j)
+            if j >= 90 and i > 0:  # late arrivals from the previous hour
+                us.append(base + (i - 1) * HOUR + (40 * 60 + j) * 1_000_000)
+            else:
+                us.append(base + i * HOUR + j * 30_000_000)  # 30s spacing
+            users.append(j % 10)
+            etypes.append(("click", "purchase", "view")[j % 3])
+            values.append(float(j))
+        t = pa.table(
+            {"event_id": ids, "us": us, "user_id": users,
+             "event_type": etypes, "value": values}
+        )
+        f = f"{src}/b{i:02d}.parquet"
+        pq.write_table(t, f)
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    return src
+
+
+def _drain_with_progress(spark, src, op, name):
+    schema = (
+        "event_id bigint, us bigint, user_id bigint, event_type string, value double"
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "event_id",
+            F.timestamp_micros(F.col("us")).alias("event_time"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    q = (
+        op(sdf)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    series = []
+    n_in = 0
+    for p in q.recentProgress:
+        n_in += p["numInputRows"]
+        ops = p.get("stateOperators") or []
+        if ops:
+            series.append(sum(o["numRowsTotal"] for o in ops))
+    return n_in, series
+
+
+def _assert_plateau(series, peak_bound, label):
+    """State must stop growing once the watermark advances: the tail peak
+    may not exceed the mid-stream peak (input keeps arriving at the same
+    rate, so O(history) state shows up as tail > mid), and the absolute
+    peak must stay at the O(rate×delay) bound, far under the 2400 total."""
+    assert len(series) >= 20, (label, len(series))
+    mid = max(series[6:14])
+    tail = max(series[-6:])
+    assert tail <= mid * 1.5 + 5, (label, "state still growing", series)
+    assert max(series) <= peak_bound, (label, "state over bound", max(series), series)
+
+
+@pytest.mark.parametrize(
+    "opname,peak_bound",
+    [
+        ("dedup", 500),       # keys within ~2h of watermark ≈ 200 « 2400
+        ("sessionize", 150),  # ≤ 10 users × ~3h of open/unfinalized sessions
+        ("outer_join", 900),  # both sides' rows within watermark+range ≈ 2×~220
+    ],
+)
+def test_streaming_state_plateaus_after_watermark(spark, tmp_path, opname, peak_bound):
+    """O(rate×delay) state, MEASURED from lastProgress rather than
+    asserted in docstrings (VERDICT r6 #6): drive a 24-hour out-of-order
+    stream (hourly microbatches, 10% late rows) through each stateful op
+    and read stateOperators[].numRowsTotal per batch. With a 1h
+    watermark, state must plateau after the first ~2 hours and never
+    approach the 2400-row history."""
+    from pgdedupe_spark.streaming.ops import purchase_attribution_outer_stream
+
+    ops = {
+        "dedup": lambda s: dedup_stream(s),
+        "sessionize": lambda s: sessionize_stream(s),
+        "outer_join": lambda s: purchase_attribution_outer_stream(s),
+    }
+    src = _hourly_stream_src(tmp_path)
+    n_in, series = _drain_with_progress(
+        spark, src, ops[opname], f"t_state_{opname}"
+    )
+    # a stream-stream self-join scans the source once per side, so its
+    # progress counts every input row twice
+    assert n_in == (4800 if opname == "outer_join" else 2400), n_in
+    _assert_plateau(series, peak_bound, opname)
