@@ -16,9 +16,10 @@ CAPABILITY resolved at plan time (VERDICT r1 item 8):
   dependencies: pure-numpy decoders for the self-describing uncompressed
   containers — images (P6 PPM, P5 PGM, 24-bit BI_RGB BMP — plus REAL
   compressed formats with no optional deps: 8-bit PNG via stdlib zlib
-  inflate + full filter reconstruction, and GIF 87a/89a via a complete
-  LZW implementation) and audio (RIFF/WAV PCM 8/16-bit and the G.711
-  A-law/mu-law companded codings).
+  inflate + full filter reconstruction, GIF 87a/89a via a complete LZW
+  implementation, and baseline sequential JPEG via a full huffman +
+  dequantize + IDCT + chroma-upsample pipeline) and audio (RIFF/WAV PCM
+  8/16-bit and the G.711 A-law/mu-law companded codings).
   It exists so the real-decode path is exercisable and exactly testable
   in ANY deployment;
   it is never chosen by ``auto`` because, unlike ``fake``, it requires the
@@ -84,7 +85,7 @@ def resolve_decode_mode(mode: str, modality: str = "image") -> str:
 
     'fake'   → always runs (deterministic byte-stat stand-in);
     'native' → pure-numpy decode of the self-describing uncompressed
-               containers (image: PPM/PGM/BMP/PNG/GIF; audio: RIFF/WAV PCM + G.711;
+               containers (image: PPM/PGM/BMP/PNG/GIF/JPEG-baseline; audio: RIFF/WAV PCM + G.711;
                video: YUV4MPEG2) — no optional deps, but the payloads
                must be those formats; plan-time error for modalities
                without a native decoder;
@@ -293,7 +294,12 @@ def native_image_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
       non-interlaced; alpha strips so channel conventions match;
     * GIF 87a/89a (a second REAL compressed format — full LZW with
       growing code widths, CLEAR resets and the KwKwK case): global or
-      local palette, optional interlacing, first frame, as RGB.
+      local palette, optional interlacing, first frame, as RGB;
+    * JPEG baseline sequential (T.81 SOF0 — the dominant web format):
+      full huffman entropy decode, dequantize, 8×8 IDCT, restart
+      markers, byte stuffing, chroma upsampling for any integer
+      sampling factors, JFIF YCbCr→RGB; grayscale or 3-component.
+      Progressive (SOF2) and arithmetic coding raise.
 
     Returns (H×W×C uint8 array, width, height). Raises ValueError on any
     other container — callers choosing mode='native' declare their
@@ -302,6 +308,8 @@ def native_image_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
         return _png_decode(bytes(payload))
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         return _gif_decode(bytes(payload))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        return _jpeg_decode(bytes(payload))
     magic = bytes(payload[:2])
     if magic in (b"P6", b"P5"):
         w, h, maxval, off = _read_pnm_header(payload)
@@ -805,3 +813,268 @@ def _gif_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     raise ValueError("GIF contains no image frame")
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1), pure numpy + stdlib — the
+# dominant web image format joins the native tier (VERDICT r6 #7). Scope:
+# baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr with any
+# integer sampling factors (4:4:4 / 4:2:2 / 4:2:0 covered), restart
+# markers, byte stuffing. Progressive (SOF2) and arithmetic coding raise.
+# Independent forward encoder lives in tests/test_multimodal.py so the
+# decoded pixels are pinned against spec-derived fixture bytes, same
+# policy as PNG/GIF/G.711.
+# --------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = np.array(
+    [ 0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """A[u, x] = c(u)/2 · cos((2x+1)uπ/16) — block = Aᵀ·coef·A is the 2-D
+    inverse DCT of T.81 §A.3.3 (and A·block·Aᵀ the forward transform)."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    return A
+
+
+_JPEG_A = _jpeg_idct_matrix()
+
+
+def _jpeg_build_huff(bits: list[int], vals: bytes) -> dict:
+    """Canonical Huffman per T.81 Annex C: codes of each length assigned in
+    value order, (length, code) → symbol."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (byte stuffing
+    FF00 already stripped by the segment splitter)."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.buf, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """RECEIVE/EXTEND (T.81 §F.2.2.1): s-bit magnitude → signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Baseline sequential JPEG decode. Returns (H×W×C uint8, w, h) with
+    C = 1 (grayscale) or 3 (RGB via the JFIF YCbCr transform)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
+    frame = None  # (h, w, comps) comps: [(cid, hi, vi, tq)]
+    dri = 0  # restart interval in MCUs (0 = none)
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # bare markers
+            continue
+        seg_len = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    q = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                else:
+                    q = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                qt[tq] = q  # zigzag order, like the coefficients
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                huff[(tc, th)] = _jpeg_build_huff(bits, seg[i + 17 : i + 17 + nv])
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                raise ValueError("JPEG precision != 8 unsupported")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            comps = []
+            for ci in range(seg[5]):
+                o = 6 + 3 * ci
+                comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 15, seg[o + 2]))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)")
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for si in range(ns):
+                cs = seg[1 + 2 * si]
+                td_ta = seg[2 + 2 * si]
+                scan_tables[cs] = (td_ta >> 4, td_ta & 15)
+            data_start = pos + seg_len
+            # split entropy data on restart markers, strip stuffing
+            segments, cur, i = [], bytearray(), data_start
+            while i < n - 1:
+                b = payload[i]
+                if b == 0xFF:
+                    nxt = payload[i + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: new segment
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                        continue
+                    break  # real marker ends the scan
+                cur.append(b)
+                i += 1
+            segments.append(bytes(cur))
+            return _jpeg_decode_scan(frame, scan_tables, qt, huff, segments, dri)
+        # all other segments (APPn, COM…) are skipped
+        pos += seg_len
+    raise ValueError("JPEG contains no scan")
+
+
+def _jpeg_decode_scan(
+    frame, scan_tables, qt, huff, segments, dri=0
+) -> tuple[np.ndarray, int, int]:
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+        for cid, hi, vi, _ in comps
+    }
+    unzig = _JPEG_ZIGZAG
+    A = _JPEG_A
+
+    if len(segments) > 1 and not dri:
+        raise ValueError("JPEG restart markers present but no DRI segment")
+    seg_iter = iter(segments)
+    r = _JpegBits(next(seg_iter))
+    pred = {cid: 0 for cid, *_ in comps}
+    coef = np.empty(64, dtype=np.int64)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            # restart boundary (T.81 §F.2.1.3): every `dri` MCUs the next
+            # entropy segment begins byte-aligned with DC predictors reset
+            if dri and mcu_count and mcu_count % dri == 0:
+                nxt = next(seg_iter, None)
+                if nxt is None:
+                    raise ValueError("JPEG missing restart segment")
+                r = _JpegBits(nxt)
+                pred = {cid: 0 for cid, *_ in comps}
+            mcu_count += 1
+            for cid, hi, vi, tq in comps:
+                td, ta = scan_tables[cid]
+                dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+                q = qt[tq]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef[:] = 0
+                        s = _jpeg_huff_decode(r, dc_t)
+                        pred[cid] += _jpeg_extend(r.bits(s), s)
+                        coef[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(r, ac_t)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += rr
+                            if k > 63:
+                                raise ValueError("JPEG AC index out of range")
+                            coef[k] = _jpeg_extend(r.bits(s), s) * q[k]
+                            k += 1
+                        block = np.zeros(64)
+                        block[unzig] = coef
+                        px = A.T @ block.reshape(8, 8) @ A
+                        y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
+
+    out_planes = []
+    for cid, hi, vi, _ in comps:
+        p = planes[cid]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return gray[:, :, None], w, h
+    if len(out_planes) != 3:
+        raise ValueError(f"JPEG with {len(out_planes)} components unsupported")
+    y, cb, cr = (p + 128.0 for p in out_planes)
+    cb, cr = cb - 128.0, cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h

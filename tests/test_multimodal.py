@@ -758,3 +758,406 @@ def test_native_gif_features_match_ppm_of_same_pixels(spark):
     )
     got = {r.media_id: list(r.features) for r in decode_features(media, mode="native").collect()}
     assert got[1] == got[2]
+
+
+# --------------------------------------------------------------------------
+# Baseline JPEG: independent forward encoder (DCT → quantize → zigzag →
+# huffman, written from the T.81 spec text — NOT by inverting the
+# decoder) + an independent reconstruction (explicit cosine-sum IDCT, not
+# the decoder's matrix form) so decoded pixels are pinned against
+# spec-derived fixture bytes, same policy as the PNG/GIF/G.711 tests.
+# --------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402 — module-level for the constant tables below
+
+_JQ_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)  # T.81 Table K.1
+_JQ_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)  # T.81 Table K.2
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jfdct(block):
+    """Forward DCT as the explicit T.81 §A.3.3 double sum (no matrix
+    shortcut, deliberately different math than the decoder)."""
+    out = np.zeros((8, 8))
+    xs = np.arange(8)
+    for u in range(8):
+        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+        for v in range(8):
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            cosx = np.cos((2 * xs + 1) * u * np.pi / 16)
+            cosy = np.cos((2 * xs + 1) * v * np.pi / 16)
+            out[u, v] = 0.25 * cu * cv * float(cosx @ block @ cosy)
+    return out
+
+
+def _jidct(coef):
+    """Inverse DCT, explicit double sum (decoder uses the matrix form)."""
+    out = np.zeros((8, 8))
+    us = np.arange(8)
+    c = np.where(us == 0, 1 / np.sqrt(2), 1.0)
+    for x in range(8):
+        cosu = c * np.cos((2 * x + 1) * us * np.pi / 16)
+        for y in range(8):
+            cosv = c * np.cos((2 * y + 1) * us * np.pi / 16)
+            out[x, y] = 0.25 * float(cosu @ coef @ cosv)
+    return out
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def _jcat(v):
+    """Magnitude category + the s-bit code for a signed value."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, v if v >= 0 else v + (1 << s) - 1
+
+
+def _jhuff_tables(symbol_lists):
+    """One canonical single-length table per symbol set: n used symbols →
+    all codes at length L = ceil(log2(n)) (codes 0..n-1), which is
+    exactly what the spec's BITS/HUFFVAL canonical construction yields
+    for bits[L] = n. Independent of any standard table."""
+    specs = []
+    for syms in symbol_lists:
+        syms = sorted(set(syms))
+        L = 1
+        while (1 << L) < len(syms):
+            L += 1
+        bits = [0] * 16
+        bits[L - 1] = len(syms)
+        codes = {s: (i, L) for i, s in enumerate(syms)}
+        specs.append((bits, syms, codes))
+    return specs
+
+
+def _jencode_blocks(plane, q):
+    """plane (H8×W8, multiple of 8) → per-block zigzag quantized coeffs."""
+    out = []
+    for y0 in range(0, plane.shape[0], 8):
+        for x0 in range(0, plane.shape[1], 8):
+            coef = _jfdct(plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0)
+            qc = np.round(coef / q).astype(np.int64)
+            out.append(qc.flatten()[_JZZ])
+    return out
+
+
+def _jpeg_bytes(img, subsample=(1, 1), restart_interval=0):
+    """Encode H×W (gray) or H×W×3 (RGB) uint8 → (jpeg bytes, expected
+    uint8 reconstruction computed with the independent IDCT)."""
+    img = np.asarray(img, dtype=np.float64)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    sh, sv = subsample
+    hmax, vmax = (1, 1) if gray else (sh, sv)
+    bw, bh = 8 * hmax, 8 * vmax
+    ph, pw = -(-h // bh) * bh, -(-w // bw) * bw
+
+    def pad(p, H, W):
+        return np.pad(p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge")
+
+    if gray:
+        comps = [(1, 1, 1, 0, pad(img, ph, pw))]
+        qts = {0: _JQ_LUMA}
+    else:
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y = pad(y, ph, pw)
+        ch, cw = ph // sv, pw // sh
+        def sub(p):
+            p = pad(p, ph, pw)
+            if (sh, sv) == (1, 1):
+                return p
+            return p.reshape(ch, sv, cw, sh).mean(axis=(1, 3))
+        comps = [
+            (1, sh, sv, 0, y),
+            (2, 1, 1, 1, sub(cb)),
+            (3, 1, 1, 1, sub(cr)),
+        ]
+        qts = {0: _JQ_LUMA, 1: _JQ_CHROMA}
+
+    # per-component quantized blocks in block-raster order, then MCU order
+    blocks = {}
+    for cid, hi, vi, tq, plane in comps:
+        blocks[cid] = _jencode_blocks(plane, qts[tq])
+    mcux, mcuy = pw // bw, ph // bh
+
+    def walk(emit):
+        pred = {cid: 0 for cid, *_ in comps}
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    emit("restart", None, None)
+                    pred = {cid: 0 for cid, *_ in comps}
+                mcu_i += 1
+                for cid, hi, vi, tq, plane in comps:
+                    cls = 0 if cid == 1 else 1
+                    bpr = plane.shape[1] // 8
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = blocks[cid][(my * vi + by) * bpr + mx * hi + bx]
+                            diff = int(zz[0]) - pred[cid]
+                            pred[cid] = int(zz[0])
+                            s, bitsv = _jcat(diff)
+                            emit("dc", cls, (s, bitsv))
+                            k = 1
+                            run = 0
+                            while k < 64:
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                else:
+                                    while run > 15:
+                                        emit("ac", cls, (0xF0, 0, 0))
+                                        run -= 16
+                                    s, bitsv = _jcat(v)
+                                    emit("ac", cls, ((run << 4) | s, s, bitsv))
+                                    run = 0
+                                k += 1
+                            if run:
+                                emit("ac", cls, (0x00, 0, 0))  # EOB
+
+    dc_syms, ac_syms = {0: set(), 1: set()}, {0: set(), 1: set()}
+
+    def gather(kind, cls, payload):
+        if kind == "dc":
+            dc_syms[cls].add(payload[0])
+        elif kind == "ac":
+            ac_syms[cls].add(payload[0])
+
+    walk(gather)
+    n_classes = 1 if gray else 2
+    specs = _jhuff_tables(
+        [sorted(dc_syms[c]) for c in range(n_classes)]
+        + [sorted(ac_syms[c]) for c in range(n_classes)]
+    )
+    dc_spec = {c: specs[c] for c in range(n_classes)}
+    ac_spec = {c: specs[n_classes + c] for c in range(n_classes)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, q in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(q.flatten()[z]) for z in _JZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hi, vi, tq, _ in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    seg(0xC0, bytes(sof))
+    for c in range(n_classes):
+        for tc, (bits, syms, _) in ((0, dc_spec[c]), (1, ac_spec[c])):
+            seg(0xC4, bytes([(tc << 4) | c]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytearray([len(comps)])
+    for cid, *_ in comps:
+        c = 0 if cid == 1 else 1
+        sos += bytes([cid, (c << 4) | c])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    wtr = _JBitWriter()
+    state = {"rst": 0}
+
+    def emit(kind, cls, payload):
+        if kind == "restart":
+            data = wtr.flush()
+            out.extend(data)
+            wtr.__init__()
+            out.extend(bytes([0xFF, 0xD0 + (state["rst"] & 7)]))
+            state["rst"] += 1
+            return
+        if kind == "dc":
+            s, bitsv = payload
+            code, ln = dc_spec[cls][2][s]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(bitsv, s)
+        else:
+            sym, s, bitsv = payload
+            code, ln = ac_spec[cls][2][sym]
+            wtr.put(code, ln)
+            if s:
+                wtr.put(bitsv, s)
+
+    walk(emit)
+    out.extend(wtr.flush())
+    out.extend(b"\xff\xd9")
+
+    # independent expected reconstruction: dequantize → explicit-sum IDCT
+    recon = {}
+    for cid, hi, vi, tq, plane in comps:
+        q = qts[tq]
+        rp = np.zeros_like(plane)
+        bpr = plane.shape[1] // 8
+        for bi, zz in enumerate(blocks[cid]):
+            coef = np.zeros(64)
+            coef[_JZZ] = zz * q.flatten()[_JZZ]
+            y0, x0 = (bi // bpr) * 8, (bi % bpr) * 8
+            rp[y0 : y0 + 8, x0 : x0 + 8] = _jidct(coef.reshape(8, 8))
+        recon[cid] = rp + 128.0
+    if gray:
+        exp = np.clip(np.round(recon[1][:h, :w]), 0, 255).astype(np.uint8)[:, :, None]
+    else:
+        yy = recon[1]
+        cbb = np.repeat(np.repeat(recon[2], sv, 0), sh, 1) - 128.0
+        crr = np.repeat(np.repeat(recon[3], sv, 0), sh, 1) - 128.0
+        rgb = np.stack(
+            [yy + 1.402 * crr, yy - 0.344136 * cbb - 0.714136 * crr, yy + 1.772 * cbb],
+            axis=-1,
+        )[:h, :w]
+        exp = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return bytes(out), exp
+
+
+def _jpeg_test_image(h, w, color=True, seed=3):
+    """Deterministic gradient + hash noise, no RNG objects."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 5 + xx * 3) % 256
+    noise = ((yy * 31 + xx * 17 + seed) * 2654435761 % 64) - 32
+    g = np.clip(base + noise, 0, 255)
+    if not color:
+        return g.astype(np.uint8)
+    r = np.clip((base + 40) % 256, 0, 255)
+    b = np.clip((255 - base + noise // 2), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_native_jpeg_grayscale_pinned_reconstruction():
+    """Grayscale baseline JPEG (non-multiple-of-8 dims): decoded pixels
+    must match the independent spec-math reconstruction within ±1 (the
+    only permitted difference is float rounding at exact .5)."""
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    img = _jpeg_test_image(21, 29, color=False)
+    payload, expected = _jpeg_bytes(img)
+    arr, w, h = native_image_decode(payload)
+    assert (w, h, arr.shape) == (29, 21, (21, 29, 1))
+    diff = np.abs(arr.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, f"max pixel diff {diff.max()}"
+    # lossy-but-close sanity vs the source (quality-50 tables)
+    assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).mean() < 16
+
+
+def test_native_jpeg_color_444_and_420():
+    """3-component JPEG in both 4:4:4 and 4:2:0: decode must reproduce
+    the independent reconstruction (which includes the encoder's chroma
+    subsampling + the decoder-side replicate upsample) within ±1."""
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    img = _jpeg_test_image(24, 31, color=True)
+    for sub in ((1, 1), (2, 2)):
+        payload, expected = _jpeg_bytes(img, subsample=sub)
+        arr, w, h = native_image_decode(payload)
+        assert (w, h, arr.shape) == (31, 24, (24, 31, 3)), sub
+        diff = np.abs(arr.astype(int) - expected.astype(int))
+        assert diff.max() <= 1, f"{sub}: max pixel diff {diff.max()}"
+
+
+def test_native_jpeg_restart_markers():
+    """DRI + RSTn handling: an image encoded with restart interval 2
+    must decode identically (±0) to the same image without restarts —
+    segment switching and DC-predictor resets included."""
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    img = _jpeg_test_image(24, 40, color=False)
+    plain, _ = _jpeg_bytes(img)
+    rst, _ = _jpeg_bytes(img, restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst, "no restart markers emitted"
+    a1, _, _ = native_image_decode(plain)
+    a2, _, _ = native_image_decode(rst)
+    assert np.array_equal(a1, a2)
+
+
+def test_native_jpeg_rejects_progressive_and_truncated():
+    from pgdedupe_spark.operators.multimodal import native_image_decode
+
+    img = _jpeg_test_image(8, 8, color=False)
+    payload, _ = _jpeg_bytes(img)
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF2"):
+        native_image_decode(prog)
+    with pytest.raises(ValueError):
+        native_image_decode(payload[:20])
+
+
+def test_native_jpeg_features_through_spark(spark):
+    """The native tier end-to-end over mapInPandas: JPEG payloads through
+    decode_features(mode='native') match the driver-side feature vector
+    of the same decoded pixels."""
+    from pgdedupe_spark.operators.multimodal import (
+        _image_feature_vector,
+        decode_features,
+        native_image_decode,
+    )
+
+    imgs = {i: _jpeg_test_image(16 + i, 24, color=True, seed=i) for i in range(4)}
+    payloads = {i: _jpeg_bytes(img)[0] for i, img in imgs.items()}
+    df = spark.createDataFrame(
+        [(i, "image", bytearray(p)) for i, p in payloads.items()],
+        "media_id long, modality string, payload binary",
+    )
+    out = {
+        r.media_id: np.array(r.features)
+        for r in decode_features(df, mode="native").collect()
+    }
+    for i, p in payloads.items():
+        arr, w, h = native_image_decode(p)
+        want = _image_feature_vector(arr, w, h)
+        assert np.allclose(out[i], want, atol=1e-6), i

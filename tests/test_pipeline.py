@@ -185,24 +185,65 @@ def test_every_source_row_mapped(spark, source):
 @pytest.mark.slow
 def test_quality_at_reference_integration_scale(spark):
     """The reference's integration gate at the reference's own scale
-    (tests/test_integration.py:18,30): 2,000 persons (~8k entry rows at
-    the generator's mean 4 records/person), full pipeline, and the same
-    rudimentary quality bound — count(distinct dedupe_id) < 2× population
-    (the reference asserts < 4000). The small-N quality gates above pin
-    purity; this one pins that the quality holds at the scale the
-    reference actually certified. Marked slow: ~the longest single test
-    in the suite, deselect with -m 'not slow' for the quick loop."""
+    (tests/test_integration.py:18,30) — 2,000 persons (~8k entry rows at
+    the generator's mean 4 records/person), full pipeline — tightened
+    from the reference's loose count bound into measured metric floors
+    vs ground truth (VERDICT r6 #8): pairwise precision/recall over
+    co-clustered pairs and cluster plurality accuracy (the validation
+    notebook's A7 question, "what fraction of entries sit in a cluster
+    whose plurality person is theirs").
+
+    Threshold note (measured in r7): at this scale the 560-combo name
+    pool puts ~3.6 people behind every (first,last), and the suite's
+    small-N default threshold=0.5 chains those namesakes — pairwise
+    precision 0.545, plurality 0.788 — while recall stays 0.986. At
+    threshold=0.75 the same trained model measures precision 0.967 /
+    recall 0.982 / plurality 0.981. The scale gate therefore runs the
+    user-facing knob where a 2,000-person deployment would set it and
+    pins comfortable floors; the reference's own < 2× population bound
+    is kept alongside (it was never informative — it passes even in the
+    over-merged regime)."""
     n_people = 2000
     rows, truth, _ = generate_population(n_people, seed=0)
     df = spark.createDataFrame(
         rows,
         "entry_id long, first_name string, last_name string, ssn string, sex string, dob string",
     )
-    res = run_pipeline(df, _config(), training_pairs())
+    cfg = _config()
+    cfg.threshold = 0.75
+    res = run_pipeline(df, cfg, training_pairs())
     n_rows = df.count()
     n_clusters = res.unique_map.select("dedupe_id").distinct().count()
     assert n_clusters < 2 * n_people, f"{n_clusters} clusters for {n_people} people"
-    # the bound must not be green-washed by barely merging anything
-    assert n_clusters < n_rows * 0.7, f"barely merged: {n_clusters}/{n_rows}"
     # every source row that passed the filter must be mapped exactly once
     assert res.unique_map.count() == res.unique_map.select("entry_id").distinct().count()
+
+    from collections import defaultdict
+
+    um = res.unique_map.toPandas()
+    pred, true = defaultdict(list), defaultdict(list)
+    for r in um.itertuples():
+        if r.dedupe_id is not None:
+            pred[r.dedupe_id].append(r.entry_id)
+        true[truth[r.entry_id]].append(r.entry_id)
+
+    def pairset(groups):
+        s = set()
+        for ids in groups.values():
+            ids = sorted(ids)
+            s |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+        return s
+
+    P, T = pairset(pred), pairset(true)
+    precision = len(P & T) / len(P)
+    recall = len(P & T) / len(T)
+    hits = 0
+    for ids in pred.values():
+        ppl = [truth[i] for i in ids]
+        top = max(set(ppl), key=ppl.count)
+        hits += sum(1 for p in ppl if p == top)
+    plurality = hits / sum(len(v) for v in pred.values())
+
+    assert precision >= 0.9, f"pairwise precision {precision:.3f} < 0.9"
+    assert recall >= 0.95, f"pairwise recall {recall:.3f} < 0.95"
+    assert plurality >= 0.9, f"plurality accuracy {plurality:.3f} < 0.9"
