@@ -231,6 +231,11 @@ def main() -> None:
         "queries_cold": cold,
         "value_legacy24": round(sum(warm[n] for n in LEGACY24 if n in warm), 3),
         "value_legacy24_cold": round(sum(cold[n] for n in LEGACY24 if n in cold), 3),
+        # deliberately-heavy scale probes, subtotaled separately so the
+        # headline totals stop absorbing probe growth round-over-round
+        # (VERDICT r6): value - value_probes is the comparable remainder
+        "value_probes": round(sum(warm[n] for n in HEAVY_PROBES if n in warm), 3),
+        "value_probes_cold": round(sum(cold[n] for n in HEAVY_PROBES if n in cold), 3),
         "timing": "warm = min of runs 2-3 (steady-state); cold = first run",
         "canary": canary,
         "sf": float(sf),

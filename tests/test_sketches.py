@@ -60,3 +60,85 @@ def test_sketch_state_is_bounded(spark, sf_dir):
     hourly = sketch_rollup(ev, F.date_trunc("hour", F.col("ts")), "user_id")
     sizes = [len(bytes(r.sketch)) for r in hourly.select("sketch").collect()]
     assert max(sizes) <= 4096 + 64  # 2^12 registers + header slack
+
+
+def _zipf_tokens(spark, n_docs=3000):
+    from pgdedupe_spark.corpus import zipf_corpus
+
+    corpus = zipf_corpus(spark, n_docs=n_docs, doc_len=60, vocab=20_000)
+    return corpus.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).repartition(8)
+
+
+def test_heavy_hitters_exact_matches_brute_force(spark):
+    """exact=True top-k must equal the brute-force groupBy top-k (same
+    deterministic tie-break) on a Zipfian vocabulary — the regime the MG
+    layer exists for (hot head far above the summed decrement bound)."""
+    from pyspark.sql import Window
+
+    from pgdedupe_spark.operators.sketches import heavy_hitters
+
+    toks = _zipf_tokens(spark)
+    got = [(r.token, r["count"], r.rank) for r in heavy_hitters(toks, "token", k=20).collect()]
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    want = [
+        (r.token, r["count"], r.rank)
+        for r in toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter("rank <= 20")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_mg_summary_bound_holds_per_run(spark):
+    """The per-run error contract: for every token the merged summary
+    emits, true − Σdecr ≤ approx ≤ true, with Σdecr the summed
+    per-partition decrements the summary itself reports — the bound is
+    an output, not a worst-case formula."""
+    from pgdedupe_spark.operators.sketches import mg_summaries
+
+    toks = _zipf_tokens(spark)
+    cap = 256
+    summ = mg_summaries(toks, "token", capacity=cap).cache()
+    bound = sum(
+        r.decr for r in summ.select("pid", "decr").distinct().collect()
+    )
+    n = toks.count()
+    # classic MG worst case: Σ n_p/(cap+1) = n/(cap+1)
+    assert bound <= n // (cap + 1) + summ.select("pid").distinct().count()
+    approx = {
+        r.token: r.s
+        for r in summ.groupBy("token").agg(F.sum("mg_count").alias("s")).collect()
+    }
+    true = {
+        r.token: r.c
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert approx, "summary emitted nothing"
+    for t, a in approx.items():
+        assert a <= true[t], (t, a, true[t])
+        assert a >= true[t] - bound, (t, a, true[t], bound)
+    # completeness: anything with true count > bound must have survived
+    missing = [t for t, c in true.items() if c > bound and t not in approx]
+    assert not missing, missing[:5]
+    summ.unpersist()
+
+
+def test_heavy_hitters_deterministic_and_no_vocab_shuffle(spark):
+    """Two runs identical (no RNG anywhere), and the exact pass's plan
+    joins against a broadcast candidate set — the full-vocabulary
+    exchange the operator exists to avoid must not appear as a sort-merge
+    join on token."""
+    from pgdedupe_spark.operators.sketches import heavy_hitters
+
+    toks = _zipf_tokens(spark)
+    a = heavy_hitters(toks, "token", k=10)
+    b = heavy_hitters(toks, "token", k=10)
+    ra = [(r.token, r["count"], r.rank) for r in a.collect()]
+    rb = [(r.token, r["count"], r.rank) for r in b.collect()]
+    assert ra == rb
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
