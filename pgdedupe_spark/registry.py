@@ -3828,6 +3828,9 @@ PYTEST_ONLY = frozenset(
         "f12_posexplode",
         "f5_concat_null",
         "p2_filter_projection",
+        # born pytest-only in r7 (window full): Misra-Gries heavy-hitter
+        # top-k with a full DuckDB oracle via tests/test_oracle.py
+        "text_heavy_hitters",
     }
 )
 
@@ -4007,4 +4010,42 @@ def events_attribution_outer(spark, sf_dir):
             "left",
         )
         .select("user_id", "purchase_id", "click_id", "purchase_us", "click_us", "amount")
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      FROM documents
+    ), c AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    )
+    SELECT token, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 20
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Top-20 corpus tokens through the Misra–Gries mergeable-summary
+    layer (operators/sketches.py heavy_hitters, new r7) with the exact
+    second pass on — per-partition capacity-bounded summaries propose
+    candidates, a broadcast semi join counts only those, so the
+    rare-token long tail never crosses the shuffle. The oracle is the
+    plain SQL top-k with the same deterministic tie-break (count desc,
+    token asc): with exact=True the operator owes EXACT equality
+    whenever the k-th count clears the summed decrement bound (pinned
+    adversarially on a Zipfian vocabulary in tests/test_sketches.py).
+    Registered PYTEST_ONLY from birth — the driver's 100-query window is
+    full; full DuckDB coverage rides tests/test_oracle.py."""
+    from pgdedupe_spark.operators.sketches import heavy_hitters
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("token")
+    )
+    return heavy_hitters(toks, "token", k=20, capacity=1024).withColumnRenamed(
+        "count", "cnt"
     )
