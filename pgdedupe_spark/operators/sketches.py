@@ -152,3 +152,136 @@ def heavy_hitters(
         .filter(F.col("rank") <= k)
         .select("token", "count", "rank")
     )
+
+
+def quantile_histogram_rollup(
+    df: DataFrame,
+    bucket_col: Column,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    n_bins: int = 128,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Per-(group, bucket) fixed-edge histograms — the QUANTILE member of
+    the mergeable-summary triad (HLL = distinct, MG = frequency, this =
+    numeric distribution; new r7).
+
+    ``percentile_approx`` answers a quantile over raw rows, but its GK
+    state is not a storable/mergeable column: a daily p99 cannot be
+    assembled from hourly percentile results. Fixed-edge bin counts CAN —
+    merging is per-bin summation, EXACTLY equal to histogramming the
+    concatenated input (no estimation error added by the rollup, pinned
+    bit-exact in tests/test_sketches.py), and quantile reads are then
+    O(n_bins) over the summary, never a raw re-scan. Estimation error is
+    the usual histogram contract: ≤ one bin width, set by (hi−lo)/n_bins.
+
+    ``lo``/``hi`` pin the shared bin edges; when omitted, ONE extra
+    aggregate-only pass computes the global min/max (documented — at
+    100 TB pass fixed domain bounds instead). Values outside [lo, hi]
+    clamp into the edge bins so merged layers stay consistent under
+    drift. Output (…groups, bucket, bins map<int,bigint>, n_rows, lo,
+    hi, n_bins) — the map is sparse (only occupied bins), bounded by
+    n_bins entries per row."""
+    groups = [F.col(c) for c in (group_cols or [])]
+    if lo is None or hi is None:
+        row = df.agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo = float(row.lo) if lo is None else lo
+        hi = float(row.hi) if hi is None else hi
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_expr = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)).cast("int"),
+        ),
+    )
+    per_bin = df.groupBy(*groups, bucket_col.alias("bucket"), bin_expr.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    gcols = [*(group_cols or []), "bucket"]
+    return (
+        per_bin.groupBy(*gcols)
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("bin"), F.collect_list("cnt")
+            ).alias("bins"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("n_bins", F.lit(int(n_bins)))
+    )
+
+
+def merge_quantile_rollup(
+    hists: DataFrame, coarse_bucket: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Roll fine histograms to a coarser bucket by summing per-bin counts
+    (explode map → re-aggregate): the result is again a histogram layer
+    with the SAME edges, so day → month → year chains compose and every
+    level is bit-identical to histogramming raw data at that grain."""
+    gcols = [*(group_cols or [])]
+    exploded = hists.select(
+        *gcols,
+        coarse_bucket.alias("bucket"),
+        "lo",
+        "hi",
+        "n_bins",
+        F.explode("bins").alias("bin", "cnt"),
+    )
+    per_bin = exploded.groupBy(*gcols, "bucket", "lo", "hi", "n_bins", "bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return (
+        per_bin.groupBy(*gcols, "bucket", "lo", "hi", "n_bins")
+        .agg(
+            F.map_from_arrays(F.collect_list("bin"), F.collect_list("cnt")).alias("bins"),
+            F.sum("cnt").alias("n_rows"),
+        )
+        .select(*gcols, "bucket", "bins", "n_rows", "lo", "hi", "n_bins")
+    )
+
+
+def histogram_quantiles(hists: DataFrame, qs: list[float]) -> DataFrame:
+    """Quantile estimates straight from a histogram layer (no raw-data
+    scan): for each requested q, walk the cumulative bin counts to the
+    first bin where cum ≥ q·n and interpolate linearly inside it. All
+    JVM expressions — one sort + one fold over each row's ≤ n_bins map
+    entries. Output adds ``q_<q>`` double columns."""
+    out = hists
+    width = (F.col("hi") - F.col("lo")) / F.col("n_bins")
+    entries = F.array_sort(F.map_entries(F.col("bins")))
+    for q in qs:
+        target = F.col("n_rows").cast("double") * F.lit(float(q))
+        # fold: (cum, answer); once answer is set it sticks
+        est = F.aggregate(
+            entries,
+            F.struct(
+                F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("ans")
+            ),
+            lambda acc, e: F.struct(
+                (acc["cum"] + e["value"].cast("double")).alias("cum"),
+                F.when(acc["ans"].isNotNull(), acc["ans"])
+                .when(
+                    acc["cum"] + e["value"].cast("double") >= target,
+                    F.col("lo")
+                    + (
+                        e["key"].cast("double")
+                        + F.when(
+                            e["value"] > 0,
+                            (target - acc["cum"]) / e["value"].cast("double"),
+                        ).otherwise(F.lit(0.5))
+                    )
+                    * width,
+                )
+                .otherwise(F.lit(None).cast("double"))
+                .alias("ans"),
+            ),
+            lambda acc: F.coalesce(acc["ans"], F.col("hi")),
+        )
+        out = out.withColumn(f"q_{str(q).replace('.', '_')}", est)
+    return out

@@ -12,7 +12,7 @@ def _events(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     dtype = dict(ev.dtypes)["ts"]
     ts = F.col("ts") if dtype.startswith("timestamp") else F.timestamp_micros(F.col("ts"))
-    return ev.select("user_id", "event_type", ts.alias("ts"))
+    return ev.select("user_id", "event_type", ts.alias("ts"), "value")
 
 
 def test_union_of_hourly_equals_direct_daily_sketch(spark, sf_dir):
@@ -142,3 +142,69 @@ def test_heavy_hitters_deterministic_and_no_vocab_shuffle(spark):
     assert ra == rb
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_quantile_histogram_merge_is_exact(spark, sf_dir):
+    """The rollup contract, bit-exact: merging hourly histograms to daily
+    must equal histogramming the raw data directly at daily grain (same
+    edges ⇒ per-bin sums are exact, unlike every estimator)."""
+    from pgdedupe_spark.operators.sketches import (
+        merge_quantile_rollup,
+        quantile_histogram_rollup,
+    )
+
+    ev = _events(spark, sf_dir)
+    lo_hi = ev.agg(F.min(F.col("value").cast("double")), F.max(F.col("value").cast("double"))).collect()[0]
+    lo, hi = float(lo_hi[0]), float(lo_hi[1])
+    hourly = quantile_histogram_rollup(
+        ev, F.date_trunc("hour", F.col("ts")), "value", n_bins=64, lo=lo, hi=hi
+    )
+    daily_merged = merge_quantile_rollup(hourly, F.date_trunc("day", F.col("bucket")))
+    daily_direct = quantile_histogram_rollup(
+        ev, F.date_trunc("day", F.col("ts")), "value", n_bins=64, lo=lo, hi=hi
+    )
+
+    def canon(df):
+        return {
+            r.bucket: (dict(r.bins), r.n_rows) for r in df.collect()
+        }
+
+    got, want = canon(daily_merged), canon(daily_direct)
+    assert got == want
+    assert sum(n for _, n in got.values()) == ev.count()
+
+
+def test_histogram_quantiles_within_bin_width(spark, sf_dir):
+    """Quantile reads off the summary must land within one bin width of
+    the exact percentile — the histogram error contract, checked for
+    p50/p95/p99 on the full-corpus histogram."""
+    from pgdedupe_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram_rollup,
+    )
+
+    ev = _events(spark, sf_dir)
+    n_bins = 128
+    hist = quantile_histogram_rollup(ev, F.lit(1), "value", n_bins=n_bins)
+    row = histogram_quantiles(hist, [0.5, 0.95, 0.99]).collect()[0]
+    width = (row.hi - row.lo) / n_bins
+    exact = ev.agg(
+        F.expr("percentile(CAST(value AS DOUBLE), array(0.5, 0.95, 0.99))")
+    ).collect()[0][0]
+    for got, want in zip((row.q_0_5, row.q_0_95, row.q_0_99), exact):
+        assert abs(got - want) <= width + 1e-9, (got, want, width)
+
+
+def test_quantile_histogram_state_bounded_and_clamped(spark):
+    """Rows outside [lo, hi] clamp into edge bins (layers stay mergeable
+    under domain drift) and the summary never exceeds n_bins entries."""
+    from pgdedupe_spark.operators.sketches import quantile_histogram_rollup
+
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS v")
+    hist = quantile_histogram_rollup(df, F.lit(1), "v", n_bins=16, lo=2000.0, hi=4000.0)
+    row = hist.collect()[0]
+    bins = dict(row.bins)
+    assert len(bins) <= 16
+    assert row.n_rows == 10_000
+    assert bins[0] >= 2000  # everything below lo landed in bin 0
+    assert bins[15] >= 6000  # everything above hi landed in the top bin
