@@ -626,3 +626,72 @@ def test_chunk_documents_invariants(spark, n_toks, chunk, data):
             if idx < len(got) - 1:
                 assert ln == chunk       # only the last chunk may truncate
         assert covered == n_tok
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    """connected_components_incremental(labels(old), new) must equal
+    connected_components(old ∪ new) exactly — including singletons from
+    the standing labeling and components merged ACROSS old components by
+    a new edge."""
+    from pgdedupe_spark.operators.clustering import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (30, 30)], "id1 long, id2 long"
+    )
+    new = spark.createDataFrame(
+        [(2, 10), (21, 40), (50, 51)], "id1 long, id2 long"
+    )
+    labels = connected_components(old)
+    got = {
+        (r.id, r.component)
+        for r in connected_components_incremental(labels, new).collect()
+    }
+    want = {
+        (r.id, r.component)
+        for r in connected_components(old.union(new)).collect()
+    }
+    assert got == want
+    # cross-component merge actually happened
+    lab = dict(got)
+    assert lab[11] == lab[0] == 0
+    assert lab[40] == 20
+    assert lab[30] == 30  # untouched singleton survives
+
+
+def test_cc_incremental_round_collapse(spark):
+    """The point of incrementality: on a 300-vertex chain the full CC
+    needs ~log2(300) pointer-doubling rounds; updating its converged
+    labeling with one bridging edge must converge in ≤ 3 rounds (the
+    standing labels are depth-1 stars)."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.clustering import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    n = 300
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+    )
+    chain2 = spark.range(n - 1).select(
+        (F.col("id") + 1000).alias("id1"), (F.col("id") + 1001).alias("id2")
+    )
+    labels, full_rounds = connected_components(
+        chain.union(chain2), return_rounds=True
+    )
+    bridge = spark.createDataFrame([(n - 1, 1000)], "id1 long, id2 long")
+    merged, inc_rounds = connected_components_incremental(
+        labels, bridge, return_rounds=True
+    )
+    assert full_rounds >= 4, full_rounds
+    assert inc_rounds <= 3, inc_rounds
+    got = merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("component").alias("c"),
+        F.max("component").alias("m"),
+    ).collect()[0]
+    assert (got.n, got.c, got.m) == (2 * n, 1, 0)
