@@ -162,6 +162,7 @@ _TAIL = [
 # DuckDB-reproducible (xxhash64-seeded corpus) — benched + pytest-pinned,
 # not part of the driver's oracle contract
 _BENCH_ONLY = {
+    "bpe_encode_probe",
     "dedup_ngram_zipf",
     "ann_lsh_stress",
     "merge_scale_probe",

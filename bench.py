@@ -100,6 +100,9 @@ HEADLINE = [
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # r7: MG heavy-hitter top-k (exact second pass) + BPE train+encode sweep
+    "text_heavy_hitters",
+    "bpe_encode_probe",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters

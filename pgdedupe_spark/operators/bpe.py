@@ -184,3 +184,20 @@ def bpe_encode(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).mapInPandas(_enc, schema="id long, tokens array<string>, n_tokens long")
     return out.withColumnRenamed("id", id_col)
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as JSON (ordered; order IS the model).
+    Same plain-file convention as ml/training.py's model persistence."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump({"version": 1, "merges": [list(m) for m in merges]}, fh)
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as fh:
+        doc = json.load(fh)
+    return [tuple(m) for m in doc["merges"]]

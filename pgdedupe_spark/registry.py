@@ -4049,3 +4049,24 @@ def text_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, "token", k=20, capacity=1024).withColumnRenamed(
         "count", "cnt"
     )
+
+
+@query("bpe_encode_probe")  # bench-only: trains a vocab + tokenizes the corpus
+def bpe_encode_probe(spark, sf_dir):
+    """Bench probe for the BPE tokenizer family (operators/bpe.py, new
+    r7): train 200 merges on the documents word-frequency table (one
+    shuffle + bounded collect) then tokenize the full corpus through the
+    scan-local encode and reduce to corpus totals — wall time measures
+    the two passes a real tokenization sweep pays. Correctness is pinned
+    in tests/test_bpe.py against an independent reference; the bench row
+    exists so encode throughput is a tracked number, not a guess."""
+    from pgdedupe_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=200, max_words=20_000)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )

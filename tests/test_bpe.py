@@ -157,3 +157,12 @@ def test_bpe_encode_plan_is_scan_local(spark, corpus):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_bpe_save_load_roundtrip(spark, corpus, tmp_path):
+    from pgdedupe_spark.operators.bpe import load_bpe, save_bpe
+
+    merges = train_bpe(corpus, "text", n_merges=15)
+    p = str(tmp_path / "bpe.json")
+    save_bpe(merges, p)
+    assert load_bpe(p) == merges
