@@ -557,3 +557,62 @@ def incremental_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
     )
+
+
+def incremental_exact_flags(
+    corpus: DataFrame,
+    new_batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+    corpus_bloom: DataFrame | None = None,
+) -> DataFrame:
+    """Exact incremental dedup of a new batch against a standing corpus:
+    (new id, is_dup, corpus_id = min matching corpus id or NULL), keyed
+    on the normalized text (normalize_text above).
+
+    The scale problem this solves: in steady-state ingest, almost every
+    new document is NOVEL, but a naive left join still shuffles the
+    whole batch against the corpus-key table on every run. Here a
+    mergeable Bloom filter of the corpus keys (sketches.bloom_build —
+    reusable via ``corpus_bloom``, maintainable across batches with
+    bloom_merge, never rebuilt) screens the batch first; only rows the
+    filter CANNOT rule out enter the exact confirm join, so join input
+    shrinks from |batch| to |dups| + |false positives|. Because Bloom
+    filters have no false negatives and every surviving candidate is
+    confirmed exactly, the output is EXACT — the registry row
+    dedup_incremental_exact hash-matches a plain SQL left join oracle.
+    """
+    from pgdedupe_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    ckeys = corpus.select(
+        normalize_text(F.col(text_col)).alias("_norm"), F.col(id_col)
+    )
+    bloom = (
+        corpus_bloom
+        if corpus_bloom is not None
+        else bloom_build(ckeys, "_norm", num_bits, num_hashes)
+    )
+    probe = new_batch.select(
+        F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+    )
+    screened = bloom_might_contain(
+        probe, "_norm", bloom, num_bits, num_hashes, id_col, out_col="_bf_maybe"
+    )
+    candidates = screened.filter(F.col("_bf_maybe"))
+    confirmed = (
+        candidates.join(
+            ckeys.groupBy("_norm").agg(F.min(id_col).alias("corpus_id")), "_norm"
+        )
+        .select(id_col, "corpus_id")
+    )
+    return (
+        screened.select(id_col)
+        .join(confirmed, id_col, "left")
+        .select(
+            id_col,
+            F.col("corpus_id").isNotNull().alias("is_dup"),
+            "corpus_id",
+        )
+    )

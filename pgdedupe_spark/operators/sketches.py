@@ -285,3 +285,112 @@ def histogram_quantiles(hists: DataFrame, qs: list[float]) -> DataFrame:
         )
         out = out.withColumn(f"q_{str(q).replace('.', '_')}", est)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom-filter membership layer
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> Column:
+    """The k bit positions of a value: pmod(xxhash64(seed_i, v), m) for
+    seed_i in 0..k-1 — pure JVM, deterministic, scan-local."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(num_bits))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 22, num_hashes: int = 5
+) -> DataFrame:
+    """Mergeable Bloom filter over ``col`` as a SPARSE bitmap table
+    (word_idx → 64-bit word), the membership twin of the HLL distinct
+    layer above.
+
+    Why a table and not a driver-side bitset: at 100 TB a corpus-key
+    Bloom sized for billions of keys is gigabytes — it must itself stay
+    distributed. Rows only exist for non-zero words, the row count is
+    bounded by num_bits/64 regardless of input size, and the build is
+    one explode (k small ints per key) + one bit_or aggregate with
+    map-side combine. Merging two filters (incremental maintenance:
+    OR the new batch's filter into the standing one) is the same
+    bit_or aggregate over the union — bloom_merge below, pinned
+    bit-identical to a direct build in tests/test_sketches.py.
+
+    The membership contract: NO false negatives ever (positions are
+    deterministic); false positives at the classic (1-e^(-kn/m))^k
+    rate. Callers that need exactness confirm candidates with an exact
+    join — the filter's job is to keep definitively-new keys out of
+    that join entirely (dedup.incremental_exact_flags)."""
+    pos = (
+        df.select(
+            F.explode(_bloom_positions(F.col(col), num_bits, num_hashes)).alias(
+                "_bf_pos"
+            )
+        )
+    )
+    return (
+        pos.select(
+            F.shiftright("_bf_pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(_bf_pos % 64 AS INT))").alias("bits"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two Bloom filters BUILT WITH THE SAME (num_bits,
+    num_hashes): bitwise OR per word. Lossless: merge(build(X),
+    build(Y)) is bit-identical to build(X ∪ Y)."""
+    return (
+        a.unionByName(b).groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    num_bits: int,
+    num_hashes: int,
+    id_col: str,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Add a boolean ``out_col`` to ``probe``: False ⇒ the value is
+    DEFINITELY absent from the filtered set; True ⇒ present or a false
+    positive.
+
+    Plan shape: explode the k positions per probe row, equi-join the
+    sparse filter on word_idx (the filter side is bounded by num_bits/64
+    rows — broadcastable for typical sizes, a cheap shuffle join keyed
+    by word_idx beyond that; AQE picks), then every(bit set) per probe
+    id and a join back on ``id_col``. The probe's k-row blowup is
+    constant-factor; nothing scales with the FILTERED set's size."""
+    tmp = "_bf_pos"
+    while tmp in probe.columns:
+        tmp += "_"
+    exploded = probe.select(
+        F.col(id_col),
+        F.explode(_bloom_positions(F.col(col), num_bits, num_hashes)).alias(tmp),
+    ).select(
+        id_col,
+        F.shiftright(tmp, 6).alias("word_idx"),
+        F.expr(f"shiftleft(1L, CAST({tmp} % 64 AS INT))").alias("_bf_mask"),
+    )
+    flags = (
+        exploded.join(bloom, "word_idx", "left")
+        .select(
+            id_col,
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("_bf_mask")) == F.col("_bf_mask"))
+            ).alias("_bf_hit"),
+        )
+        .groupBy(id_col)
+        .agg(F.every("_bf_hit").alias(out_col))
+    )
+    return probe.join(flags, id_col, "left")

@@ -3831,6 +3831,12 @@ PYTEST_ONLY = frozenset(
         # born pytest-only in r7 (window full): Misra-Gries heavy-hitter
         # top-k with a full DuckDB oracle via tests/test_oracle.py
         "text_heavy_hitters",
+        # born pytest-only in r7 (window full), all with FULL hash
+        # oracles via tests/test_oracle.py: Bloom-screened incremental
+        # exact dedup, BM25 retrieval, and hybrid BM25+vector RRF fusion
+        "dedup_incremental_exact",
+        "text_bm25_topk",
+        "hybrid_search_rrf",
     }
 )
 
@@ -4069,4 +4075,221 @@ def bpe_encode_probe(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.lit(len(merges)).cast("long").alias("n_merges"),
+    )
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE source = 'src0'
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             regexp_replace(trim(lower(text || ' novel suffix')), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE source = 'src1'
+    ), m AS (
+      SELECT norm, min(doc_id) AS corpus_id FROM corpus GROUP BY norm
+    )
+    SELECT b.doc_id, m.corpus_id IS NOT NULL AS is_dup, m.corpus_id
+    FROM batch b LEFT JOIN m ON b.norm = m.norm
+    """,
+)
+def dedup_incremental_exact(spark, sf_dir):
+    """Bloom-screened incremental EXACT dedup (dedup.incremental_exact_flags
+    + sketches.bloom_build, new r7): a new batch — every src0 doc
+    verbatim (guaranteed duplicates) plus every src1 doc with a novel
+    suffix (guaranteed new) — is flagged against the standing documents
+    corpus. The mergeable corpus-key Bloom filter screens the batch
+    scan-locally so only maybe-duplicate rows enter the exact confirm
+    join; no false negatives + exact confirmation ⇒ the result equals
+    the oracle's plain LEFT JOIN bit-for-bit, which is why this row gets
+    a FULL hash oracle (unlike the approximate dedup family). Registered
+    PYTEST_ONLY from birth — the driver's 100-query window is full; full
+    DuckDB coverage rides tests/test_oracle.py."""
+    from pgdedupe_spark.operators.dedup import incremental_exact_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = (
+        docs.filter(F.col("source") == "src0")
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("source") == "src1").select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" novel suffix")).alias("text"),
+            )
+        )
+    )
+    return incremental_exact_flags(docs, batch, "doc_id", "text")
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl, t FROM d
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+      WHERE term IN ('join', 'window', 'merge')
+      GROUP BY doc_id, dl, term
+    ), dft AS (
+      SELECT term, COUNT(*) AS dfd FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(
+               ln(1.0 + (CAST(n AS DOUBLE) - CAST(dfd AS DOUBLE) + 0.5)
+                        / (CAST(dfd AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                           * CAST(n AS DOUBLE)
+                                           / CAST(sumdl AS DOUBLE))))
+             AS DECIMAL(18,8)) AS c
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    ), s AS (
+      SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS score, COUNT(*) AS n_hits
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, score, n_hits, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                  AS rank
+      FROM s
+    ) WHERE rank <= 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed 3-term query over `documents`
+    (operators/retrieval.bm25_topk, new r7) — the sparse half of the
+    RAG retrieval pair. The per-term explode filters to the query's
+    terms BEFORE the shuffle (the exchange carries corpus HITS, not
+    corpus tokens); N/avgdl and the per-term document frequencies are
+    broadcast. Per-(doc,term) contributions round through DECIMAL(18,8)
+    in both engines so the summed score hash-matches the oracle (the
+    d4_pair_scores libm-boundary device). Registered PYTEST_ONLY from
+    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        ["join", "window", "merge"],
+        k=10,
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl, t FROM d
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(t) AS term FROM dl)
+      WHERE term IN ('join', 'window', 'merge')
+      GROUP BY doc_id, dl, term
+    ), dft AS (
+      SELECT term, COUNT(*) AS dfd FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(
+               ln(1.0 + (CAST(n AS DOUBLE) - CAST(dfd AS DOUBLE) + 0.5)
+                        / (CAST(dfd AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                  / (CAST(tf AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                                           * CAST(n AS DOUBLE)
+                                           / CAST(sumdl AS DOUBLE))))
+             AS DECIMAL(18,8)) AS c
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    ), bm25 AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY CAST(SUM(c) AS DOUBLE) DESC, doc_id) AS INT) AS rank
+        FROM contrib GROUP BY doc_id
+      ) WHERE rank <= 20
+    ), q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id = 0
+    ), c2 AS (
+      SELECT vec_id AS doc_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT)) AS cv
+      FROM embeddings
+    ), dense AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT)
+                 AS rank
+        FROM (
+          SELECT doc_id,
+                 list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) *
+                    sqrt(list_dot_product(cv, cv))) AS sim
+          FROM q, c2 WHERE doc_id <> 0
+        )
+      ) WHERE rank <= 20
+    ), u AS (
+      SELECT doc_id, CAST(1.0 / (60 + CAST(rank AS DOUBLE)) AS DECIMAL(18,12))
+               AS rr
+      FROM bm25
+      UNION ALL
+      SELECT doc_id, CAST(1.0 / (60 + CAST(rank AS DOUBLE)) AS DECIMAL(18,12))
+               AS rr
+      FROM dense
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(rr) AS DOUBLE) AS rrf_score,
+             COUNT(*) AS n_sources
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_sources, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+                  ORDER BY rrf_score DESC, n_sources DESC, doc_id) AS INT)
+                  AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid first-stage retrieval (operators/retrieval.rrf_fuse, new
+    r7): BM25 top-20 over `documents` fused with exact-cosine top-20
+    dense neighbors of the vec_id=0 embedding (doc_id aligns with
+    vec_id in the driver tables) by reciprocal-rank fusion, 1/(60+rank)
+    addends through DECIMAL(18,12). Every stage has a deterministic
+    id tie-break, so the fused top-10 hash-matches the oracle exactly.
+    The fusion's cost is O(list lengths) — corpus scale lives entirely
+    in the two upstream rankers (BM25's hit-bounded exchange, ANN's
+    bucketed indexes). Registered PYTEST_ONLY from birth — window full;
+    full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pgdedupe_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    sparse = bm25_topk(docs, "doc_id", "text", ["join", "window", "merge"], k=20)
+    dense = cosine_topk(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=20,
+        query_filter="vec_id = 0",
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse(
+        [sparse.select("doc_id", "rank"), dense], "doc_id", topk=10
     )

@@ -208,3 +208,97 @@ def test_quantile_histogram_state_bounded_and_clamped(spark):
     assert row.n_rows == 10_000
     assert bins[0] >= 2000  # everything below lo landed in bin 0
     assert bins[15] >= 6000  # everything above hi landed in the top bin
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership layer (new r7)
+# ---------------------------------------------------------------------------
+
+from pgdedupe_spark.operators.sketches import (  # noqa: E402
+    bloom_build,
+    bloom_merge,
+    bloom_might_contain,
+)
+
+_BITS, _HASHES = 1 << 16, 5
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k string")
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """The two halves of the membership contract: every inserted key
+    answers True (deterministic positions ⇒ no false negatives, the
+    property the exact incremental dedup depends on), and a disjoint
+    probe set false-positives at ≤ 2× the classic (1-e^(-kn/m))^k rate."""
+    import math
+
+    n = 2000
+    members = [f"member-{i}" for i in range(n)]
+    bloom = bloom_build(_keys(spark, members), "k", _BITS, _HASHES)
+
+    probed = bloom_might_contain(
+        _keys(spark, members).withColumn("id", F.col("k")),
+        "k", bloom, _BITS, _HASHES, "id",
+    )
+    assert probed.filter(~F.col("might_contain")).count() == 0
+
+    others = _keys(spark, [f"other-{i}" for i in range(n)]).withColumn(
+        "id", F.col("k")
+    )
+    fp = bloom_might_contain(others, "k", bloom, _BITS, _HASHES, "id")
+    fp_rate = fp.filter(F.col("might_contain")).count() / n
+    theoretical = (1 - math.exp(-_HASHES * n / _BITS)) ** _HASHES
+    assert fp_rate <= 2 * theoretical + 0.01, (fp_rate, theoretical)
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    """Mergeability is lossless: OR-ing two filters is bit-identical to
+    building one filter over the concatenated input — the property that
+    makes the corpus filter maintainable across ingest batches without
+    rebuilds."""
+    a = [f"a-{i}" for i in range(500)]
+    b = [f"b-{i}" for i in range(500)]
+    merged = bloom_merge(
+        bloom_build(_keys(spark, a), "k", _BITS, _HASHES),
+        bloom_build(_keys(spark, b), "k", _BITS, _HASHES),
+    )
+    direct = bloom_build(_keys(spark, a + b), "k", _BITS, _HASHES)
+    m = {r.word_idx: r.bits for r in merged.collect()}
+    d = {r.word_idx: r.bits for r in direct.collect()}
+    assert m == d
+
+
+def test_bloom_state_bounded(spark):
+    """Sparse-row count never exceeds num_bits/64 regardless of input
+    size — the filter's footprint is sized by m, not by the key count."""
+    many = _keys(spark, [f"x-{i}" for i in range(20000)])
+    bloom = bloom_build(many, "k", _BITS, _HASHES)
+    assert bloom.count() <= _BITS // 64
+    # saturation sanity: distinct word_idx values only, one row each
+    assert bloom.groupBy("word_idx").count().filter("count > 1").count() == 0
+
+
+def test_incremental_exact_flags_prunes_and_matches(spark):
+    """dedup.incremental_exact_flags: flags equal a plain exact join
+    (bloom screening is semantically invisible), and the bloom screen
+    really prunes — novel rows never enter the confirm join."""
+    from pgdedupe_spark.operators.dedup import incremental_exact_flags
+
+    corpus = spark.createDataFrame(
+        [(i, f"shared doc {i % 50}") for i in range(100)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1000 + i, f"shared  DOC {i}") for i in range(30)]  # 30 dups (normalized)
+        + [(2000 + i, f"novel doc {i}") for i in range(70)],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_flags(corpus, batch, "doc_id", "text").collect()
+    flags = {r.doc_id: (r.is_dup, r.corpus_id) for r in out}
+    assert len(flags) == 100
+    for i in range(30):
+        assert flags[1000 + i][0], i
+        assert flags[1000 + i][1] == i  # min corpus id with that norm
+    for i in range(70):
+        assert flags[2000 + i] == (False, None), i
