@@ -530,3 +530,93 @@ def decontaminate_embeddings(
         .withColumn("bench_hits", F.coalesce("bench_hits", F.lit(0)))
         .withColumn("contaminated", F.col("bench_hits") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (CCNet / RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Lines (normalized: trim + collapse whitespace + lower, the
+    dedup.normalize_text key) that occur in ≥ ``min_docs`` DISTINCT
+    documents of the same group: (group?, line, n_docs). The CCNet /
+    RefinedWeb "line-level dedup" signal — navigation chrome, cookie
+    banners, boilerplate headers repeat across a domain's pages while
+    body text does not, so cross-document line frequency IS the
+    boilerplate detector.
+
+    Scale: one explode over lines → distinct (group, line, doc) → one
+    count aggregate keyed by (group, line-hash); the rare-line long tail
+    combines map-side and dies at the HAVING. Scoping by ``group_col``
+    (domain/source) keeps counts local: a line frequent on one domain
+    never strips another domain's docs."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+
+    groups = [group_col] if group_col else []
+    lines = df.select(
+        *groups,
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), delim)).alias("_raw"),
+    ).select(*groups, "_doc", normalize_text(F.col("_raw")).alias("line"))
+    return (
+        lines.filter(F.col("line") != "")
+        .distinct()
+        .groupBy(*groups, "line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    min_docs: int = 3,
+    delim: str = "\n",
+) -> DataFrame:
+    """Remove every boilerplate line (per boilerplate_lines) from every
+    document, preserving the order and original (un-normalized) form of
+    surviving lines: all input columns + text_clean, n_lines, n_removed.
+
+    Plan shape — deliberately NO document-keyed shuffle: the per-group
+    boilerplate set is collected to ONE ARRAY PER GROUP (bounded by the
+    number of distinct ≥min_docs lines — chrome, not corpus), joined to
+    docs on the group key (broadcast-sized by construction; AQE picks),
+    and the removal is a pure array_contains filter over split lines
+    inside codegen. Docs never leave their input partitions, so this
+    composes with upstream scans at any scale. Pinned in
+    tests/test_curation.py: no Exchange keyed by the doc id, no Python."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+
+    bl = boilerplate_lines(df, id_col, text_col, group_col, min_docs, delim)
+    groups = [group_col] if group_col else []
+    bl_sets = bl.groupBy(*groups).agg(F.collect_set("line").alias("_bl"))
+    # broadcast the per-group arrays so the DOC side never shuffles —
+    # bl_sets is one row per group, bounded by chrome, not corpus; the
+    # no-group global aggregation always yields exactly one row, so the
+    # crossJoin is a safe 1-row broadcast even on an empty corpus
+    joined = (
+        df.join(F.broadcast(bl_sets), groups, "left")
+        if groups
+        else df.crossJoin(F.broadcast(bl_sets))
+    )
+    blc = F.coalesce(F.col("_bl"), F.array().cast("array<string>"))
+    split = F.split(F.col(text_col), delim)
+    kept = F.filter(
+        split, lambda l: ~F.array_contains(blc, normalize_text(l))
+    )
+    return (
+        joined.withColumn("text_clean", F.array_join(kept, delim))
+        .withColumn("n_lines", F.size(split))
+        .withColumn("n_removed", F.size(split) - F.size(kept))
+        .drop("_bl")
+    )

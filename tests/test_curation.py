@@ -437,3 +437,107 @@ def test_decontaminate_embeddings_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate dedup (new r7)
+# ---------------------------------------------------------------------------
+
+from pgdedupe_spark.operators.curation import (  # noqa: E402
+    boilerplate_lines,
+    strip_boilerplate,
+)
+
+_BP_DOCS = [
+    # domain A: shared cookie banner + nav line, distinct bodies
+    (0, "a", "Accept our cookies\nHome | About | Contact\nalpha body text"),
+    (1, "a", "accept OUR cookies\nHome | About | Contact\nbeta body text"),
+    (2, "a", "Accept our  cookies\nHome | About | Contact\ngamma body text"),
+    # domain B: its own repeated footer; also contains A's banner ONCE
+    (3, "b", "delta body\nCopyright 2026\nAccept our cookies"),
+    (4, "b", "epsilon body\nCopyright 2026"),
+    (5, "b", "zeta body\nCopyright 2026"),
+]
+
+
+def _ref_strip(docs, min_docs):
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.strip()).lower()
+
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for i, g, t in docs:
+        for ln in t.split("\n"):
+            if norm(ln):
+                seen[(g, norm(ln))].add(i)
+    bl = {k for k, v in seen.items() if len(v) >= min_docs}
+    out = {}
+    for i, g, t in docs:
+        lines = t.split("\n")
+        kept = [ln for ln in lines if (g, norm(ln)) not in bl]
+        out[i] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return bl, out
+
+
+def test_boilerplate_lines_counts_distinct_docs_per_group(spark):
+    df = spark.createDataFrame(_BP_DOCS, "doc_id long, source string, text string")
+    got = {
+        (r.source, r.line): r.n_docs
+        for r in boilerplate_lines(df, "doc_id", "text", "source", 3).collect()
+    }
+    # normalization folds case + internal whitespace; counts are per-domain
+    assert got == {
+        ("a", "accept our cookies"): 3,
+        ("a", "home | about | contact"): 3,
+        ("b", "copyright 2026"): 3,
+    }
+
+
+def test_strip_boilerplate_matches_reference_and_respects_groups(spark):
+    df = spark.createDataFrame(_BP_DOCS, "doc_id long, source string, text string")
+    _, ref = _ref_strip(_BP_DOCS, 3)
+    got = {
+        r.doc_id: (r.text_clean, r.n_lines, r.n_removed)
+        for r in strip_boilerplate(df, "doc_id", "text", "source", 3).collect()
+    }
+    assert got == ref
+    # the group fence concretely: A's banner appears once in doc 3 (domain
+    # b) and must SURVIVE there while being stripped from every domain-a doc
+    assert "Accept our cookies" in got[3][0]
+    assert all("cookies" not in got[i][0] for i in (0, 1, 2))
+    # surviving lines keep their original, un-normalized form
+    assert got[1][0] == "beta body text"
+
+
+def test_strip_boilerplate_min_docs_boundary_and_global_mode(spark):
+    # banner in exactly 2 docs: kept at min_docs=3, stripped at 2
+    docs = [(0, "x\nshared"), (1, "y\nshared"), (2, "z")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    keep = strip_boilerplate(df, "doc_id", "text", min_docs=3)
+    assert all(r.n_removed == 0 for r in keep.collect())
+    strip = {r.doc_id: r.text_clean for r in strip_boilerplate(df, "doc_id", "text", min_docs=2).collect()}
+    assert strip == {0: "x", 1: "y", 2: "z"}
+
+
+def test_strip_boilerplate_plan_has_no_doc_keyed_shuffle(spark):
+    """The scale contract: the DOCUMENT side never shuffles — the
+    per-group boilerplate arrays broadcast to it (no SortMergeJoin), so
+    docs stay in their input partitions and the removal is codegen array
+    ops. Line ROWS shuffle once in the counting layer (that is the count
+    aggregate's job) — only the doc frame's own key must never appear in
+    an Exchange. No Python anywhere."""
+    df = spark.createDataFrame(_BP_DOCS, "doc_id long, source string, text string")
+    plan = (
+        strip_boilerplate(df, "doc_id", "text", "source", 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "doc_id" not in m.group(1), m.group(0)
