@@ -69,3 +69,33 @@ def latest_change_per_key(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Build an SCD Type-2 dimension from a change feed: every change row
+    becomes a validity interval — ``seq_col`` opens it (valid_from) and
+    the NEXT change of the same key closes it (``end_col`` = lead(seq),
+    NULL ⇒ open-ended, flagged ``current_col``). The half-open contract
+    [valid_from, valid_to): an as-of probe at time t matches the single
+    row with valid_from <= t < coalesce(valid_to, +inf) — the
+    point-in-time join temporal.asof_join_backward implements.
+
+    SCD1 (:func:`merge_upsert`) keeps only the latest value; SCD2 keeps
+    the full history, which is what training-data provenance and
+    time-travel joins need. One window per key ordered by ``seq_col`` —
+    a single hash exchange keyed by the dimension key; history length
+    per key is the partition bound (dimension churn, not fact volume).
+    The feed must be change-per-row unique on (keys, seq_col): enforce
+    upstream with latest_change_per_key per seq granularity."""
+    return (
+        changes.withColumnRenamed(seq_col, "valid_from")
+        .withColumn(end_col, F.lead("valid_from").over(
+            Window.partitionBy(*keys).orderBy(F.col("valid_from"))))
+        .withColumn(current_col, F.col(end_col).isNull())
+    )

@@ -3837,6 +3837,7 @@ PYTEST_ONLY = frozenset(
         "dedup_incremental_exact",
         "text_bm25_topk",
         "hybrid_search_rrf",
+        "j13_scd2_intervals",
     }
 )
 
@@ -4293,3 +4294,34 @@ def hybrid_search_rrf(spark, sf_dir):
     return rrf_fuse(
         [sparse.select("doc_id", "rank"), dense], "doc_id", topk=10
     )
+
+
+@query(
+    "j13_scd2_intervals",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, props,
+           epoch_us(ts) AS valid_from,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts)) AS valid_to,
+           (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts)) IS NULL)
+             AS is_current
+    FROM events
+    """,
+)
+def j13_scd2_intervals(spark, sf_dir):
+    """SCD Type-2 dimension build (operators/merge.scd2_from_changes,
+    new r7): the events feed as per-user change history — each change
+    opens a half-open validity interval [valid_from, valid_to) closed by
+    the key's next change; the open-ended row is flagged is_current.
+    This is the history-keeping complement of the SCD1 merge_upsert /
+    apply_cdc family, and the dimension shape temporal.asof-style
+    point-in-time joins probe. One window per dimension key (a single
+    hash exchange; partition bound = per-key churn). (user_id, ts) is
+    unique in the feed, satisfying the op's change-per-row contract.
+    Registered PYTEST_ONLY from birth — window full; full DuckDB
+    coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+
+    ev = _events(spark, sf_dir)
+    return scd2_from_changes(ev, ["user_id"], "ts_us")

@@ -80,3 +80,50 @@ def test_merge_plan_broadcasts_change_set(spark):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     assert not plan.count("SortMergeJoin"), plan
+
+
+def test_scd2_intervals_partition_time_exactly(spark):
+    """SCD2 invariants per key: intervals are disjoint, contiguous
+    (each valid_to == the next valid_from), exactly one open row, and a
+    point-in-time probe at any change's timestamp returns exactly the
+    row whose half-open interval [from, to) contains it."""
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+
+    feed = [
+        (1, 100, "bronze"), (1, 200, "silver"), (1, 350, "gold"),
+        (2, 50, "bronze"), (3, 999, "gold"),
+    ]
+    df = spark.createDataFrame(feed, "k long, seq long, tier string")
+    dim = scd2_from_changes(df, ["k"], "seq").collect()
+
+    by_key: dict = {}
+    for r in dim:
+        by_key.setdefault(r.k, []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {1: 3, 2: 1, 3: 1}
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(r.is_current for r in rows) == 1 and rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, disjoint
+        assert rows[-1].valid_to is None
+
+    # point-in-time semantics: probe ts -> the covering interval's tier
+    for t, want in [(100, "bronze"), (199, "bronze"), (200, "silver"),
+                    (349, "silver"), (350, "gold"), (10**9, "gold")]:
+        hit = [r for r in by_key[1]
+               if r.valid_from <= t and (r.valid_to is None or t < r.valid_to)]
+        assert len(hit) == 1 and hit[0].tier == want, t
+
+
+def test_scd2_single_exchange_plan(spark):
+    """One hash exchange keyed by the dimension key — both window
+    expressions share it; no extra shuffle for is_current."""
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+
+    df = spark.createDataFrame([(1, 1, "x")], "k long, seq long, v string")
+    plan = (
+        scd2_from_changes(df, ["k"], "seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "PythonUDF" not in plan
