@@ -103,6 +103,11 @@ HEADLINE = [
     # r7: MG heavy-hitter top-k (exact second pass) + BPE train+encode sweep
     "text_heavy_hitters",
     "bpe_encode_probe",
+    # r7: retrieval pair (BM25 ⊕ cosine RRF fusion), Bloom-screened exact
+    # incremental dedup, and the SCD2 dimension build
+    "hybrid_search_rrf",
+    "dedup_incremental_exact",
+    "j13_scd2_intervals",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters

@@ -695,3 +695,65 @@ def test_cc_incremental_round_collapse(spark):
         F.max("component").alias("m"),
     ).collect()[0]
     assert (got.n, got.c, got.m) == (2 * n, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership layer (new r7): the exactness half of the contract on
+# arbitrary unicode keys — membership can NEVER false-negative, and the
+# screened incremental dedup equals a plain exact join on any input.
+# ---------------------------------------------------------------------------
+
+bloom_keys_strategy = st.lists(
+    st.text(min_size=0, max_size=30), min_size=1, max_size=40, unique=True
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=bloom_keys_strategy)
+def test_bloom_never_false_negative_property(spark, keys):
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    bits, hashes = 1 << 12, 4
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    bloom = bloom_build(df, "k", bits, hashes)
+    out = bloom_might_contain(
+        df.withColumn("id", F.col("k")), "k", bloom, bits, hashes, "id"
+    )
+    assert out.filter(~F.col("might_contain")).count() == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    corpus=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=25),
+    batch=st.lists(st.text(min_size=0, max_size=12), min_size=1, max_size=25),
+)
+def test_incremental_exact_flags_equal_plain_join_property(spark, corpus, batch):
+    """Screening is semantically invisible on ARBITRARY text (including
+    whitespace-only strings that normalize to the same key)."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.dedup import incremental_exact_flags, normalize_text
+
+    c = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(batch)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.is_dup, r.corpus_id)
+        for r in incremental_exact_flags(c, b, "doc_id", "text", 1 << 12, 4).collect()
+    }
+    ref_rows = (
+        b.select("doc_id", normalize_text(F.col("text")).alias("_n"))
+        .join(
+            c.select(normalize_text(F.col("text")).alias("_n"), "doc_id")
+            .groupBy("_n").agg(F.min("doc_id").alias("cid")),
+            "_n", "left",
+        )
+        .collect()
+    )
+    ref = {r.doc_id: (r.cid is not None, r.cid) for r in ref_rows}
+    assert got == ref
