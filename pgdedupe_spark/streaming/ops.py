@@ -300,3 +300,117 @@ def purchase_attribution_outer_stream(
         "click_time",
         "amount",
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+):
+    """Streaming twin of ``dedup.incremental_exact_flags``: flag every
+    arriving document as duplicate-of-the-corpus-so-far (exact, on the
+    normalized text) while MAINTAINING the standing corpus state across
+    microbatches. Returns a ``foreachBatch`` function to attach to
+    ``docs.writeStream.foreachBatch(...)``.
+
+    State layout under ``store_dir`` — three epoch-partitioned parquet
+    layers, every write an overwrite of THIS epoch's partition so a
+    replayed batch (at-least-once foreachBatch) rewrites identical data
+    instead of duplicating it (idempotence pinned in
+    tests/test_streaming.py):
+
+    * ``keys/epoch=N``  — (norm, first_id) the batch introduced;
+    * ``bloom/epoch=N`` — the Bloom DELTA (sketches.bloom_build) of
+      exactly those novel keys: reading the standing filter is a union +
+      bit_or over bounded rows (sketches.bloom_merge semantics), and no
+      batch ever rebuilds another batch's bits — the mergeable-layer
+      story, applied to streaming state;
+    * ``flags/epoch=N`` — the output (id, is_dup, corpus_id, epoch).
+
+    Per batch the plan is the batch operator's: screen against the
+    standing filter scan-locally, exact-confirm only maybe-dup rows
+    against the key store, resolve within-batch first-wins (min id per
+    norm) in one window, append the novel keys + their Bloom delta.
+    Duplicate semantics match the batch reference exactly: a doc is a
+    dup iff some earlier-arriving doc (prior epoch, or same epoch with
+    a smaller id) shares its normalized text; corpus_id is the id that
+    introduced the key."""
+    from pyspark.sql import Window
+
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.sketches import bloom_build, bloom_might_contain
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        normed = batch_df.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
+        ).localCheckpoint()  # freeze: the source frame is only valid in-batch
+
+        def read_layer(name: str, schema: str):
+            try:
+                return spark.read.schema(schema).parquet(f"{store_dir}/{name}")
+            except Exception:
+                return spark.createDataFrame([], schema)
+
+        # replay guard: a retried epoch must not see its own failed writes
+        prior = F.col("epoch") < F.lit(epoch_id)
+        keys = read_layer("keys", "norm string, first_id long, epoch long").filter(
+            prior
+        )
+        bloom = (
+            read_layer("bloom", "word_idx long, bits long, epoch long")
+            .filter(prior)
+            .groupBy("word_idx")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+
+        screened = bloom_might_contain(
+            normed, "_norm", bloom, num_bits, num_hashes, id_col, "_maybe"
+        )
+        confirmed = (
+            screened.filter(F.col("_maybe"))
+            .join(
+                keys.groupBy("norm").agg(F.min("first_id").alias("_prior_id")),
+                F.col("_norm") == F.col("norm"),
+            )
+            .select(id_col, "_prior_id")
+        )
+        w = Window.partitionBy("_norm").orderBy(F.col(id_col))
+        resolved = (
+            screened.join(confirmed, id_col, "left")
+            .withColumn("_batch_first", F.min(id_col).over(w))
+            .select(
+                F.col(id_col),
+                F.coalesce(
+                    "_prior_id",
+                    F.when(F.col("_batch_first") < F.col(id_col), F.col("_batch_first")),
+                ).alias("corpus_id"),
+                "_norm",
+            )
+            .withColumn("is_dup", F.col("corpus_id").isNotNull())
+            .localCheckpoint()  # one computation feeds three writes
+        )
+        resolved.select(
+            id_col, "is_dup", "corpus_id", F.lit(epoch_id).alias("epoch")
+        ).write.mode("overwrite").partitionBy("epoch").parquet(f"{store_dir}/flags")
+        novel = resolved.filter(~F.col("is_dup")).select(
+            F.col("_norm").alias("norm"), F.col(id_col).alias("first_id")
+        )
+        novel.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
+            "epoch"
+        ).parquet(f"{store_dir}/keys")
+        bloom_build(novel, "norm", num_bits, num_hashes).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("overwrite").partitionBy("epoch").parquet(f"{store_dir}/bloom")
+        # SCALE.md rule 7: checkpoint blocks outlive unpersist(); a
+        # long-running stream would accumulate one pair per microbatch
+        from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+        _free_local_checkpoint(normed)
+        _free_local_checkpoint(resolved)
+
+    return process_batch
