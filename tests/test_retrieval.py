@@ -111,3 +111,36 @@ def test_rrf_topk_and_empty_list_safe(spark):
     empty = a.filter(F.lit(False))
     out = rrf_fuse([a, empty], "id", topk=1).collect()
     assert len(out) == 1 and out[0].id == 1
+
+
+def test_hybrid_rrf_over_ivf_scale_tier(spark, sf_dir):
+    """The hybrid pair at the SCALE tier: swap the brute-force dense
+    ranker for the IVF approximate one (similarity.ivf_cosine_topk) and
+    pin that the fused top-10 stays ≥0.8 overlapped with the brute
+    hybrid — the fusion layer is ranker-agnostic, so hybrid quality
+    degrades no faster than the ANN tier's own recall (0.96 pinned in
+    test_recall.py)."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from pgdedupe_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sparse = bm25_topk(docs, "doc_id", "text", ["join", "window", "merge"], k=20)
+
+    def fused(dense):
+        d = dense.select(F.col("neighbor_id").alias("doc_id"), "rank")
+        return rrf_fuse([sparse.select("doc_id", "rank"), d], "doc_id", topk=10)
+
+    brute = fused(cosine_topk(emb, "vec_id", "embedding", k=20, query_filter="vec_id = 0"))
+    ivf = fused(
+        ivf_cosine_topk(
+            emb, "vec_id", "embedding", k=20,
+            n_centroids=16, n_probe=12, query_filter="vec_id = 0",
+        )
+    )
+    b = [r.doc_id for r in brute.collect()]
+    a = [r.doc_id for r in ivf.collect()]
+    assert len(b) == len(a) == 10
+    assert len(set(b) & set(a)) >= 8, (b, a)
