@@ -597,6 +597,9 @@ def strip_boilerplate(
     tests/test_curation.py: no Exchange keyed by the doc id, no Python."""
     from pgdedupe_spark.operators.dedup import normalize_text
 
+    clash = {"text_clean", "n_lines", "n_removed", "_bl"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has output/internal columns {sorted(clash)}")
     bl = boilerplate_lines(df, id_col, text_col, group_col, min_docs, delim)
     groups = [group_col] if group_col else []
     bl_sets = bl.groupBy(*groups).agg(F.collect_set("line").alias("_bl"))

@@ -92,7 +92,11 @@ def scd2_from_changes(
     a single hash exchange keyed by the dimension key; history length
     per key is the partition bound (dimension churn, not fact volume).
     The feed must be change-per-row unique on (keys, seq_col): enforce
-    upstream with latest_change_per_key per seq granularity."""
+    upstream with latest_change_per_key per seq granularity. Raises on
+    pre-existing valid_from/``end_col``/``current_col`` columns."""
+    clash = {"valid_from", end_col, current_col} & set(changes.columns)
+    if clash:
+        raise ValueError(f"change feed already has columns {sorted(clash)}")
     return (
         changes.withColumnRenamed(seq_col, "valid_from")
         .withColumn(end_col, F.lead("valid_from").over(

@@ -362,7 +362,9 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Add a boolean ``out_col`` to ``probe``: False ⇒ the value is
     DEFINITELY absent from the filtered set; True ⇒ present or a false
-    positive.
+    positive. Raises on a pre-existing ``out_col`` (and on an ``id_col``
+    named like the internal word_idx/mask columns) rather than silently
+    clobbering — the compact_table ``_z`` guard convention.
 
     Plan shape: explode the k positions per probe row, equi-join the
     sparse filter on word_idx (the filter side is bounded by num_bits/64
@@ -370,6 +372,10 @@ def bloom_might_contain(
     by word_idx beyond that; AQE picks), then every(bit set) per probe
     id and a join back on ``id_col``. The probe's k-row blowup is
     constant-factor; nothing scales with the FILTERED set's size."""
+    if out_col in probe.columns:
+        raise ValueError(f"probe already has a column named {out_col!r}")
+    if id_col in ("word_idx", "_bf_mask", "bits"):
+        raise ValueError(f"id_col {id_col!r} collides with internal columns")
     tmp = "_bf_pos"
     while tmp in probe.columns:
         tmp += "_"

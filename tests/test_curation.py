@@ -541,3 +541,13 @@ def test_strip_boilerplate_plan_has_no_doc_keyed_shuffle(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "doc_id" not in m.group(1), m.group(0)
+
+
+def test_strip_boilerplate_refuses_output_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "x", "y")], "doc_id long, text string, text_clean string"
+    )
+    with pytest.raises(ValueError, match="text_clean"):
+        strip_boilerplate(df, "doc_id", "text")

@@ -127,3 +127,13 @@ def test_scd2_single_exchange_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "PythonUDF" not in plan
+
+
+def test_scd2_refuses_output_column_clash(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1, None)], "k long, seq long, valid_to string")
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+
+    with pytest.raises(ValueError, match="valid_to"):
+        scd2_from_changes(df, ["k"], "seq")

@@ -302,3 +302,14 @@ def test_incremental_exact_flags_prunes_and_matches(spark):
         assert flags[1000 + i][1] == i  # min corpus id with that norm
     for i in range(70):
         assert flags[2000 + i] == (False, None), i
+
+
+def test_bloom_probe_refuses_column_clashes(spark):
+    import pytest
+
+    df = _keys(spark, ["a"]).withColumn("id", F.col("k")).withColumn(
+        "might_contain", F.lit(True)
+    )
+    bloom = bloom_build(_keys(spark, ["a"]), "k", _BITS, _HASHES)
+    with pytest.raises(ValueError, match="might_contain"):
+        bloom_might_contain(df, "k", bloom, _BITS, _HASHES, "id")
