@@ -137,3 +137,37 @@ def test_scd2_refuses_output_column_clash(spark):
 
     with pytest.raises(ValueError, match="valid_to"):
         scd2_from_changes(df, ["k"], "seq")
+
+
+def test_scd2_composes_with_asof_point_in_time_lookup(spark):
+    """The SCD2 dimension is PIT-join-ready: enriching a fact stream via
+    temporal.asof_join on (key, valid_from) assigns every fact exactly
+    the dimension row whose half-open interval contains its timestamp —
+    the two operators implement the same contract from opposite ends."""
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+    from pgdedupe_spark.operators.temporal import asof_join
+
+    feed = [(1, 100, "bronze"), (1, 200, "silver"), (1, 350, "gold"),
+            (2, 50, "basic")]
+    dim = scd2_from_changes(
+        spark.createDataFrame(feed, "k long, seq long, tier string"), ["k"], "seq"
+    )
+    facts = spark.createDataFrame(
+        [(1, 99), (1, 100), (1, 250), (1, 350), (1, 9999), (2, 49), (2, 60)],
+        "k long, ts long",
+    )
+    via_asof = {
+        (r.k, r.ts): r.tier
+        for r in asof_join(
+            facts, dim.withColumnRenamed("valid_from", "ts"),
+            ["k"], "ts", ["tier"],
+        ).collect()
+    }
+    # interval-containment reference over the SCD2 rows
+    rows = dim.collect()
+    for (k, ts), tier in via_asof.items():
+        hit = [r.tier for r in rows if r.k == k and r.valid_from <= ts
+               and (r.valid_to is None or ts < r.valid_to)]
+        assert hit == ([tier] if tier is not None else []), (k, ts, tier, hit)
+    assert via_asof[(1, 99)] is None and via_asof[(2, 49)] is None
+    assert via_asof[(1, 100)] == "bronze" and via_asof[(1, 350)] == "gold"
