@@ -137,3 +137,78 @@ def rrf_fuse(
     if topk is not None:
         out = out.filter(F.col("rank") <= topk)
     return out
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve MANY queries in one corpus pass: ``queries`` is the long
+    (query_id, term) frame; output is per-query BM25 top-k
+    (query_id, id, score, n_hits, rank).
+
+    Same hit-bounded plan as bm25_scores with the query set joined in
+    place of the IN-filter: the corpus token explode semi-joins the
+    DISTINCT term vocabulary of all queries (broadcast — query sets are
+    tiny next to a corpus), so one tokenization scan serves the whole
+    batch and the exchange still carries only matching (doc, term) rows.
+    df(term) stays per-TERM (shared across queries); the per-query
+    expansion happens after the tf aggregate, bounded by hits × queries-
+    containing-the-term. Top-k is one window keyed by query."""
+    toks = docs.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_dl", F.size("_toks"))
+    stats = toks.agg(F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl"))
+    q = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(term_col).alias("term")
+    ).distinct()
+    vocab = q.select("term").distinct()
+    tf = (
+        toks.select(F.col(id_col), "_dl", F.explode("_toks").alias("term"))
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    j = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = F.expr(
+        f"""
+        ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df AS DOUBLE) + 0.5)
+                 / (CAST(_df AS DOUBLE) + 0.5))
+        * ((CAST(_tf AS DOUBLE) * ({k1} + 1.0))
+           / (CAST(_tf AS DOUBLE)
+              + {k1} * (1.0 - {b} + {b} * CAST(_dl AS DOUBLE)
+                                    * CAST(_n AS DOUBLE)
+                                    / CAST(_sumdl AS DOUBLE))))
+        """
+    )
+    scored = (
+        j.select(
+            F.col("_qid").alias(query_id_col),
+            F.col(id_col),
+            contrib.cast("decimal(18,8)").alias("_c"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.sum("_c").cast("double").alias("score"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -144,3 +144,27 @@ def test_hybrid_rrf_over_ivf_scale_tier(spark, sf_dir):
     a = [r.doc_id for r in ivf.collect()]
     assert len(b) == len(a) == 10
     assert len(set(b) & set(a)) >= 8, (b, a)
+
+
+def test_bm25_batch_equals_per_query_runs(spark):
+    """One corpus pass for N queries must equal N single-query runs —
+    including df(term) being corpus-global (shared across queries), and
+    the per-query window keyed so ranks never leak across queries."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    from pgdedupe_spark.operators.retrieval import bm25_topk_batch
+
+    qsets = {100: ["join", "window"], 200: ["merge"], 300: ["zzz_absent"]}
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, ts in qsets.items() for t in ts],
+        "query_id long, term string",
+    )
+    batch = {}
+    for r in bm25_topk_batch(df, "doc_id", "text", qdf, k=5).collect():
+        batch.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score, r.n_hits))
+    assert set(batch) == {100, 200}  # no-hit query yields no rows
+    for qid, terms in list(qsets.items())[:2]:
+        single = [
+            (r.rank, r.doc_id, r.score, r.n_hits)
+            for r in bm25_topk(df, "doc_id", "text", terms, k=5).collect()
+        ]
+        assert sorted(batch[qid]) == sorted(single), qid
