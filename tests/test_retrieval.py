@@ -168,3 +168,51 @@ def test_bm25_batch_equals_per_query_runs(spark):
             for r in bm25_topk(df, "doc_id", "text", terms, k=5).collect()
         ]
         assert sorted(batch[qid]) == sorted(single), qid
+
+
+def test_rag_chunk_then_retrieve_composition(spark):
+    """End-to-end RAG retrieval path: chunk_documents assigns per-doc
+    token windows → chunk text materializes as a pure slice over
+    word_tokens (no Python) → BM25 over CHUNKS finds the planted
+    passage, not just the document — the chunk-granularity retrieval a
+    RAG serving stack actually runs."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.dedup import word_tokens
+    from pgdedupe_spark.operators.packing import chunk_documents
+    from pgdedupe_spark.operators.retrieval import bm25_topk
+
+    filler = " ".join(f"filler{i}" for i in range(40))
+    planted = "spark join window merge retrieval target passage"
+    docs = spark.createDataFrame(
+        [(0, f"{filler} {planted} {filler}"),   # needle mid-document
+         (1, f"{filler} {filler}")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", word_tokens(F.col("text")).alias("_toks")
+    ).withColumn("n_tokens", F.size("_toks"))
+    chunks = chunk_documents(toks, "doc_id", "n_tokens", chunk=16, overlap=4)
+    chunk_docs = (
+        chunks.join(toks, "doc_id")
+        .select(
+            (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+            "doc_id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_tok") + 1, F.col("n_tok_in_chunk")),
+                " ",
+            ).alias("text"),
+        )
+    )
+    top = bm25_topk(
+        chunk_docs, "chunk_id", "text", ["retrieval", "target", "passage"], k=3
+    ).collect()
+    assert top, "planted passage not found"
+    # the winning chunk lives in doc 0 and actually contains the needle
+    best = top[0]
+    assert best.chunk_id // 1000 == 0
+    row = chunk_docs.filter(F.col("chunk_id") == best.chunk_id).first()
+    assert "target" in row.text and "passage" in row.text
+    # doc 1 (no needle) contributes no scored chunk
+    assert all(r.chunk_id // 1000 == 0 for r in top)
