@@ -91,14 +91,13 @@ def bm25_topk(
     b: float = 0.75,
 ) -> DataFrame:
     """Top-k BM25 matches with a deterministic total order (score desc,
-    id asc): (id, score, n_hits, rank). The global top-k is a
-    TakeOrderedAndProject over the already-small matching set."""
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        bm25_scores(docs, id_col, text_col, terms, k1, b)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    id asc): (id, score, n_hits, rank). orderBy+limit plans as
+    TakeOrderedAndProject (per-partition top-k, merged on the driver) so
+    a COMMON query term never funnels its whole matching set through a
+    single-partition window; the rank window then runs over k rows."""
+    order = [F.col("score").desc(), F.col(id_col)]
+    top = bm25_scores(docs, id_col, text_col, terms, k1, b).orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))
 
 
 def rrf_fuse(

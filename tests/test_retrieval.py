@@ -216,3 +216,15 @@ def test_rag_chunk_then_retrieve_composition(spark):
     assert "target" in row.text and "passage" in row.text
     # doc 1 (no needle) contributes no scored chunk
     assert all(r.chunk_id // 1000 == 0 for r in top)
+
+
+def test_bm25_topk_plans_as_take_ordered(spark):
+    """A common query term must not funnel its whole matching set into a
+    single-partition window: the global top-k plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge)."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    plan = (
+        bm25_topk(df, "doc_id", "text", TERMS, k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
