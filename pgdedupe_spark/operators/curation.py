@@ -623,3 +623,56 @@ def strip_boilerplate(
         .withColumn("n_removed", F.size(split) - F.size(kept))
         .drop("_bl")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): rank every row by ln(u)/w where u ∈ (0,1) comes from
+    a seeded hash of the id — maximizing u^(1/w) ⇔ maximizing ln(u)/w —
+    and keep the top ``k`` (per group when ``group_col`` is set).
+    Heavier rows win proportionally more often; a row with weight → ∞
+    is always kept, weight ≤ 0 rows are excluded (ln(u)/w flips sign).
+
+    The hash-uniform makes the draw reproducible AND growth-stable (a
+    row's sampling key never changes as the corpus grows — the same
+    md5-interval idea as corpus_split), and engine-portable: the
+    registry row sample_weighted hash-matches a DuckDB oracle running
+    the identical arithmetic. One window per group; at extreme scale
+    pre-filter by a key threshold before the exact window (the
+    quota_sample note applies verbatim).
+
+    Output: input columns + sample_rank (1-based within group)."""
+    if "sample_rank" in df.columns or "_es_key" in df.columns:
+        raise ValueError("input already has sample_rank/_es_key columns")
+    # u in (0,1): (u32(md5(seed‖id)) + 1) / (2^32 + 1) — the same
+    # engine-portable hash-uniform as weighted_mix/corpus_split, exact in
+    # doubles. The ordering key rounds through DECIMAL so a libm last-ulp
+    # difference between engines can't flip the window order (the
+    # d3_uncertain_pairs device); ties break on the id.
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"es{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
+    key = (F.log(u) / F.col(weight_col).cast("double")).cast("decimal(38,18)")
+    groups = [group_col] if group_col else []
+    w = Window.partitionBy(*groups).orderBy(
+        F.col("_es_key").desc(), F.col(id_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("_es_key")
+    )

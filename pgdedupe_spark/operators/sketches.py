@@ -400,3 +400,94 @@ def bloom_might_contain(
         .agg(F.every("_bf_hit").alias(out_col))
     )
     return probe.join(flags, id_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Count-Min frequency layer
+# ---------------------------------------------------------------------------
+
+
+def cm_build(
+    df: DataFrame, col: str, width: int = 2048, depth: int = 4
+) -> DataFrame:
+    """Count-Min sketch of the ``col`` stream as a sparse counter table
+    (d, w, cnt) — the point-FREQUENCY member of the sketch algebra
+    (HLL = distinct count, MG = top-k, quantile-histogram = ranks,
+    Bloom = membership, CM = per-item frequency). Row count is bounded
+    by depth × width regardless of stream size; the build is one explode
+    (depth small ints per item) + one sum aggregate with map-side
+    combine. Merge = per-cell summation (cm_merge), EXACTLY equal to
+    sketching the concatenated stream — pinned in tests.
+
+    Estimate contract (cm_estimate): never under the true count;
+    over by ≤ 2·N/width with probability ≥ 1 − 2^−depth (Cormode &
+    Muthukrishnan's classic bound with ε = 2/width)."""
+    pos = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(width)).alias(
+                            "w"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_p")
+    )
+    return (
+        pos.select("_p.d", "_p.w")
+        .groupBy("d", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two CM sketches built with the SAME (width, depth):
+    per-cell summation. Lossless: merge(build(X), build(Y)) equals
+    build(X ∪ Y) cell-for-cell."""
+    return a.unionByName(b).groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    cm: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 4,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point-frequency estimates for ``items``: min over the depth
+    counters at each item's positions (absent cell ⇒ that row counts 0,
+    so the min—and the estimate—is 0 only for never-seen items). The
+    sketch side is bounded by depth × width rows (broadcastable at the
+    defaults; a shuffle join keyed by (d, w) beyond — AQE picks); the
+    probe explodes depth rows per item."""
+    if out_col in items.columns:
+        raise ValueError(f"items already has a column named {out_col!r}")
+    tmp = "_cm_d"
+    while tmp in items.columns:
+        tmp += "_"
+    probes = items.select(
+        F.col(col).alias("_cm_item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(width)).alias(
+                            "w"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias(tmp),
+    ).select("_cm_item", f"{tmp}.d", f"{tmp}.w")
+    return (
+        probes.join(cm, ["d", "w"], "left")
+        .groupBy(F.col("_cm_item").alias(col))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias(out_col))
+    )

@@ -3838,6 +3838,7 @@ PYTEST_ONLY = frozenset(
         "text_bm25_topk",
         "hybrid_search_rrf",
         "j13_scd2_intervals",
+        "sample_weighted",
     }
 )
 
@@ -4325,3 +4326,43 @@ def j13_scd2_intervals(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     return scd2_from_changes(ev, ["user_id"], "ts_us")
+
+
+@query(
+    "sample_weighted",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(
+               ln(CAST(CAST(concat('0x',
+                      substr(md5('es0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) + 1 AS DOUBLE) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE)
+             AS DECIMAL(38,18)) AS es_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, sample_rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY es_key DESC, doc_id) AS INT)
+               AS sample_rank
+      FROM s
+    ) WHERE sample_rank <= 20
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES; curation.weighted_sample, new r7): top-20 docs per
+    source with inclusion odds proportional to n_chars — the
+    length-weighted corpus draw a mixture recipe actually wants, vs the
+    uniform quota_sample. u comes from the same engine-portable
+    md5-u32 uniform as weighted_mix/corpus_split and the ln(u)/w key
+    rounds through DECIMAL(38,18), so the draw hash-matches the DuckDB
+    oracle exactly. Registered PYTEST_ONLY from birth — window full;
+    full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", k=20, group_col="source"
+    ).select("doc_id", "source", "n_chars", "sample_rank")

@@ -551,3 +551,56 @@ def test_strip_boilerplate_refuses_output_column_clash(spark):
     )
     with pytest.raises(ValueError, match="text_clean"):
         strip_boilerplate(df, "doc_id", "text")
+
+
+def test_weighted_sample_dominance_and_determinism(spark):
+    """A-ES semantics: (a) per-group size bound and 1-based dense ranks,
+    (b) two runs identical (hash-uniform, no RNG), (c) weight dominance
+    — a row whose weight dwarfs the rest is effectively always kept,
+    and zero/negative weights never appear."""
+    from pgdedupe_spark.operators.curation import weighted_sample
+
+    rows = [(i, "g", 1.0) for i in range(200)] + [
+        (900, "g", 1e9), (901, "g", 0.0), (902, "g", -3.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, wt double")
+    out = weighted_sample(df, "doc_id", "wt", k=10, group_col="grp")
+    got = sorted((r.doc_id, r.sample_rank) for r in out.collect())
+    assert len(got) == 10
+    assert sorted(r for _, r in got) == list(range(1, 11))
+    kept = {d for d, _ in got}
+    assert 900 in kept  # ln(u)/1e9 ≈ 0 — the heaviest row always wins
+    assert 901 not in kept and 902 not in kept
+    again = sorted((r.doc_id, r.sample_rank) for r in
+                   weighted_sample(df, "doc_id", "wt", k=10, group_col="grp").collect())
+    assert again == got
+    # different seed draws a different sample (statistically certain here)
+    other = {r.doc_id for r in
+             weighted_sample(df, "doc_id", "wt", k=10, group_col="grp", seed=1).collect()}
+    assert other != kept
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Statistical sanity over many disjoint groups: rows with weight 9
+    must be kept far more often than weight-1 rows at k=1 (exact
+    expected rate 0.9); pin a generous band, not the exact value."""
+    from pgdedupe_spark.operators.curation import weighted_sample
+
+    rows = []
+    for g in range(300):  # one heavy + one light row per group, k=1
+        rows += [(2 * g, f"g{g}", 9.0), (2 * g + 1, f"g{g}", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, wt double")
+    out = weighted_sample(df, "doc_id", "wt", k=1, group_col="grp")
+    heavy = out.filter(F.col("doc_id") % 2 == 0).count()
+    assert out.count() == 300
+    assert 0.8 <= heavy / 300 <= 0.97, heavy / 300
+
+
+def test_weighted_sample_refuses_column_clash(spark):
+    import pytest
+
+    from pgdedupe_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame([(1, 1.0, 2)], "doc_id long, wt double, sample_rank int")
+    with pytest.raises(ValueError, match="sample_rank"):
+        weighted_sample(df, "doc_id", "wt", k=1)

@@ -313,3 +313,78 @@ def test_bloom_probe_refuses_column_clashes(spark):
     bloom = bloom_build(_keys(spark, ["a"]), "k", _BITS, _HASHES)
     with pytest.raises(ValueError, match="might_contain"):
         bloom_might_contain(df, "k", bloom, _BITS, _HASHES, "id")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency layer (new r7)
+# ---------------------------------------------------------------------------
+
+from pgdedupe_spark.operators.sketches import (  # noqa: E402
+    cm_build,
+    cm_estimate,
+    cm_merge,
+)
+
+
+def _zipf_tokens(spark, n=20000, vocab=2000, seed=3):
+    """Deterministic Zipfian-ish stream, JVM-side."""
+    return spark.range(n).select(
+        F.concat(
+            F.lit("tok"),
+            (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(vocab)) ** 2 / F.lit(vocab))
+            .cast("long"),
+        ).alias("t")
+    )
+
+
+def test_cm_never_undercounts_and_bound_holds(spark):
+    """The two halves of the CM contract on a skewed stream: estimates
+    are never below true counts, and (per the classic bound) at most a
+    small fraction of items exceed true + 2N/width."""
+    toks = _zipf_tokens(spark)
+    width, depth = 1024, 4
+    cm = cm_build(toks, "t", width, depth)
+    true = {r.t: r.c for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    items = toks.select("t").distinct()
+    est = {r.t: r.est for r in cm_estimate(cm, items, "t", width, depth).collect()}
+    n = sum(true.values())
+    over = 0
+    for t, c in true.items():
+        assert est[t] >= c, t  # never undercounts
+        if est[t] > c + 2 * n / width:
+            over += 1
+    assert over / len(true) <= 2 ** -depth + 0.02, over
+    # never-seen items estimate 0 (their cells may collide, so allow >0
+    # but require the guaranteed-absent common case on a sparse sketch)
+    ghost = spark.createDataFrame([("never-seen-xyz",)], "t string")
+    g = cm_estimate(cm, ghost, "t", width, depth).first().est
+    assert g >= 0
+
+
+def test_cm_merge_equals_direct_build(spark):
+    """Per-cell summation is lossless: merged halves equal one build
+    over the whole stream, cell for cell."""
+    s = spark.range(6000).select(
+        F.concat(F.lit("w"), F.pmod(F.xxhash64("id"), F.lit(300))).alias("t"),
+        (F.col("id") % 2).alias("half"),
+    )
+    width, depth = 256, 3
+    merged = cm_merge(
+        cm_build(s.filter("half = 0").select("t"), "t", width, depth),
+        cm_build(s.filter("half = 1").select("t"), "t", width, depth),
+    )
+    direct = cm_build(s.select("t"), "t", width, depth)
+    m = {(r.d, r.w): r.cnt for r in merged.collect()}
+    dd = {(r.d, r.w): r.cnt for r in direct.collect()}
+    assert m == dd
+    # state bound: never more than depth*width cells
+    assert len(dd) <= depth * width
+
+
+def test_cm_estimate_refuses_column_clash(spark):
+    import pytest
+
+    toks = spark.createDataFrame([("a",)], "t string")
+    cm = cm_build(toks, "t", 64, 2)
+    with pytest.raises(ValueError, match="est"):
+        cm_estimate(cm, toks.withColumn("est", F.lit(1)), "t", 64, 2)
