@@ -260,3 +260,59 @@ def bigram_logprob(
         .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
         .withColumnRenamed("doc", id_col)
     )
+
+
+# explicit codepoint ranges, not \p{Script} classes: the class SYNTAX
+# differs between Java regex (Spark) and RE2 (DuckDB oracles), while
+# literal ranges behave identically in both
+_SCRIPT_RANGES = {
+    "latin": "A-Za-z",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",  # han + kana + hangul
+    "digit": "0-9",
+}
+
+
+def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document writing-script profile: character counts per script
+    family (Latin/Cyrillic/Greek/Arabic/CJK/digits) plus the dominant
+    script — the standard multilingual-corpus filter signal upstream of
+    the n-gram language_id above (script mismatch is the cheapest
+    possible "wrong language" reject, and catches mojibake that n-gram
+    models score as plausible).
+
+    Counting is length(text) − length(regexp_replace(text, [range], ''))
+    per family — pure codegen expressions, one projection, no explode,
+    no shuffle. The dominant pick tie-breaks by the fixed family order
+    via greatest-of-structs."""
+    t = F.col(text_col)
+    counts = {
+        name: (
+            F.length(t)
+            - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+        ).cast("bigint")
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+    # dominant = argmax by (count, reverse fixed priority); struct max
+    # keeps it a single expression. Priority: earlier in _SCRIPT_RANGES
+    # wins ties (latin > cyrillic > ... by construction below).
+    order = list(_SCRIPT_RANGES)
+    dominant = F.greatest(
+        *[
+            F.struct(
+                counts[name].alias("c"),
+                F.lit(len(order) - i).alias("prio"),
+                F.lit(name).alias("s"),
+            )
+            for i, name in enumerate(order)
+        ]
+    )["s"]
+    return df.select(
+        F.col(id_col),
+        *[counts[name].alias(f"n_{name}") for name in order],
+        F.when(
+            sum(counts.values(), F.lit(0).cast("bigint")) > 0, dominant
+        ).otherwise(F.lit("none")).alias("dominant_script"),
+    )

@@ -3839,6 +3839,7 @@ PYTEST_ONLY = frozenset(
         "hybrid_search_rrf",
         "j13_scd2_intervals",
         "sample_weighted",
+        "text_script_profile",
     }
 )
 
@@ -4366,3 +4367,47 @@ def sample_weighted(spark, sf_dir):
     return weighted_sample(
         docs, "doc_id", "n_chars", k=20, group_col="source"
     ).select("doc_id", "source", "n_chars", "sample_rank")
+
+
+@query(
+    "text_script_profile",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+             length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+             length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS n_greek,
+             length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS n_arabic,
+             length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS n_cjk,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,
+           CASE
+             WHEN n_latin + n_cyrillic + n_greek + n_arabic + n_cjk + n_digit = 0
+               THEN 'none'
+             WHEN n_latin >= GREATEST(n_cyrillic, n_greek, n_arabic, n_cjk, n_digit)
+               THEN 'latin'
+             WHEN n_cyrillic >= GREATEST(n_greek, n_arabic, n_cjk, n_digit)
+               THEN 'cyrillic'
+             WHEN n_greek >= GREATEST(n_arabic, n_cjk, n_digit) THEN 'greek'
+             WHEN n_arabic >= GREATEST(n_cjk, n_digit) THEN 'arabic'
+             WHEN n_cjk >= n_digit THEN 'cjk'
+             ELSE 'digit'
+           END AS dominant_script
+    FROM c
+    """,
+)
+def text_script_profile(spark, sf_dir):
+    """Per-document writing-script profile (text.script_profile, new r7):
+    character counts per script family + the dominant script — the
+    cheapest "wrong language / mojibake" reject, upstream of the n-gram
+    language_id. Pure codegen length-difference counting, one
+    projection, no shuffle; the dominant pick is a greatest-of-structs
+    whose tie order the oracle mirrors as a cascading CASE. Multilingual
+    behavior is pinned on fixture text in tests/test_extensions.py (the
+    driver corpus is ASCII). Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.text import script_profile
+
+    return script_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")

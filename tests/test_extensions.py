@@ -276,3 +276,32 @@ def test_bigram_logprob_exact_and_ccnet_pattern(spark):
     scored = {r.doc_id: r.mean_logprob for r in
               bigram_logprob(cand, "doc_id", "text", train_df=clean).collect()}
     assert scored[100] > scored[101]
+
+
+def test_script_profile_multilingual_fixture(spark):
+    """script_profile on real multilingual text (the driver corpus is
+    ASCII, so the semantics live here): per-family counts, dominance
+    with the fixed tie order, and the all-punctuation 'none' case."""
+    from pgdedupe_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world 123"),
+            (1, "привет мир"),
+            (2, "你好世界 こんにちは 한국"),
+            (3, "مرحبا بالعالم"),
+            (4, "!!! ... ???"),
+            (5, "abc абв"),       # 3 vs 3: tie -> latin (fixed priority)
+            (6, "αβγδ mixed"),    # greek 4 < latin 5
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert (out[0].n_latin, out[0].n_digit, out[0].dominant_script) == (10, 3, "latin")
+    assert out[1].n_cyrillic == 9 and out[1].dominant_script == "cyrillic"
+    assert out[2].n_cjk == 11 and out[2].dominant_script == "cjk"
+    assert out[3].n_arabic == 12 and out[3].dominant_script == "arabic"
+    assert out[4].dominant_script == "none"
+    assert out[5].n_latin == 3 and out[5].n_cyrillic == 3
+    assert out[5].dominant_script == "latin"
+    assert out[6].n_greek == 4 and out[6].dominant_script == "latin"
