@@ -564,7 +564,7 @@ def boilerplate_lines(
     lines = df.select(
         *groups,
         F.col(id_col).alias("_doc"),
-        F.explode(F.split(F.col(text_col), delim)).alias("_raw"),
+        F.explode(F.split(F.col(text_col), "\\Q" + delim + "\\E")).alias("_raw"),
     ).select(*groups, "_doc", normalize_text(F.col("_raw")).alias("line"))
     return (
         lines.filter(F.col("line") != "")
@@ -613,7 +613,10 @@ def strip_boilerplate(
         else df.crossJoin(F.broadcast(bl_sets))
     )
     blc = F.coalesce(F.col("_bl"), F.array().cast("array<string>"))
-    split = F.split(F.col(text_col), delim)
+    # \Q...\E: F.split takes a REGEX — quote the delimiter so "|" or
+    # "." split literally (Java regex quoting; the boilerplate_lines
+    # explode above quotes identically so both sides see the same lines)
+    split = F.split(F.col(text_col), "\\Q" + delim + "\\E")
     kept = F.filter(
         split, lambda l: ~F.array_contains(blc, normalize_text(l))
     )

@@ -604,3 +604,18 @@ def test_weighted_sample_refuses_column_clash(spark):
     df = spark.createDataFrame([(1, 1.0, 2)], "doc_id long, wt double, sample_rank int")
     with pytest.raises(ValueError, match="sample_rank"):
         weighted_sample(df, "doc_id", "wt", k=1)
+
+
+def test_strip_boilerplate_regex_special_delimiter(spark):
+    """F.split takes a regex: a literal '|' delimiter must not explode
+    into per-character splits (quoted via \\Q...\\E in both the count
+    and strip passes)."""
+    docs = [(0, "keep me|SHARED|one"), (1, "other|SHARED|two"),
+            (2, "third|SHARED|three")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    bl = {r.line for r in
+          boilerplate_lines(df, "doc_id", "text", min_docs=3, delim="|").collect()}
+    assert bl == {"shared"}
+    out = {r.doc_id: r.text_clean
+           for r in strip_boilerplate(df, "doc_id", "text", min_docs=3, delim="|").collect()}
+    assert out == {0: "keep me|one", 1: "other|two", 2: "third|three"}
