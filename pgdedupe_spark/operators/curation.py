@@ -668,14 +668,22 @@ def weighted_sample(
     ).cast("bigint")
     u = (u32 + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
     key = (F.log(u) / F.col(weight_col).cast("double")).cast("decimal(38,18)")
-    groups = [group_col] if group_col else []
-    w = Window.partitionBy(*groups).orderBy(
-        F.col("_es_key").desc(), F.col(id_col)
-    )
-    return (
-        df.filter(F.col(weight_col) > 0)
-        .withColumn("_es_key", key)
-        .withColumn("sample_rank", F.row_number().over(w))
-        .filter(F.col("sample_rank") <= k)
-        .drop("_es_key")
-    )
+    keyed = df.filter(F.col(weight_col) > 0).withColumn("_es_key", key)
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_es_key").desc(), F.col(id_col)
+        )
+        out = keyed.withColumn("sample_rank", F.row_number().over(w)).filter(
+            F.col("sample_rank") <= k
+        )
+    else:
+        # global draw: orderBy+limit plans as TakeOrderedAndProject so the
+        # whole corpus never funnels through a single-partition window
+        # (the bm25_topk lesson); the rank window then runs over k rows
+        order = [F.col("_es_key").desc(), F.col(id_col)]
+        out = (
+            keyed.orderBy(*order)
+            .limit(k)
+            .withColumn("sample_rank", F.row_number().over(Window.orderBy(*order)))
+        )
+    return out.drop("_es_key")

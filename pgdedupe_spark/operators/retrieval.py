@@ -113,6 +113,8 @@ def rrf_fuse(
     addend is an exact rational of small ints rounded through
     DECIMAL(18,12) so the fused order is engine-reproducible; final
     rank tie-breaks (score desc, n_sources desc, id asc)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
     tagged = [
         r.select(
             F.col(id_col),

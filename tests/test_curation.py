@@ -619,3 +619,22 @@ def test_strip_boilerplate_regex_special_delimiter(spark):
     out = {r.doc_id: r.text_clean
            for r in strip_boilerplate(df, "doc_id", "text", min_docs=3, delim="|").collect()}
     assert out == {0: "keep me|one", 1: "other|two", 2: "third|three"}
+
+
+def test_weighted_sample_global_mode_take_ordered(spark):
+    """Ungrouped draws must not funnel the corpus through one window
+    partition: the global path plans as TakeOrderedAndProject and
+    matches the grouped path run on a single synthetic group."""
+    from pgdedupe_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    out = weighted_sample(df, "doc_id", "wt", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    got = sorted((r.doc_id, r.sample_rank) for r in out.collect())
+    grouped = weighted_sample(
+        df.withColumn("g", F.lit("all")), "doc_id", "wt", k=5, group_col="g"
+    )
+    want = sorted((r.doc_id, r.sample_rank) for r in grouped.collect())
+    assert got == want
