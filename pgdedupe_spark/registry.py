@@ -3840,6 +3840,7 @@ PYTEST_ONLY = frozenset(
         "j13_scd2_intervals",
         "sample_weighted",
         "text_script_profile",
+        "pipeline_corpus_curation",
     }
 )
 
@@ -4411,3 +4412,89 @@ def text_script_profile(spark, sf_dir):
     from pgdedupe_spark.operators.text import script_profile
 
     return script_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text, source, n_chars
+      FROM documents WHERE source = 'src0'
+    ), t AS (
+      SELECT doc_id, text, source, n_chars,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_punct
+      FROM corpus
+    ), good AS (
+      SELECT doc_id, text, source, n_chars FROM t
+      WHERE n_tokens >= 10 AND n_punct * 2 < n_tokens
+        AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+            / greatest(n_tokens, 1) < 12
+    ), uniq AS (
+      SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               min(doc_id) OVER (
+                 PARTITION BY regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+               ) AS canon
+        FROM good
+      ) WHERE doc_id = canon
+    ), s AS (
+      SELECT doc_id, source, n_chars,
+             CAST(
+               ln(CAST(CAST(concat('0x',
+                      substr(md5('es0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) + 1 AS DOUBLE) / 4294967297.0)
+               / CAST(n_chars AS DOUBLE)
+             AS DECIMAL(38,18)) AS es_key
+      FROM uniq WHERE n_chars > 0
+    )
+    SELECT doc_id, source, n_chars, sample_rank FROM (
+      SELECT doc_id, source, n_chars,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY es_key DESC, doc_id) AS INT)
+               AS sample_rank
+      FROM s
+    ) WHERE sample_rank <= 10
+    """,
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    """Composed corpus-curation pipeline, end-to-end under one hash
+    oracle (the curation sibling of pipeline_entity_map): Gopher-style
+    quality gate (text.text_stats quality_ok) → exact-dedup canonical
+    keep (min id per normalized text; the self-union plants real
+    duplicates) → length-weighted A-ES draw of 10 docs per source
+    (curation.weighted_sample). Every stage is a previously-verified
+    operator; this row pins that they COMPOSE — column contracts,
+    dedup-before-sampling ordering, and determinism all the way through.
+    Registered PYTEST_ONLY from birth — window full; full DuckDB
+    coverage via tests/test_oracle.py."""
+    from pyspark.sql import Window as W
+
+    from pgdedupe_spark.operators.curation import weighted_sample
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    corpus = docs.unionByName(
+        docs.filter(F.col("source") == "src0").withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    )
+    stats = text_stats(corpus, "doc_id", "text").select("doc_id", "quality_ok")
+    good = corpus.join(stats, "doc_id").filter(F.col("quality_ok"))
+    uniq = (
+        good.withColumn(
+            "_canon",
+            F.min("doc_id").over(W.partitionBy(normalize_text(F.col("text")))),
+        )
+        .filter(F.col("doc_id") == F.col("_canon"))
+        .select("doc_id", "source", "n_chars")
+    )
+    return weighted_sample(uniq, "doc_id", "n_chars", k=10, group_col="source").select(
+        "doc_id", "source", "n_chars", "sample_rank"
+    )
