@@ -1161,3 +1161,53 @@ def test_native_jpeg_features_through_spark(spark):
         arr, w, h = native_image_decode(p)
         want = _image_feature_vector(arr, w, h)
         assert np.allclose(out[i], want, atol=1e-6), i
+
+
+def test_spectral_features_pure_tone_vs_noise(spark):
+    """DSP ground truth: a 1 kHz sine's dominant/centroid land on 1 kHz
+    (±1 bin) with near-zero flatness; deterministic wideband noise is
+    dramatically flatter with a much higher centroid. Runs through the
+    real mapInPandas plumbing over RIFF/WAV fixtures."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import audio_spectral_features
+
+    rate, n = 8000, 4096
+    t = np.arange(n) / rate
+    sine = 0.8 * np.sin(2 * np.pi * 1000 * t)
+    rng_free_noise = (
+        np.sin(2 * np.pi * 1111.11 * t * t * 3.7) * 0.5  # chirp-ish, wideband
+    )
+    rows = [
+        (0, "audio", bytearray(_wav_bytes(sine, rate))),
+        (1, "audio", bytearray(_wav_bytes(rng_free_noise, rate))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    out = {r.media_id: r.features
+           for r in audio_spectral_features(df, mode="native").collect()}
+    cent0, roll0, bw0, dom0, flat0 = out[0]
+    assert abs(dom0 - 1000) <= rate / n + 1e-9          # ±1 FFT bin
+    assert abs(cent0 - 1000) < 25                        # windowing leakage only
+    assert flat0 < 0.01 and bw0 < 100
+    cent1, _, bw1, _, flat1 = out[1]
+    assert flat1 > 10 * flat0 and bw1 > 5 * bw0
+    # determinism through the full plumbing
+    again = {r.media_id: r.features
+             for r in audio_spectral_features(df, mode="native").collect()}
+    assert again == out
+
+
+def test_spectral_features_silence_and_short(spark):
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import audio_spectral_features
+
+    rows = [
+        (0, "audio", bytearray(_wav_bytes(np.zeros(1024), 8000))),
+        (1, "audio", bytearray(_wav_bytes([0.5], 8000))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    out = {r.media_id: r.features
+           for r in audio_spectral_features(df, mode="native").collect()}
+    assert out[0] == [0.0] * 5  # silent: zero total power path
+    assert out[1] == [0.0] * 5  # single sample: too short for a spectrum
