@@ -229,7 +229,7 @@ def main() -> None:
         # the whole artifact — the JSON line always prints
         try:
             warm_runs = []
-            for i in range(2 if name in HEAVY_PROBES else 3):
+            for i in range(3):
                 t0 = time.perf_counter()
                 # count() forces full execution of every operator in the plan
                 fn(spark, sf_dir).count()
@@ -272,7 +272,7 @@ def main() -> None:
         # (VERDICT r6): value - value_probes is the comparable remainder
         "value_probes": round(sum(warm[n] for n in HEAVY_PROBES if n in warm), 3),
         "value_probes_cold": round(sum(cold[n] for n in HEAVY_PROBES if n in cold), 3),
-        "timing": "warm = min of runs 2-3 (steady-state); cold = first run",
+        "timing": "warm = min of runs 2-3 (steady-state); cold = first run; HEAVY_PROBES: fresh subprocess, cold + one warm",
         "canary": canary,
         "sf": float(sf),
     }

@@ -94,7 +94,9 @@ def scd2_from_changes(
     The feed must be change-per-row unique on (keys, seq_col): enforce
     upstream with latest_change_per_key per seq granularity. Raises on
     pre-existing valid_from/``end_col``/``current_col`` columns."""
-    clash = {"valid_from", end_col, current_col} & set(changes.columns)
+    clash = ({"valid_from", end_col, current_col} - {seq_col}) & set(
+        changes.columns
+    )
     if clash:
         raise ValueError(f"change feed already has columns {sorted(clash)}")
     return (

@@ -33,6 +33,25 @@ from pyspark.sql import functions as F
 from pgdedupe_spark.operators.dedup import word_tokens
 
 
+
+def _bm25_contrib(k1: float, b: float):
+    """The per-(doc, term) BM25 contribution over the internal columns
+    (_n, _sumdl, _df, _tf, _dl) — ONE definition, used by both the
+    single-query and batch paths, and textually mirrored in the registry
+    oracles (keep in sync)."""
+    return F.expr(
+        f"""
+        ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df AS DOUBLE) + 0.5)
+                 / (CAST(_df AS DOUBLE) + 0.5))
+        * ((CAST(_tf AS DOUBLE) * ({k1} + 1.0))
+           / (CAST(_tf AS DOUBLE)
+              + {k1} * (1.0 - {b} + {b} * CAST(_dl AS DOUBLE)
+                                    * CAST(_n AS DOUBLE)
+                                    / CAST(_sumdl AS DOUBLE))))
+        """
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     id_col: str,
@@ -59,18 +78,7 @@ def bm25_scores(
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
     j = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
-    # textually mirrored in the registry oracles — keep in sync
-    contrib = F.expr(
-        f"""
-        ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df AS DOUBLE) + 0.5)
-                 / (CAST(_df AS DOUBLE) + 0.5))
-        * ((CAST(_tf AS DOUBLE) * ({k1} + 1.0))
-           / (CAST(_tf AS DOUBLE)
-              + {k1} * (1.0 - {b} + {b} * CAST(_dl AS DOUBLE)
-                                    * CAST(_n AS DOUBLE)
-                                    / CAST(_sumdl AS DOUBLE))))
-        """
-    )
+    contrib = _bm25_contrib(k1, b)
     return (
         j.select(F.col(id_col), contrib.cast("decimal(18,8)").alias("_c"))
         .groupBy(id_col)
@@ -183,17 +191,7 @@ def bm25_topk_batch(
         .join(F.broadcast(q), "term")
         .crossJoin(F.broadcast(stats))
     )
-    contrib = F.expr(
-        f"""
-        ln(1.0 + (CAST(_n AS DOUBLE) - CAST(_df AS DOUBLE) + 0.5)
-                 / (CAST(_df AS DOUBLE) + 0.5))
-        * ((CAST(_tf AS DOUBLE) * ({k1} + 1.0))
-           / (CAST(_tf AS DOUBLE)
-              + {k1} * (1.0 - {b} + {b} * CAST(_dl AS DOUBLE)
-                                    * CAST(_n AS DOUBLE)
-                                    / CAST(_sumdl AS DOUBLE))))
-        """
-    )
+    contrib = _bm25_contrib(k1, b)
     scored = (
         j.select(
             F.col("_qid").alias(query_id_col),

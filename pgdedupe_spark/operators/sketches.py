@@ -407,6 +407,23 @@ def bloom_might_contain(
 # ---------------------------------------------------------------------------
 
 
+
+def _cm_positions(col: Column, width: int, depth: int) -> Column:
+    """The depth (d, w) counter positions of a value — ONE definition
+    shared by cm_build and cm_estimate, so built cells and probed cells
+    can never drift apart (the never-undercount contract depends on
+    them corresponding exactly)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("d"),
+                F.pmod(F.xxhash64(F.lit(i), col), F.lit(width)).alias("w"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cm_build(
     df: DataFrame, col: str, width: int = 2048, depth: int = 4
 ) -> DataFrame:
@@ -423,19 +440,7 @@ def cm_build(
     over by ≤ 2·N/width with probability ≥ 1 − 2^−depth (Cormode &
     Muthukrishnan's classic bound with ε = 2/width)."""
     pos = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("d"),
-                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(width)).alias(
-                            "w"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_p")
+        F.explode(_cm_positions(F.col(col), width, depth)).alias("_p")
     )
     return (
         pos.select("_p.d", "_p.w")
@@ -472,19 +477,7 @@ def cm_estimate(
         tmp += "_"
     probes = items.select(
         F.col(col).alias("_cm_item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("d"),
-                        F.pmod(F.xxhash64(F.lit(i), F.col(col)), F.lit(width)).alias(
-                            "w"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias(tmp),
+        F.explode(_cm_positions(F.col(col), width, depth)).alias(tmp),
     ).select("_cm_item", f"{tmp}.d", f"{tmp}.w")
     return (
         probes.join(cm, ["d", "w"], "left")

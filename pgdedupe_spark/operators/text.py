@@ -288,11 +288,15 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     no shuffle. The dominant pick tie-breaks by the fixed family order
     via greatest-of-structs."""
     t = F.col(text_col)
+    # coalesce: NULL text must profile as all-zero counts + 'none', and
+    # the DuckDB oracle mirrors the same coalesce so both engines agree
     counts = {
-        name: (
-            F.length(t)
-            - F.length(F.regexp_replace(t, f"[{rng}]", ""))
-        ).cast("bigint")
+        name: F.coalesce(
+            (
+                F.length(t) - F.length(F.regexp_replace(t, f"[{rng}]", ""))
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
         for name, rng in _SCRIPT_RANGES.items()
     }
     # dominant = argmax by (count, reverse fixed priority); struct max

@@ -4375,12 +4375,12 @@ def sample_weighted(spark, sf_dir):
     oracle="""
     WITH c AS (
       SELECT doc_id,
-             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
-             length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
-             length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')) AS n_greek,
-             length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS n_arabic,
-             length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g')) AS n_cjk,
-             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+             coalesce(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 0) AS n_latin,
+             coalesce(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')), 0) AS n_cyrillic,
+             coalesce(length(text) - length(regexp_replace(text, '[Ͱ-Ͽ]', '', 'g')), 0) AS n_greek,
+             coalesce(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')), 0) AS n_arabic,
+             coalesce(length(text) - length(regexp_replace(text, '[一-鿿぀-ヿ가-힯]', '', 'g')), 0) AS n_cjk,
+             coalesce(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS n_digit
       FROM documents
     )
     SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_digit,

@@ -345,16 +345,24 @@ def incremental_dedup_stream(
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         normed = batch_df.select(
             F.col(id_col), normalize_text(F.col(text_col)).alias("_norm")
         ).localCheckpoint()  # freeze: the source frame is only valid in-batch
 
         def read_layer(name: str, schema: str):
+            # only a MISSING layer (first epoch) may read as empty: any
+            # other failure (corrupt footer, permissions, transient FS)
+            # must abort the batch — an empty fallback would flag every
+            # previously-seen doc as novel and permanently corrupt the
+            # one-introducer-per-norm invariant
+            from pyspark.errors import AnalysisException
+
             try:
                 return spark.read.schema(schema).parquet(f"{store_dir}/{name}")
-            except Exception:
-                return spark.createDataFrame([], schema)
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                    return spark.createDataFrame([], schema)
+                raise
 
         # replay guard: a retried epoch must not see its own failed writes
         prior = F.col("epoch") < F.lit(epoch_id)
@@ -396,16 +404,20 @@ def incremental_dedup_stream(
         )
         resolved.select(
             id_col, "is_dup", "corpus_id", F.lit(epoch_id).alias("epoch")
-        ).write.mode("overwrite").partitionBy("epoch").parquet(f"{store_dir}/flags")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/flags")
         novel = resolved.filter(~F.col("is_dup")).select(
             F.col("_norm").alias("norm"), F.col(id_col).alias("first_id")
         )
-        novel.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").partitionBy(
-            "epoch"
-        ).parquet(f"{store_dir}/keys")
+        novel.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/keys")
         bloom_build(novel, "norm", num_bits, num_hashes).withColumn(
             "epoch", F.lit(epoch_id)
-        ).write.mode("overwrite").partitionBy("epoch").parquet(f"{store_dir}/bloom")
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/bloom")
         # SCALE.md rule 7: checkpoint blocks outlive unpersist(); a
         # long-running stream would accumulate one pair per microbatch
         from pgdedupe_spark.operators.clustering import _free_local_checkpoint

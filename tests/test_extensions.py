@@ -305,3 +305,19 @@ def test_script_profile_multilingual_fixture(spark):
     assert out[5].n_latin == 3 and out[5].n_cyrillic == 3
     assert out[5].dominant_script == "latin"
     assert out[6].n_greek == 4 and out[6].dominant_script == "latin"
+
+
+def test_script_profile_null_text_is_none(spark):
+    """NULL text profiles as all-zero counts + 'none' — and the DuckDB
+    oracle coalesces identically, so the hash row can't diverge the day
+    the corpus gains a null (review finding r7)."""
+    from pgdedupe_spark.operators.text import script_profile
+
+    df = spark.createDataFrame([(0, None), (1, "abc")], "doc_id long, text string")
+    out = {r.doc_id: r for r in script_profile(df, "doc_id", "text").collect()}
+    assert out[0].dominant_script == "none"
+    assert all(
+        getattr(out[0], f"n_{s}") == 0
+        for s in ("latin", "cyrillic", "greek", "arabic", "cjk", "digit")
+    )
+    assert out[1].dominant_script == "latin"

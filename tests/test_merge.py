@@ -171,3 +171,17 @@ def test_scd2_composes_with_asof_point_in_time_lookup(spark):
         assert hit == ([tier] if tier is not None else []), (k, ts, tier, hit)
     assert via_asof[(1, 99)] is None and via_asof[(2, 49)] is None
     assert via_asof[(1, 100)] == "bronze" and via_asof[(1, 350)] == "gold"
+
+
+def test_scd2_accepts_seq_col_already_named_valid_from(spark):
+    """The collision guard must not false-reject a feed whose seq column
+    is literally 'valid_from' (the rename is a no-op there)."""
+    from pgdedupe_spark.operators.merge import scd2_from_changes
+
+    df = spark.createDataFrame([(1, 10, "a"), (1, 20, "b")],
+                               "k long, valid_from long, v string")
+    rows = sorted(
+        (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_changes(df, ["k"], "valid_from").collect()
+    )
+    assert rows == [(10, 20, False), (20, None, True)]

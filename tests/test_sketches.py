@@ -326,8 +326,8 @@ from pgdedupe_spark.operators.sketches import (  # noqa: E402
 )
 
 
-def _zipf_tokens(spark, n=20000, vocab=2000, seed=3):
-    """Deterministic Zipfian-ish stream, JVM-side."""
+def _cm_zipf_tokens(spark, n=20000, vocab=2000, seed=3):
+    """Deterministic Zipfian-ish stream for the CM tests, JVM-side."""
     return spark.range(n).select(
         F.concat(
             F.lit("tok"),
@@ -341,7 +341,7 @@ def test_cm_never_undercounts_and_bound_holds(spark):
     """The two halves of the CM contract on a skewed stream: estimates
     are never below true counts, and (per the classic bound) at most a
     small fraction of items exceed true + 2N/width."""
-    toks = _zipf_tokens(spark)
+    toks = _cm_zipf_tokens(spark)
     width, depth = 1024, 4
     cm = cm_build(toks, "t", width, depth)
     true = {r.t: r.c for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()}
