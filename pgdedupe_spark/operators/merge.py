@@ -71,6 +71,83 @@ def latest_change_per_key(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Reconcile two snapshots of the same table: one row per key that
+    differs, tagged ``change_type`` ∈ {'added','removed','changed'} (plus
+    'unchanged' when ``include_unchanged``) with ``changed_cols`` — the
+    list of compare columns whose values differ, in ``compare_cols``
+    order. The inverse of :func:`merge_upsert`/:func:`apply_cdc`: those
+    apply a change set, this recovers one (table versioning, replication
+    audit, expectation-free regression checks between pipeline runs).
+
+    Null semantics are SQL IS DISTINCT FROM throughout: NULL→NULL is
+    unchanged, NULL→value is a change; NULL key values pair up too (the
+    join is null-safe), so a snapshot with a NULL-keyed row diffs rather
+    than cross-producting or dropping.
+
+    Plan shape (the 100 TB argument): ONE full-outer equi-join on the
+    key — each side shuffles once on the same key (zero shuffles when
+    both snapshots share a bucketed layout, `sources/io.write_bucketed`);
+    every per-column comparison is a row-local codegen expression on the
+    joined row. Cost is O(old + new) — the floor for any diff. Raises if
+    ``change_type``/``changed_cols`` collide with a snapshot column."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c not in keys and c in set(new.columns)
+        ]
+    clash = {"change_type", "changed_cols"} & (set(old.columns) | set(new.columns))
+    if clash:
+        raise ValueError(f"snapshots already have columns {sorted(clash)}")
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_o_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"_n_{c}") for c in compare_cols],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}").eqNullSafe(F.col(f"_nk_{k}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    diffs = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}")), F.lit(c)
+                ).otherwise(F.lit(None).cast("string"))
+                for c in compare_cols
+            ]
+        )
+    )
+    out = joined.select(
+        *[F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k) for k in keys],
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.when(
+            F.col("_in_old").isNotNull() & F.col("_in_new").isNotNull(), diffs
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_cols"),
+        *[F.col(f"_n_{c}").alias(f"new_{c}") for c in compare_cols],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
 def scd2_from_changes(
     changes: DataFrame,
     keys: list[str],

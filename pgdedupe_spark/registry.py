@@ -3841,6 +3841,9 @@ PYTEST_ONLY = frozenset(
         "sample_weighted",
         "text_script_profile",
         "pipeline_corpus_curation",
+        # born pytest-only in round 7's extension wave (window full), all
+        # with FULL hash oracles via tests/test_oracle.py
+        "j14_snapshot_diff",
     }
 )
 
@@ -4498,3 +4501,73 @@ def pipeline_corpus_curation(spark, sf_dir):
     return weighted_sample(uniq, "doc_id", "n_chars", k=10, group_col="source").select(
         "doc_id", "source", "n_chars", "sample_rank"
     )
+
+
+@query(
+    "j14_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus,
+             o_totalprice
+               + CASE WHEN o_orderkey % 2 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), j AS (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             list_filter([
+               CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'o_orderstatus' END,
+               CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 'o_totalprice' END
+             ], x -> x IS NOT NULL) AS diffs,
+             n.o_orderstatus AS new_o_orderstatus,
+             n.o_totalprice AS new_o_totalprice
+      FROM snap_old o FULL OUTER JOIN snap_new n
+        ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           CASE WHEN in_old AND in_new THEN diffs
+                ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+           new_o_orderstatus, new_o_totalprice
+    FROM j
+    WHERE NOT (in_old AND in_new AND len(diffs) = 0)
+    """,
+)
+def j14_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (merge.snapshot_diff, new r7): diff two
+    versions of `orders` — the inverse of the MERGE/CDC family, it
+    RECOVERS a change set (added/removed/changed + per-column
+    changed_cols) from two snapshots instead of applying one. The two
+    versions are derived deterministically from the same table (rows
+    %7/%5 dropped to plant adds+removes; status/price perturbed on
+    %3/%2 to plant per-column changes incl. both-columns rows) so both
+    engines see identical inputs. One full-outer equi-join on the key,
+    IS DISTINCT FROM semantics per column. Registered PYTEST_ONLY from
+    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    snap_old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap_new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        ).alias("o_totalprice"),
+    )
+    return snapshot_diff(snap_old, snap_new, ["o_orderkey"])

@@ -185,3 +185,94 @@ def test_scd2_accepts_seq_col_already_named_valid_from(spark):
         for r in scd2_from_changes(df, ["k"], "valid_from").collect()
     )
     assert rows == [(10, 20, False), (20, None, True)]
+
+
+def _diff_rows(df):
+    return {
+        tuple(r[k] for k in ("id", "change_type")): tuple(r["changed_cols"])
+        for r in df.collect()
+    }
+
+
+def test_snapshot_diff_semantics(spark):
+    """Full matrix on hand-built snapshots: added / removed / changed
+    (one col, both cols) / unchanged-excluded, with IS DISTINCT FROM
+    null semantics — NULL→NULL is unchanged, NULL→value and value→NULL
+    are changes."""
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "b", 20.0),    # v changes
+            (3, "c", None),    # NULL bal -> value: bal changes
+            (4, "d", 40.0),    # removed
+            (5, None, 50.0),   # NULL v -> NULL v: unchanged
+            (6, "f", 60.0),    # both change
+        ],
+        "id long, v string, bal double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "B", 20.0),
+            (3, "c", 33.0),
+            (5, None, 50.0),
+            (6, "F", 66.0),
+            (7, "g", 70.0),    # added
+        ],
+        "id long, v string, bal double",
+    )
+    out = snapshot_diff(old, new, ["id"])
+    assert _diff_rows(out) == {
+        (2, "changed"): ("v",),
+        (3, "changed"): ("bal",),
+        (4, "removed"): (),
+        (6, "changed"): ("v", "bal"),
+        (7, "added"): (),
+    }
+    # new-side values ride along for apply/rebuild use
+    got = {r["id"]: (r["new_v"], r["new_bal"]) for r in out.collect()}
+    assert got[7] == ("g", 70.0) and got[4] == (None, None)
+
+    withu = snapshot_diff(old, new, ["id"], include_unchanged=True)
+    kinds = {r["id"]: r["change_type"] for r in withu.collect()}
+    assert kinds[1] == "unchanged" and kinds[5] == "unchanged"
+    assert withu.count() == 7
+
+
+def test_snapshot_diff_null_keys_pair_up(spark):
+    """A NULL-keyed row in both snapshots diffs (null-safe join) rather
+    than producing a spurious add+remove pair."""
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x")], "id long, v string")
+    new = spark.createDataFrame([(None, "y")], "id long, v string")
+    out = snapshot_diff(old, new, ["id"]).collect()
+    assert len(out) == 1
+    assert out[0]["change_type"] == "changed" and out[0]["changed_cols"] == ["v"]
+
+
+def test_snapshot_diff_refuses_reserved_column_clash(spark):
+    import pytest
+
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    df = spark.createDataFrame([(1, "a")], "id long, change_type string")
+    with pytest.raises(ValueError, match="change_type"):
+        snapshot_diff(df, df, ["id"])
+
+
+def test_snapshot_diff_single_join_plan(spark, sf_dir):
+    """One full-outer equi-join, both scans pruned + filter-pushed, no
+    cross product, no Python — the O(old+new) floor for any diff."""
+    from pgdedupe_spark import registry
+    from pgdedupe_spark.plans.inspect import explain_str
+
+    plan = explain_str(registry.QUERIES["j14_snapshot_diff"](spark, sf_dir))
+    assert plan.count("SortMergeJoin FullOuter") + plan.count(
+        "ShuffledHashJoin FullOuter"
+    ) == 1, plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PythonUDF" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 2  # one pass per side
