@@ -1,0 +1,128 @@
+"""Link-graph analysis: PageRank over an edge table.
+
+Corpus curation at web scale ranks documents by the link graph (domain
+authority / harmonic-centrality-style signals feed quality filters and
+crawl prioritization) — this module is the iterative sibling of
+`clustering.connected_components` for that job: where CC answers "which
+pages are the same site", PageRank answers "which sites matter".
+
+Exact-arithmetic contract: ranks are BIGINT micro-units (``scale`` =
+total mass, default 10^12) and every update is integer ``div``/sum —
+truncating integer division and BIGINT addition are order-independent
+and bit-identical across engines, so a fixed-iteration run hash-matches
+an unrolled ANSI-SQL oracle exactly (floating-point PageRank cannot:
+partial-aggregation order would flip low bits). Truncation bleeds < 1
+unit per division, so total mass decays by at most (E + 2V) units per
+round — monotone, bounded, and pinned in tests.
+
+Plan shape (the 100 TB argument): each round is
+  * one equi-join of ranks onto the out-degree table (vertex-keyed),
+  * one equi-join of per-source shares onto edges + a sum keyed by dst,
+  * one left join of contributions back onto the vertex set —
+all hash exchanges on vertex id, the same key every round, so a
+cluster reuses co-partitioning across the whole run; nothing is ever
+broadcast except the two driver-side scalars (vertex count, dangling
+mass — both bounded single-row collects). Out-degrees and the vertex
+set are computed once and persisted. Lineage is truncated with
+``localCheckpoint`` every ``checkpoint_every`` rounds (the CC rule —
+`clustering.py`), keeping O(1) plan depth however many rounds run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    iterations: int = 3,
+    scale: int = 10**12,
+    tol: int | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank over ``edges`` (one row per directed edge; keep
+    multi-edges if multiplicity should weight the walk, `.distinct()`
+    first if not). Returns ``(v, r)``: vertex id and its rank in
+    integer ``scale`` units (divide by ``scale`` for the probability).
+
+    ``damping_pct`` is the damping factor in percent (85 ⇒ 0.85) so the
+    update stays in exact integer space. Dangling mass (vertices with
+    no out-edges) is redistributed uniformly, the standard correction.
+    With ``tol`` set, iteration stops early once the L1 rank delta (in
+    scale units) drops to ``tol`` or below; ``iterations`` stays the
+    hard cap either way."""
+    from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg")).persist()
+    n = verts.count()
+    if n == 0:
+        verts.unpersist()
+        deg.unpersist()
+        return verts.withColumn("r", F.lit(0).cast("long"))
+    base = ((100 - damping_pct) * scale) // (100 * n)
+
+    # CC's iterative rule (clustering.py): eager localCheckpoint per round
+    # truncates lineage to O(1) plan depth, and the superseded round's
+    # blocks are released immediately — nothing cached leaks to the caller.
+    ranks = verts.withColumn("r", F.lit(scale // n).cast("long")).localCheckpoint(
+        eager=True
+    )
+    prev_ckpt = ranks
+    for _ in range(iterations):
+        shares = ranks.join(deg, ranks["v"] == deg["src"], "inner").select(
+            F.col("src"), F.expr("r div _deg").alias("_share")
+        )
+        contribs = e.join(shares, "src").groupBy("dst").agg(
+            F.sum("_share").alias("_c")
+        )
+        # bounded driver scalar #1: this round's dangling mass (sum over
+        # out-degree-0 vertices; reads the checkpointed ranks, one row out)
+        dangling = (
+            ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        per_v = dangling // n
+        stepped = (
+            verts.join(contribs, verts["v"] == contribs["dst"], "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(_c, 0L) + {per_v})) div 100"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            # bounded driver scalar #2: L1 delta between two checkpointed
+            # vertex-sized frames (one row out)
+            delta = (
+                ranks.withColumnRenamed("r", "_r0")
+                .join(stepped, "v")
+                .agg(F.sum(F.abs(F.col("r") - F.col("_r0"))).alias("d"))
+                .collect()[0]["d"]
+            )
+        else:
+            delta = None
+        _free_local_checkpoint(prev_ckpt)
+        prev_ckpt = stepped
+        ranks = stepped
+        if delta is not None and delta <= tol:
+            break
+    verts.unpersist()
+    deg.unpersist()
+    return ranks

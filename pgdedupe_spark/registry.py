@@ -3844,6 +3844,7 @@ PYTEST_ONLY = frozenset(
         # born pytest-only in round 7's extension wave (window full), all
         # with FULL hash oracles via tests/test_oracle.py
         "j14_snapshot_diff",
+        "graph_pagerank",
     }
 )
 
@@ -4571,3 +4572,97 @@ def j14_snapshot_diff(spark, sf_dir):
         ).alias("o_totalprice"),
     )
     return snapshot_diff(snap_old, snap_new, ["o_orderkey"])
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), verts AS (
+      SELECT src AS v FROM e UNION SELECT dst FROM e
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts
+    ), deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src
+    ), r0 AS (
+      SELECT v, CAST(1000000000000 AS BIGINT) // (SELECT n FROM nn) AS r
+      FROM verts
+    ), c1 AS (
+      SELECT e.dst AS v, SUM(r.r // d.deg) AS c
+      FROM e JOIN r0 r ON e.src = r.v JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), d1 AS (
+      SELECT coalesce(SUM(r.r), 0) AS m
+      FROM r0 r LEFT JOIN deg d ON r.v = d.src WHERE d.src IS NULL
+    ), r1 AS (
+      SELECT v.v,
+             (CAST(15 AS BIGINT) * CAST(1000000000000 AS BIGINT))
+               // (CAST(100 AS BIGINT) * (SELECT n FROM nn))
+             + (CAST(85 AS BIGINT)
+                * (coalesce(c.c, 0) + (SELECT m FROM d1) // (SELECT n FROM nn)))
+               // CAST(100 AS BIGINT) AS r
+      FROM verts v LEFT JOIN c1 c ON v.v = c.v
+    ), c2 AS (
+      SELECT e.dst AS v, SUM(r.r // d.deg) AS c
+      FROM e JOIN r1 r ON e.src = r.v JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), d2 AS (
+      SELECT coalesce(SUM(r.r), 0) AS m
+      FROM r1 r LEFT JOIN deg d ON r.v = d.src WHERE d.src IS NULL
+    ), r2 AS (
+      SELECT v.v,
+             (CAST(15 AS BIGINT) * CAST(1000000000000 AS BIGINT))
+               // (CAST(100 AS BIGINT) * (SELECT n FROM nn))
+             + (CAST(85 AS BIGINT)
+                * (coalesce(c.c, 0) + (SELECT m FROM d2) // (SELECT n FROM nn)))
+               // CAST(100 AS BIGINT) AS r
+      FROM verts v LEFT JOIN c2 c ON v.v = c.v
+    ), c3 AS (
+      SELECT e.dst AS v, SUM(r.r // d.deg) AS c
+      FROM e JOIN r2 r ON e.src = r.v JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), d3 AS (
+      SELECT coalesce(SUM(r.r), 0) AS m
+      FROM r2 r LEFT JOIN deg d ON r.v = d.src WHERE d.src IS NULL
+    ), r3 AS (
+      SELECT v.v,
+             (CAST(15 AS BIGINT) * CAST(1000000000000 AS BIGINT))
+               // (CAST(100 AS BIGINT) * (SELECT n FROM nn))
+             + (CAST(85 AS BIGINT)
+                * (coalesce(c.c, 0) + (SELECT m FROM d3) // (SELECT n FROM nn)))
+               // CAST(100 AS BIGINT) AS r
+      FROM verts v LEFT JOIN c3 c ON v.v = c.v
+    )
+    SELECT v AS vertex_id, CAST(r AS BIGINT) AS rank_scaled FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """Link-graph authority scoring (graph.pagerank, new r7): 3 damped
+    PageRank iterations over the customer→supplier trade graph (orders ⋈
+    lineitem, distinct edges; suppliers offset into their own id space).
+    Exact-integer contract: ranks are BIGINT micro-units (scale 10^12)
+    and every update is truncating `div` + BIGINT sums, so the run
+    hash-matches this unrolled 3-iteration oracle bit-for-bit — a
+    floating-point PageRank could not (partial-agg order flips low
+    bits). Suppliers are all dangling (no out-edges), so the
+    uniform-redistribution correction is exercised on every row, and the
+    bipartite shape makes ranks genuinely non-uniform (customer fan-out
+    varies). Registered PYTEST_ONLY from birth — window full; full
+    DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1000000).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank(edges, iterations=3).select(
+        F.col("v").alias("vertex_id"), F.col("r").alias("rank_scaled")
+    )

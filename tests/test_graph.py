@@ -1,0 +1,103 @@
+"""PageRank contracts: exact-integer parity with an independent pure-
+Python reference, analytic shapes (cycle symmetry, star concentration,
+dangling redistribution), mass conservation under truncation, tol-based
+early stop, and the CC-style O(1) checkpoint-footprint rule."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pgdedupe_spark.operators.graph import pagerank
+
+SCALE = 10**12
+
+
+def _ref_pagerank(edges, iters=3, scale=SCALE, dpct=85):
+    """First-principles reference in plain Python integers — same
+    truncating-division update, written independently of the operator."""
+    verts = sorted({u for e in edges for u in e})
+    n = len(verts)
+    deg: dict = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {v: scale // n for v in verts}
+    base = ((100 - dpct) * scale) // (100 * n)
+    for _ in range(iters):
+        contrib: dict = defaultdict(int)
+        for s, d in edges:
+            contrib[d] += r[s] // deg[s]
+        dang = sum(r[v] for v in verts if deg[v] == 0)
+        pv = dang // n
+        r = {v: base + (dpct * (contrib.get(v, 0) + pv)) // 100 for v in verts}
+    return r
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["v"]: r["r"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_integer_reference_exactly(spark):
+    # deterministic pseudo-random digraph with hubs, chains and a sink
+    edges = [((i * 7 + 3) % 23, (i * i + 5) % 23) for i in range(60)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    for iters in (1, 3, 5):
+        assert _run(spark, edges, iterations=iters) == _ref_pagerank(
+            edges, iters=iters
+        ), iters
+
+
+def test_pagerank_cycle_is_exactly_uniform(spark):
+    # k-cycle: perfect symmetry — every vertex must hold the identical
+    # integer rank at every iteration (any asymmetry is an operator bug)
+    n = 12
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    got = _run(spark, edges, iterations=4)
+    assert len(set(got.values())) == 1
+    assert got == _ref_pagerank(edges, iters=4)
+
+
+def test_pagerank_star_concentrates_on_center(spark):
+    # leaves -> center: the center collects ~all damped mass; the center
+    # itself dangles, redistributing uniformly
+    edges = [(i, 0) for i in range(1, 11)]
+    got = _run(spark, edges, iterations=3)
+    assert got[0] > 5 * max(got[i] for i in range(1, 11))
+    assert got == _ref_pagerank(edges, iters=3)
+
+
+def test_pagerank_mass_conserved_within_truncation_loss(spark):
+    # every division truncates < 1 unit, so per round the total can only
+    # shed < E + 2V units (shares, dangling split, the /100 steps) —
+    # total stays in (scale - iters*(E+3V), scale]
+    edges = sorted({((i * 5) % 17, (i * 11 + 2) % 17) for i in range(40)})
+    e_cnt = len(edges)
+    v_cnt = len({u for e in edges for u in e})
+    iters = 4
+    got = _run(spark, edges, iterations=iters)
+    total = sum(got.values())
+    assert total <= SCALE
+    assert total > SCALE - iters * (e_cnt + 3 * v_cnt + 100)
+
+
+def test_pagerank_tol_early_stop_matches_fixpoint(spark):
+    # on a cycle the uniform state is the fixpoint after round 1 —
+    # tol=0 must stop early yet return exactly the 6-iteration answer
+    n = 8
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    assert _run(spark, edges, iterations=6, tol=0) == _run(
+        spark, edges, iterations=6
+    )
+
+
+def test_pagerank_checkpoint_footprint_is_constant(spark):
+    # the CC rule (VERDICT r6 / ADVICE fix): superseded rounds' blocks
+    # are freed, so a 6-round run may hold the final frame's blocks but
+    # not O(rounds) of them
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    edges = [((i * 3 + 1) % 19, (i * 13 + 7) % 19) for i in range(50)]
+    out = _run(spark, edges, iterations=6)
+    assert out  # materialized
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert len(after - before) <= 2, "checkpoint blocks accumulated"
