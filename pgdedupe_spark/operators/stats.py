@@ -63,3 +63,68 @@ def fixed_histogram(
         df.groupBy(*group_cols, bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def robust_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier detection — the robust quality filter (mean/
+    stddev gates are themselves dragged by the outliers they're meant to
+    catch; median ± k·1.4826·MAD is the standard resistant replacement,
+    1.4826 scaling MAD to σ under normality). Appends per-row
+    ``group_median``, ``group_mad``, ``robust_z`` (NULL when MAD is 0)
+    and ``is_outlier`` (MAD 0 ⇒ any deviation flags).
+
+    Oracle-exact by construction: medians come from the EXACT
+    interpolating percentile, so on integer-ish columns every statistic
+    is a representable double and both engines agree bit-for-bit.
+
+    Plan shape: two sequential aggregations (median, then MAD of
+    deviations — inherently ordered) + broadcast joins of the
+    group-sized stat frames back onto the rows, so the fact side never
+    hash-shuffles for a join. The plan scans the (column-pruned) input
+    three times rather than caching it — at 100 TB re-scanning a pruned
+    column beats materializing the fact; persist ``df`` first if it is
+    small and reused. Exact percentile buffers a per-group
+    value-count map; for unbounded-domain doubles at extreme scale,
+    swap in approx_percentile or the sketches.quantile_histogram layer
+    (same call shape, looser oracle). Grouping is optional: global mode
+    uses a constant group key (one reducer holds the value map — the
+    exact-global-median floor in any engine)."""
+    out_cols = {"group_median", "group_mad", "robust_z", "is_outlier"}
+    clash = out_cols & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has columns {sorted(clash)}")
+    gb = list(group_cols) if group_cols else []
+    tmp_g = "_rof_g"
+    while tmp_g in df.columns:
+        tmp_g += "_"
+    base = df if gb else df.withColumn(tmp_g, F.lit(1))
+    keys = gb if gb else [tmp_g]
+    med = base.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
+    )
+    dev = base.join(F.broadcast(med), keys).withColumn(
+        "_rof_ad", F.abs(F.col(value_col) - F.col("group_median"))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.expr("percentile(_rof_ad, 0.5)").alias("group_mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), keys)
+        .withColumn(
+            "robust_z",
+            F.when(F.col("group_mad") == 0, F.lit(None).cast("double")).otherwise(
+                F.col("_rof_ad") / (F.lit(1.4826) * F.col("group_mad"))
+            ),
+        )
+        .withColumn(
+            "is_outlier",
+            F.col("_rof_ad") > F.lit(k) * F.lit(1.4826) * F.col("group_mad"),
+        )
+        .drop("_rof_ad")
+    )
+    return out.drop(tmp_g) if not gb else out

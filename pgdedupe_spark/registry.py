@@ -3845,6 +3845,7 @@ PYTEST_ONLY = frozenset(
         # with FULL hash oracles via tests/test_oracle.py
         "j14_snapshot_diff",
         "graph_pagerank",
+        "stats_robust_outliers",
     }
 )
 
@@ -4666,3 +4667,39 @@ def graph_pagerank(spark, sf_dir):
     return pagerank(edges, iterations=3).select(
         F.col("v").alias("vertex_id"), F.col("r").alias("rank_scaled")
     )
+
+
+@query(
+    "stats_robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT source, quantile_cont(n_chars, 0.5) AS group_median
+      FROM documents GROUP BY source
+    ), dev AS (
+      SELECT d.doc_id, d.source, d.n_chars, m.group_median,
+             abs(d.n_chars - m.group_median) AS ad
+      FROM documents d JOIN med m USING (source)
+    ), mad AS (
+      SELECT source, quantile_cont(ad, 0.5) AS group_mad
+      FROM dev GROUP BY source
+    )
+    SELECT doc_id, source, n_chars, group_median, group_mad,
+           CASE WHEN group_mad = 0 THEN NULL
+                ELSE ad / (1.4826 * group_mad) END AS robust_z,
+           ad > 2.5 * 1.4826 * group_mad AS is_outlier
+    FROM dev JOIN mad USING (source)
+    """,
+)
+def stats_robust_outliers(spark, sf_dir):
+    """Robust per-source length-outlier flags (stats.robust_outlier_flags,
+    new r7): median/MAD gating of documents.n_chars per source — the
+    resistant replacement for mean±kσ quality filters. Exact
+    interpolating percentiles keep every statistic a representable
+    double, so the whole row (median, MAD, z, flag) hash-matches the
+    DuckDB oracle. k=2.5 so real rows flag on the driver corpus.
+    Registered PYTEST_ONLY from birth — window full; full DuckDB
+    coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.stats import robust_outlier_flags
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return robust_outlier_flags(docs, "n_chars", ["source"], k=2.5)

@@ -54,3 +54,63 @@ def test_approx_percentile_rank_error_contract(spark, sf_dir):
     ).collect()[0]
     for p, a, lo, hi in zip(ps, row.approx, row.lo, row.hi):
         assert lo <= a <= hi, (p, a, lo, hi)
+
+
+def test_robust_outlier_flags_known_values(spark):
+    """Hand-computed median/MAD: values [1..9, 100] per one group —
+    median 5.5, MAD 2.5, so 100 flags at k=3 and 9 does not."""
+    from pgdedupe_spark.operators.stats import robust_outlier_flags
+
+    vals = list(range(1, 10)) + [100]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x long")
+    out = {r["x"]: r for r in robust_outlier_flags(df, "x", ["grp"]).collect()}
+    assert out[1]["group_median"] == 5.5 and out[1]["group_mad"] == 2.5
+    assert out[100]["is_outlier"] and not out[9]["is_outlier"]
+    # z = |100-5.5| / (1.4826*2.5)
+    assert abs(out[100]["robust_z"] - 94.5 / (1.4826 * 2.5)) < 1e-12
+
+
+def test_robust_outlier_flags_zero_mad_group(spark):
+    """Constant group (MAD 0): z is NULL and ANY deviation flags —
+    the degenerate case a stddev filter divides by zero on."""
+    from pgdedupe_spark.operators.stats import robust_outlier_flags
+
+    df = spark.createDataFrame(
+        [("a", 7), ("a", 7), ("a", 7), ("a", 8)], "grp string, x long"
+    )
+    rows = robust_outlier_flags(df, "x", ["grp"]).collect()
+    for r in rows:
+        assert r["robust_z"] is None
+        assert r["is_outlier"] == (r["x"] != 7)
+
+
+def test_robust_outlier_flags_global_mode_and_clash(spark):
+    import pytest
+
+    from pgdedupe_spark.operators.stats import robust_outlier_flags
+
+    df = spark.createDataFrame([(v,) for v in (1, 2, 3, 50)], "x long")
+    out = robust_outlier_flags(df, "x")
+    assert set(out.columns) == {"x", "group_median", "group_mad", "robust_z", "is_outlier"}
+    got = {r["x"]: r["is_outlier"] for r in out.collect()}
+    assert got[50] and not got[2]
+
+    bad = df.withColumn("is_outlier", df["x"] > 0)
+    with pytest.raises(ValueError, match="is_outlier"):
+        robust_outlier_flags(bad, "x")
+
+
+def test_robust_outlier_flags_broadcasts_stats(spark, sf_dir):
+    """Both stat frames are group-sized: they broadcast; the fact side
+    never hash-shuffles for a join. The dev subtree is deliberately
+    unmaterialized (you don't cache a 100 TB fact), so the median join
+    appears twice — 3 broadcast joins total, zero sort-merge."""
+    from pgdedupe_spark import registry
+
+    plan = (
+        registry.QUERIES["stats_robust_outliers"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
