@@ -262,3 +262,92 @@ def compact_table(
         df = df.repartition(n_out)
     df.write.mode("overwrite").parquet(out_path)
     return spark.read.parquet(out_path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    corrupt_col: str = "_corrupt",
+    **options: str,
+) -> DataFrame:
+    """JSONL ingest that quarantines malformed lines instead of crashing
+    or silently nulling them — the contract a web-scale dump load needs
+    (a 100 TB crawl export always has broken lines; FAILFAST aborts the
+    job, bare PERMISSIVE hides them). Returns the typed frame plus a
+    ``corrupt_col`` holding the raw line for bad records (NULL for good
+    ones); split with :func:`split_quarantine`. Schema is explicit as
+    everywhere in this module — inference at scale is a full read."""
+    from pyspark.sql.types import StringType, StructField
+
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already has column {corrupt_col!r}")
+    # Parse via text + from_json rather than the json datasource: the json
+    # source rejects any downstream plan whose referenced columns collapse
+    # to the corrupt-record column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    # — e.g. a bare quarantine count after pruning), a footgun for
+    # callers. A text scan has no such restriction, costs the same single
+    # pass (JSONL is row-oriented; there is nothing to prune at the
+    # scan), and inherits compression/splits handling.
+    # copy — StructType.add mutates the caller's schema in place
+    full = StructType(list(schema.fields) + [StructField(corrupt_col, StringType())])
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col, **options}
+    lines = spark.read.text(path).filter(F.length(F.trim(F.col("value"))) > 0)
+    parsed = lines.select(
+        F.from_json(F.col("value"), full, opts).alias("_j"), F.col("value")
+    )
+    return parsed.select(
+        *[F.col("_j").getField(f.name).alias(f.name) for f in schema.fields],
+        # a NULL struct (line from_json couldn't touch at all) is corrupt
+        # too — don't let it masquerade as an all-NULL clean row
+        F.when(
+            F.col("_j").isNull()
+            | F.col("_j").getField(corrupt_col).isNotNull(),
+            F.col("value"),
+        ).alias(corrupt_col),
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = "_corrupt"
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): clean drops the corrupt column; quarantine
+    keeps the full row — whatever fields DID parse, plus the raw line as
+    ``raw_line`` for replay/repair. Both are filters over the same scan —
+    no extra pass, no shuffle. (Keeping the typed columns in the
+    quarantine frame is also what Spark's JSON source requires: a plan
+    referencing only the corrupt-record column is rejected.)"""
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).withColumnRenamed(
+        corrupt_col, "raw_line"
+    )
+    return clean, bad
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSONL sink (interchange with tokenizer/training tooling that reads
+    line-delimited JSON). Columnar parquet stays the intra-pipeline
+    format; this is the export edge. Use ``compression='gzip'``/'zstd'
+    for wire-size, at the cost of coarser splits on re-read."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def read_orc_table(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both are
+    columnar with min/max stripe stats; Catalyst pushes filters into
+    either). For interchange with Hive-era warehouses."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink, `materialize`-shaped (overwrite idempotence, optional
+    partition layout)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

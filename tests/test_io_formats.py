@@ -1,0 +1,85 @@
+"""Interchange-format edges: JSONL quarantine ingest (malformed lines
+captured, not crashed on / silently nulled), JSONL export, and ORC
+roundtrip with pushdown intact."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType, StructType
+
+from pgdedupe_spark.sources.io import (
+    read_jsonl_quarantine,
+    read_orc_table,
+    split_quarantine,
+    write_jsonl,
+    write_orc,
+)
+
+SCHEMA = (
+    StructType()
+    .add("id", "long")
+    .add("text", "string")
+    .add("tags", ArrayType(StringType()))
+)
+
+
+def test_jsonl_quarantine_splits_bad_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok", "tags": ["a"]}\n'
+        "this is not json\n"
+        '{"id": 2, "text": "also ok", "tags": []}\n'
+        '{"id": [9, 9], "text": "type-corrupt id"}\n'
+    )
+    df = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    clean, bad = split_quarantine(df)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2]
+    assert set(clean.columns) == {"id", "text", "tags"}
+    badrows = bad.collect()
+    raw = sorted(r["raw_line"] for r in badrows)
+    assert raw == ["this is not json", '{"id": [9, 9], "text": "type-corrupt id"}']
+    # fields that DID parse survive into the quarantine row for repair
+    partial = {r["raw_line"]: r["text"] for r in badrows}
+    assert partial['{"id": [9, 9], "text": "type-corrupt id"}'] == "type-corrupt id"
+
+
+def test_jsonl_quarantine_refuses_schema_clash(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="_corrupt"):
+        read_jsonl_quarantine(
+            spark, "/nonexistent", StructType().add("_corrupt", "string")
+        )
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", ["x", "y"]), (2, "b", [])], "id long, text string, tags array<string>"
+    )
+    out = str(tmp_path / "out")
+    write_jsonl(df, out)
+    back = read_jsonl_quarantine(spark, out, SCHEMA)
+    clean, bad = split_quarantine(back)
+    assert bad.count() == 0
+    got = sorted(map(tuple, clean.select("id", "text", "tags").collect()))
+    assert got == [(1, "a", ["x", "y"]), (2, "b", [])]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, partition_by=["source"])
+    back = read_orc_table(spark, out)
+    assert back.count() == docs.count()
+    # partition pruning: a source= filter prunes directories, and a
+    # column filter reaches the ORC scan as a pushed filter
+    q = back.filter((F.col("source") == "src1") & (F.col("n_chars") > 100)).select(
+        "doc_id"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan, plan
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)" in plan, plan
+    want = docs.filter((F.col("source") == "src1") & (F.col("n_chars") > 100)).count()
+    assert q.count() == want
