@@ -3846,6 +3846,7 @@ PYTEST_ONLY = frozenset(
         "j14_snapshot_diff",
         "graph_pagerank",
         "stats_robust_outliers",
+        "events_trending",
     }
 )
 
@@ -4703,3 +4704,44 @@ def stats_robust_outliers(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     return robust_outlier_flags(docs, "n_chars", ["source"], k=2.5)
+
+
+@query(
+    "events_trending",
+    oracle="""
+    WITH expanded AS (
+      SELECT date_trunc('hour', e.ts) - i.i * INTERVAL 1 HOUR AS win_start,
+             e.event_type
+      FROM events e CROSS JOIN (SELECT unnest(range(2)) AS i) i
+    ), counts AS (
+      SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM expanded GROUP BY win_start, event_type
+    )
+    SELECT win_start, event_type, n_events, rk FROM (
+      SELECT win_start, event_type, n_events,
+             CAST(row_number() OVER (
+               PARTITION BY win_start
+               ORDER BY n_events DESC, event_type) AS INT) AS rk
+      FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def events_trending(spark, sf_dir):
+    """Trending types per sliding window (streaming.sliding_rollup_stream
+    batch twin + trending_topk, new r7): 2-hour windows sliding hourly,
+    top-3 event types per window by count. Spark's native sliding
+    F.window expands each event into width/slide windows; the oracle
+    mirrors the expansion as an explicit 2-row cross join on
+    epoch-aligned hour truncation — pinning that the two agree on
+    window assignment exactly. Streaming parity for the window counts
+    is pinned in tests/test_streaming.py. Registered PYTEST_ONLY from
+    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.streaming.ops import trending_topk
+
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n_events")
+    )
+    return trending_topk(counts, k=3)

@@ -426,3 +426,45 @@ def incremental_dedup_stream(
         _free_local_checkpoint(resolved)
 
     return process_batch
+
+
+def sliding_rollup_stream(
+    events: DataFrame,
+    width: str = "2 hours",
+    slide: str = "1 hour",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Sliding-window per-type counts — the 'trending now' primitive
+    (each event lands in width/slide overlapping windows; finalized
+    windows emit once the watermark passes their end). Ranking to top-k
+    is deliberately NOT in the stream: append-mode streams can't run
+    window functions, so rank finalized windows downstream with
+    :func:`trending_topk` (foreachBatch or a batch job over the sink) —
+    the same split the batch twin `events_trending` pins with a full
+    oracle. State is one count row per (window, type): O(width/slide ×
+    types × windows-in-flight), watermark-bounded."""
+    return (
+        events.withWatermark("event_time", delay)
+        .groupBy(F.window("event_time", width, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def trending_topk(windows: DataFrame, k: int = 3) -> DataFrame:
+    """Rank finalized sliding windows to the top-k types per window
+    (deterministic: count desc, then type). Batch side of
+    :func:`sliding_rollup_stream`."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        windows.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -589,3 +589,30 @@ def test_incremental_dedup_stream_through_real_stream(spark, tmp_path):
         if r.is_dup:
             intro = by_id[r.corpus_id]
             assert not intro.is_dup and intro.doc_id % 7 == r.doc_id % 7
+
+
+def test_sliding_rollup_parity_and_topk(spark, batch_events):
+    """Sliding-window counts from the stream equal the batch twin's
+    window expansion exactly, and trending_topk ranks them to the same
+    top-3 the events_trending oracle pins."""
+    from pgdedupe_spark.streaming.ops import sliding_rollup_stream, trending_topk
+
+    sdf = sliding_rollup_stream(read_events_stream(spark, SF_DIR))
+    got = run_to_memory_table(sdf, "t_sliding", output_mode="complete")
+    want = (
+        batch_events.groupBy(
+            F.window("event_time", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("win_start"), "event_type", "n_events")
+    )
+    cols = ["win_start", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+    # every event lands in exactly width/slide = 2 windows
+    assert got.agg(F.sum("n_events")).collect()[0][0] == 2 * batch_events.count()
+
+    top = trending_topk(want, k=3)
+    per_win = {r["win_start"]: r["rk"] for r in top.collect() if r["rk"] == 3}
+    assert per_win, "expected at least one full top-3 window"
+    assert top.filter(F.col("rk") > 3).count() == 0
