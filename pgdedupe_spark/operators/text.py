@@ -320,3 +320,65 @@ def script_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             sum(counts.values(), F.lit(0).cast("bigint")) > 0, dominant
         ).otherwise(F.lit("none")).alias("dominant_script"),
     )
+
+
+# multi-part public suffixes the registered-domain heuristic recognizes
+# (a pragmatic subset of the Public Suffix List — the full PSL is a data
+# file a deployment drops in; the PARSE mechanics are identical). Shared
+# with the oracle SQL via url_domain_regex() — keep in sync.
+URL_MULTIPART_SUFFIXES = (
+    "co.uk", "ac.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def url_domain_regex() -> str:
+    """Regex extracting the registered domain from a bare hostname:
+    label + multi-part suffix if the host ends in one, else the last two
+    labels. One anchored pattern, identical semantics under Java regex
+    (Spark) and RE2 (DuckDB) — both leftmost-first alternation."""
+    alts = "|".join(s.replace(".", r"\.") for s in URL_MULTIPART_SUFFIXES)
+    return rf"([^.]+\.(?:{alts})|[^.]+\.[^.]+)$"
+
+
+def url_parse(df: DataFrame, url_col: str, prefix: str = "url_") -> DataFrame:
+    """Decompose a URL column into ``{prefix}scheme/host/port/path/
+    domain`` — the web-corpus curation primitive (per-domain quotas,
+    blocklists, crawl dedup all key on the registered domain, not the
+    raw URL). Pure JVM regexp projections, zero shuffle; malformed URLs
+    yield NULL fields rather than errors (filter on
+    ``{prefix}host IS NULL`` for the reject stream). Port is NULL when
+    absent; path is '' for bare-host URLs."""
+    clash = {f"{prefix}{s}" for s in ("scheme", "host", "port", "path", "domain")}
+    if clash & set(df.columns):
+        raise ValueError(f"input already has columns {sorted(clash & set(df.columns))}")
+    u = F.col(url_col)
+    scheme = F.nullif(F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1), F.lit(""))
+    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.nullif(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1), F.lit(""))
+    port = F.nullif(F.regexp_extract(auth, r":([0-9]+)$", 1), F.lit("")).cast("int")
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    domain = F.nullif(F.regexp_extract(host, url_domain_regex(), 1), F.lit(""))
+    return (
+        df.withColumn(f"{prefix}scheme", scheme)
+        .withColumn(f"{prefix}host", host)
+        .withColumn(f"{prefix}port", port)
+        .withColumn(f"{prefix}path", F.when(host.isNull(), F.lit(None)).otherwise(path))
+        .withColumn(f"{prefix}domain", domain)
+    )
+
+
+def domain_profile(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-registered-domain rollup: doc count, distinct hosts, docs
+    carrying an explicit port, distinct schemes — the summary a
+    per-domain quota/blocklist stage consumes. One parse projection +
+    one aggregation keyed by domain."""
+    parsed = url_parse(df, url_col)
+    return parsed.groupBy(F.col("url_domain").alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("url_host").alias("n_hosts"),
+        F.sum(F.col("url_port").isNotNull().cast("long")).alias("n_with_port"),
+        F.count_distinct("url_scheme").alias("n_schemes"),
+    )

@@ -3847,6 +3847,7 @@ PYTEST_ONLY = frozenset(
         "graph_pagerank",
         "stats_robust_outliers",
         "events_trending",
+        "text_url_profile",
     }
 )
 
@@ -4745,3 +4746,79 @@ def events_trending(spark, sf_dir):
         .select(F.col("window.start").alias("win_start"), "event_type", "n_events")
     )
     return trending_topk(counts, k=3)
+
+
+from pgdedupe_spark.operators.text import url_domain_regex as _url_domain_regex  # noqa: E402
+
+_DOM_RE = _url_domain_regex()
+
+
+@query(
+    "text_url_profile",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id,
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'https://www.example' || CAST(doc_id % 3 AS VARCHAR)
+                      || '.com/p/' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN 'https://blog.sample.co.uk/a/' || CAST(doc_id AS VARCHAR)
+          WHEN 2 THEN 'http://cdn.assets.example0.com:8080/x'
+          WHEN 3 THEN 'https://user@files.archive.org.uk:444/d/'
+                      || CAST(doc_id AS VARCHAR)
+          WHEN 4 THEN 'ftp://mirror.data.ne.jp/pub'
+          ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+        END AS url
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id,
+        nullif(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
+        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS auth
+      FROM urls
+    ), hostp AS (
+      SELECT doc_id, scheme,
+        nullif(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1), '') AS host,
+        CAST(nullif(regexp_extract(auth, ':([0-9]+)$', 1), '') AS INT) AS port
+      FROM parsed
+    )
+    SELECT
+      coalesce(nullif(regexp_extract(host, '{_DOM_RE}', 1), ''), '(invalid)')
+        AS domain,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+      CAST(sum(CASE WHEN port IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_with_port,
+      CAST(count(DISTINCT scheme) AS BIGINT) AS n_schemes
+    FROM hostp
+    GROUP BY 1
+    """,
+)
+def text_url_profile(spark, sf_dir):
+    """Per-registered-domain corpus profile (text.url_parse +
+    domain_profile, new r7): URLs synthesized deterministically from
+    doc_id cover the parse matrix — plain hosts, a multi-part public
+    suffix (co.uk/org.uk/ne.jp), an explicit port, userinfo, a non-http
+    scheme, and malformed strings (NULL-domain reject group). The
+    oracle mirrors the exact extraction regexes (Java and RE2 agree on
+    these anchored leftmost-first patterns — that agreement is what
+    this row pins), then the same keyed rollup. Registered PYTEST_ONLY
+    from birth — window full; full DuckDB coverage via
+    tests/test_oracle.py."""
+    from pgdedupe_spark.operators.text import domain_profile
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    m = (F.col("doc_id") % 6).cast("int")
+    did = F.col("doc_id").cast("string")
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://www.example"),
+                                (F.col("doc_id") % 3).cast("string"),
+                                F.lit(".com/p/"), did))
+        .when(m == 1, F.concat(F.lit("https://blog.sample.co.uk/a/"), did))
+        .when(m == 2, F.lit("http://cdn.assets.example0.com:8080/x"))
+        .when(m == 3, F.concat(F.lit("https://user@files.archive.org.uk:444/d/"), did))
+        .when(m == 4, F.lit("ftp://mirror.data.ne.jp/pub"))
+        .otherwise(F.concat(F.lit("not a url "), did))
+    )
+    prof = domain_profile(docs.withColumn("url", url), "url")
+    return prof.withColumn(
+        "domain", F.coalesce(F.col("domain"), F.lit("(invalid)"))
+    )

@@ -321,3 +321,48 @@ def test_script_profile_null_text_is_none(spark):
         for s in ("latin", "cyrillic", "greek", "arabic", "cjk", "digit")
     )
     assert out[1].dominant_script == "latin"
+
+
+def test_url_parse_matrix(spark):
+    """Fixture URLs cover scheme/host/port/path/domain extraction:
+    userinfo stripped, query+fragment excluded from path, multi-part
+    public suffixes recognized, malformed rows NULL out."""
+    from pgdedupe_spark.operators.text import url_parse
+
+    cases = [
+        ("https://www.example.com/a/b?q=1#frag", "https", "www.example.com",
+         None, "/a/b", "example.com"),
+        ("http://blog.sample.co.uk:8080/x", "http", "blog.sample.co.uk",
+         8080, "/x", "sample.co.uk"),
+        ("https://user:pw@files.archive.org.uk:444/d", "https",
+         "files.archive.org.uk", 444, "/d", "archive.org.uk"),
+        ("ftp://mirror.data.ne.jp", "ftp", "mirror.data.ne.jp",
+         None, "", "data.ne.jp"),
+        ("https://localhost/x", "https", "localhost", None, "/x", None),
+        ("no scheme here", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, *_) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r for r in url_parse(df, "url").collect()}
+    for i, (_, sch, host, port, path, dom) in enumerate(cases):
+        r = got[i]
+        assert r["url_scheme"] == sch, (i, r)
+        assert r["url_host"] == host, (i, r)
+        assert r["url_port"] == port, (i, r)
+        assert r["url_path"] == path, (i, r)
+        assert r["url_domain"] == dom, (i, r)
+
+
+def test_url_parse_refuses_clash_and_stays_jvm(spark):
+    import pytest
+
+    from pgdedupe_spark.operators.text import url_parse
+
+    df = spark.createDataFrame([(1, "x", "y")], "i long, url string, url_host string")
+    with pytest.raises(ValueError, match="url_host"):
+        url_parse(df, "url")
+
+    clean = spark.createDataFrame([(1, "https://a.b.c/d")], "i long, url string")
+    plan = url_parse(clean, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan
+    assert "Exchange" not in plan  # pure projection, zero shuffle
