@@ -687,3 +687,45 @@ def weighted_sample(
             .withColumn("sample_rank", F.row_number().over(Window.orderBy(*order)))
         )
     return out.drop("_es_key")
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: list[str],
+    secret: str,
+    hash_bits: int = 256,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization: replace each listed column
+    with the hex SHA-2 of ``secret || ':' || value`` — the privacy
+    sibling of :func:`pii_redact` (redaction destroys joinability;
+    pseudonymization preserves it: the same value under the same secret
+    yields the same token in EVERY table, so pseudonymized keys still
+    join/group/dedup across the pipeline). NULL stays NULL (a token for
+    NULL would silently merge all missing values into one hot key).
+    Values are cast to string first, so numeric ids tokenize stably.
+
+    Security note, stated honestly: this is keyed hashing, not
+    encryption — irreversible without the secret, but subject to
+    dictionary attack IF the secret leaks (rotate per dataset release)
+    and to frequency analysis like any deterministic scheme. That's the
+    standard trade for join-preserving pseudonymization.
+
+    Pure JVM projection: one sha2 per cell, zero shuffle, nothing
+    leaves codegen."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"no such columns: {missing}")
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                F.sha2(
+                    F.concat(F.lit(secret), F.lit(":"), F.col(c).cast("string")),
+                    hash_bits,
+                )
+            ),
+        )
+    return out

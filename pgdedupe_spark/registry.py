@@ -3848,6 +3848,7 @@ PYTEST_ONLY = frozenset(
         "stats_robust_outliers",
         "events_trending",
         "text_url_profile",
+        "pii_pseudonymize",
     }
 )
 
@@ -4821,4 +4822,38 @@ def text_url_profile(spark, sf_dir):
     prof = domain_profile(docs.withColumn("url", url), "url")
     return prof.withColumn(
         "domain", F.coalesce(F.col("domain"), F.lit("(invalid)"))
+    )
+
+
+@query(
+    "pii_pseudonymize",
+    oracle="""
+    WITH tok AS (
+      SELECT event_id,
+             CASE WHEN user_id IS NULL THEN NULL
+                  ELSE sha256('k0:' || CAST(user_id AS VARCHAR)) END AS user_id,
+             event_type
+      FROM events
+    )
+    SELECT user_id AS user_token,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM tok GROUP BY user_id
+    """,
+)
+def pii_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization (curation.pseudonymize, new r7): tokenize
+    events.user_id under a secret, then aggregate per token — proving
+    the property the operator exists for: tokens keep joinability and
+    group-by semantics (the per-token rollup equals the per-user one,
+    relabeled). Spark sha2 and DuckDB sha256 agree on lowercase hex of
+    identical byte input. Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import pseudonymize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tok = pseudonymize(ev, ["user_id"], secret="k0")
+    return tok.groupBy(F.col("user_id").alias("user_token")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
     )

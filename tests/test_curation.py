@@ -638,3 +638,40 @@ def test_weighted_sample_global_mode_take_ordered(spark):
     )
     want = sorted((r.doc_id, r.sample_rank) for r in grouped.collect())
     assert got == want
+
+
+def test_pseudonymize_join_preservation_and_nulls(spark):
+    """The operator's reason to exist: the same value under the same
+    secret tokenizes identically across frames (joins survive), a
+    different secret breaks linkage, and NULL stays NULL."""
+    from pgdedupe_spark.operators.curation import pseudonymize
+
+    a = spark.createDataFrame([(1, 10), (2, 20), (3, None)], "k long, uid long")
+    b = spark.createDataFrame([(10, "x"), (20, "y"), (30, "z")], "uid long, v string")
+    ta = pseudonymize(a, ["uid"], secret="s1")
+    tb = pseudonymize(b, ["uid"], secret="s1")
+    joined = ta.join(tb, "uid")
+    assert sorted(r["k"] for r in joined.collect()) == [1, 2]
+
+    tb2 = pseudonymize(b, ["uid"], secret="OTHER")
+    assert ta.join(tb2, "uid").count() == 0
+
+    rows = {r["k"]: r["uid"] for r in ta.collect()}
+    assert rows[3] is None
+    assert rows[1] is not None and len(rows[1]) == 64  # sha-256 hex
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nope"):
+        pseudonymize(a, ["nope"], secret="s")
+
+
+def test_pseudonymize_is_pure_projection(spark):
+    from pgdedupe_spark.operators.curation import pseudonymize
+
+    df = spark.createDataFrame([(1, "a")], "k long, uid string")
+    plan = (
+        pseudonymize(df, ["uid"], secret="s")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "PythonUDF" not in plan
