@@ -108,6 +108,16 @@ HEADLINE = [
     "hybrid_search_rrf",
     "dedup_incremental_exact",
     "j13_scd2_intervals",
+    # late-r7 extension wave: snapshot reconciliation, exact-integer
+    # PageRank (iterative, ~500k trade edges at sf0.1), sliding-window
+    # trending top-k, robust MAD outlier gate, URL/domain profile, keyed
+    # pseudonymization
+    "j14_snapshot_diff",
+    "graph_pagerank",
+    "events_trending",
+    "stats_robust_outliers",
+    "text_url_profile",
+    "pii_pseudonymize",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
