@@ -128,3 +128,52 @@ def robust_outlier_flags(
         .drop("_rof_ad")
     )
     return out.drop(tmp_g) if not gb else out
+
+
+def rate_wilson_ci(
+    df: DataFrame,
+    success: Column,
+    group_cols: list[str],
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Per-group success rate with a Wilson score interval — the CI that
+    stays inside [0,1] and behaves at small n / extreme rates where the
+    naive normal interval collapses (the metric-report primitive for
+    conversion/defect/dedup-rate dashboards). ``success`` is any boolean
+    Column; default z is the exact two-sided 95% quantile.
+
+    Output: group cols + n, k, rate, ci_lo, ci_hi. One map-side-combined
+    aggregation (count + conditional count) keyed by the group; the
+    interval arithmetic is row-local on the aggregate row. The formula
+    is evaluated in one fixed operation order, mirrored textually by the
+    oracle SQL, so doubles match bit-for-bit across engines."""
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success.cast("long")).alias("k"),
+    )
+    zz = z * z
+    return (
+        agg.withColumn("_nd", F.col("n").cast("double"))
+        .withColumn("rate", F.col("k").cast("double") / F.col("_nd"))
+        .withColumn("_den", F.lit(1.0) + F.lit(zz) / F.col("_nd"))
+        .withColumn("_ctr", F.col("rate") + F.lit(zz) / (F.lit(2.0) * F.col("_nd")))
+        .withColumn(
+            "_mrg",
+            F.lit(z)
+            * F.sqrt(
+                F.col("rate") * (F.lit(1.0) - F.col("rate")) / F.col("_nd")
+                + F.lit(zz) / (F.lit(4.0) * F.col("_nd") * F.col("_nd"))
+            ),
+        )
+        # clamp: the interval is mathematically inside [0,1] but fp
+        # rounding can exceed by an ulp at p∈{0,1}; the oracle mirrors
+        .withColumn(
+            "ci_lo",
+            F.greatest((F.col("_ctr") - F.col("_mrg")) / F.col("_den"), F.lit(0.0)),
+        )
+        .withColumn(
+            "ci_hi",
+            F.least((F.col("_ctr") + F.col("_mrg")) / F.col("_den"), F.lit(1.0)),
+        )
+        .drop("_nd", "_den", "_ctr", "_mrg")
+    )

@@ -3849,6 +3849,7 @@ PYTEST_ONLY = frozenset(
         "events_trending",
         "text_url_profile",
         "pii_pseudonymize",
+        "a16_rate_ci",
     }
 )
 
@@ -4857,3 +4858,46 @@ def pii_pseudonymize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "a16_rate_ci",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    ), s AS (
+      SELECT event_type, n, k,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate
+      FROM agg
+    ), t AS (
+      SELECT event_type, n, k, rate,
+             1.0 + 3.8414588206941254 / nd AS den,
+             rate + 3.8414588206941254 / (2.0 * nd) AS ctr,
+             1.959963984540054 * sqrt(
+               rate * (1.0 - rate) / nd
+               + 3.8414588206941254 / (4.0 * nd * nd)
+             ) AS mrg
+      FROM s
+    )
+    SELECT event_type, n, k, rate,
+           greatest((ctr - mrg) / den, 0.0) AS ci_lo,
+           least((ctr + mrg) / den, 1.0) AS ci_hi
+    FROM t
+    """,
+)
+def a16_rate_ci(spark, sf_dir):
+    """Per-type success rate with Wilson 95% interval
+    (stats.rate_wilson_ci, new r7): share of events with value > 50 per
+    event_type. The interval arithmetic runs in ONE fixed IEEE
+    operation order mirrored textually in the oracle, so the doubles
+    hash-match bit-for-bit (z² is pre-folded to the same literal both
+    sides). Registered PYTEST_ONLY from birth — window full; full
+    DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.stats import rate_wilson_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return rate_wilson_ci(ev, F.col("value") > 50, ["event_type"])

@@ -276,3 +276,31 @@ def test_snapshot_diff_single_join_plan(spark, sf_dir):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "PythonUDF" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 2  # one pass per side
+
+
+def test_snapshot_diff_feeds_apply_cdc_roundtrip(spark):
+    """The family contract: snapshot_diff RECOVERS the change set that
+    apply_cdc APPLIES — diff(old, new) mapped to a CDC feed and applied
+    to old reproduces new exactly. This is what makes the diff usable
+    for replication, not just reporting."""
+    from pgdedupe_spark.operators.merge import apply_cdc, snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, "d", 40.0), (5, None, 50.0)],
+        "id long, v string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B2", 21.0), (5, "now-set", 50.0), (7, "g", 70.0)],
+        "id long, v string, bal double",
+    )
+    diff = snapshot_diff(old, new, ["id"])
+    feed = diff.select(
+        "id",
+        F.when(F.col("change_type") == "removed", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("new_v").alias("v"),
+        F.col("new_bal").alias("bal"),
+    )
+    applied = apply_cdc(old, feed, ["id"])
+    assert _rows(applied) == _rows(new)

@@ -114,3 +114,37 @@ def test_robust_outlier_flags_broadcasts_stats(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 3, plan
     assert "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_rate_wilson_ci_known_values_and_edges(spark):
+    """Hand-checked Wilson interval (k=8, n=10, z=1.96-exact) plus the
+    edge cases the naive normal interval gets wrong: k=0 keeps a
+    positive upper bound, k=n keeps a sub-1 lower bound, all bounds
+    inside [0,1]."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.stats import rate_wilson_ci
+
+    rows = [("a", i < 8) for i in range(10)]
+    rows += [("b", False) for _ in range(20)]
+    rows += [("c", True) for _ in range(15)]
+    df = spark.createDataFrame(rows, "grp string, ok boolean")
+    out = {r["grp"]: r for r in rate_wilson_ci(df, F.col("ok"), ["grp"]).collect()}
+
+    z = 1.959963984540054
+    n, p = 10.0, 0.8
+    den = 1 + z * z / n
+    ctr = p + z * z / (2 * n)
+    mrg = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    a = out["a"]
+    assert a["n"] == 10 and a["k"] == 8 and abs(a["rate"] - 0.8) < 1e-15
+    assert abs(a["ci_lo"] - (ctr - mrg) / den) < 1e-12
+    assert abs(a["ci_hi"] - (ctr + mrg) / den) < 1e-12
+
+    b, c = out["b"], out["c"]
+    assert b["k"] == 0 and b["ci_lo"] == 0.0 and b["ci_hi"] > 0.1
+    assert c["k"] == 15 and c["ci_hi"] <= 1.0 and c["ci_lo"] < 1.0
+    for r in out.values():
+        assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
