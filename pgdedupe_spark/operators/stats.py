@@ -177,3 +177,48 @@ def rate_wilson_ci(
         )
         .drop("_nd", "_den", "_ctr", "_mrg")
     )
+
+
+def equi_depth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram WITHOUT a global sort:
+    the classic ntile formulation needs a total order — on Spark that is
+    a single-partition window, the canonical scale-killer. Instead the
+    exact interpolating percentile computes the n−1 bucket boundaries in
+    one partial-aggregatable pass, the boundary array broadcasts back,
+    and each row's bucket is `count(boundaries < value)` — a row-local
+    codegen fold that is deterministic under ties (equal values always
+    land in the same bucket, unlike ntile's row-order splits). Output:
+    group cols + bucket, n_rows, lo, hi. Under heavy ties buckets are
+    approximately equal-depth — the deterministic trade.
+
+    Oracle parity note: the boundary probabilities must be the same
+    literals both sides; n_buckets with non-terminating binary
+    fractions (e.g. 3) still match because both engines fold the same
+    double literal."""
+    gb = list(group_cols) if group_cols else []
+    tmp_g = "_edh_g"
+    while tmp_g in df.columns:
+        tmp_g += "_"
+    base = df if gb else df.withColumn(tmp_g, F.lit(1))
+    keys = gb if gb else [tmp_g]
+    probs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
+    bnds = base.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, array({probs}))").alias("_bnds")
+    )
+    j = base.join(F.broadcast(bnds), keys)
+    bucket = (
+        F.size(F.filter(F.col("_bnds"), lambda b: F.col(value_col) > b))
+        .cast("int")
+        .alias("bucket")
+    )
+    out = j.groupBy(*keys, bucket).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )
+    return out.drop(tmp_g) if not gb else out

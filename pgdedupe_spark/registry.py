@@ -3850,6 +3850,7 @@ PYTEST_ONLY = frozenset(
         "text_url_profile",
         "pii_pseudonymize",
         "a16_rate_ci",
+        "stats_equidepth",
     }
 )
 
@@ -4901,3 +4902,32 @@ def a16_rate_ci(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return rate_wilson_ci(ev, F.col("value") > 50, ["event_type"])
+
+
+@query(
+    "stats_equidepth",
+    oracle="""
+    WITH b AS (
+      SELECT source, quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS bnds
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(len(list_filter(b.bnds, x -> d.n_chars > x)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(d.n_chars) AS lo,
+           max(d.n_chars) AS hi
+    FROM documents d JOIN b ON d.source = b.source
+    GROUP BY 1, 2
+    """,
+)
+def stats_equidepth(spark, sf_dir):
+    """Per-source equi-depth length histogram (stats.equi_depth_histogram,
+    new r7): 4 quantile buckets of documents.n_chars per source — the
+    sort-free formulation (percentile boundaries + broadcast row-local
+    assignment) whose boundary interpolation DuckDB's quantile_cont
+    reproduces exactly. Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.stats import equi_depth_histogram
+
+    docs = _t(spark, sf_dir, "documents")
+    return equi_depth_histogram(docs.select("source", "n_chars"), "n_chars", 4, ["source"])

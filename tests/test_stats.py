@@ -148,3 +148,40 @@ def test_rate_wilson_ci_known_values_and_edges(spark):
     assert c["k"] == 15 and c["ci_hi"] <= 1.0 and c["ci_lo"] < 1.0
     for r in out.values():
         assert 0.0 <= r["ci_lo"] <= r["rate"] <= r["ci_hi"] <= 1.0
+
+
+def test_equi_depth_histogram_depths_and_determinism(spark):
+    """100 distinct values into 4 buckets: exact 25-per-bucket depths
+    with contiguous [lo,hi] ranges; ties land deterministically (equal
+    values share a bucket, unlike ntile's row-order splits)."""
+    from pgdedupe_spark.operators.stats import equi_depth_histogram
+
+    df = spark.createDataFrame([(i,) for i in range(1, 101)], "v long")
+    out = sorted(
+        map(tuple, equi_depth_histogram(df, "v", 4).select(
+            "bucket", "n_rows", "lo", "hi").collect())
+    )
+    assert [r[1] for r in out] == [25, 25, 25, 25]
+    assert [r[0] for r in out] == [0, 1, 2, 3]
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(out, out[1:]):
+        assert hi1 < lo2  # disjoint, ordered ranges
+
+    # heavy ties: all-equal values land in ONE bucket, not split by order
+    ties = spark.createDataFrame([(7,)] * 50, "v long")
+    got = equi_depth_histogram(ties, "v", 4).collect()
+    assert len(got) == 1 and got[0]["n_rows"] == 50
+
+
+def test_equi_depth_histogram_no_global_sort(spark, sf_dir):
+    """The reason the operator exists: no single-partition window, no
+    global Sort — boundaries broadcast and assignment is row-local."""
+    from pgdedupe_spark import registry
+
+    plan = (
+        registry.QUERIES["stats_equidepth"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "PythonUDF" not in plan
