@@ -118,6 +118,8 @@ HEADLINE = [
     "stats_robust_outliers",
     "text_url_profile",
     "pii_pseudonymize",
+    "a16_rate_ci",
+    "stats_equidepth",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
