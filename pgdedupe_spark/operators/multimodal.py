@@ -1146,3 +1146,137 @@ def audio_spectral_features(
             )
 
     return df.mapInPandas(_batches, schema=SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash) + near-duplicate pairs: the bridge from
+# the native decode tier to the dedup family. Text near-dup signatures
+# (SimHash/MinHash — operators/dedup.py) don't transfer to pixels; dHash is
+# the standard perceptual signature: brightness-gradient signs on a fixed
+# 8×9 grid are invariant to uniform brightness/contrast shifts, re-encoding
+# and mild resizing — exactly the transforms that defeat byte-level exact
+# dedup on a crawled image corpus.
+# ---------------------------------------------------------------------------
+
+DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def _dhash_from_gray(g: np.ndarray) -> int:
+    """64-bit dHash of a float grayscale array: block-mean to an 8×9
+    grid (exact integer-boundary partition — deterministic for any input
+    size), bit (y,x) = grid[y,x] > grid[y,x+1]. Tiny inputs repeat edge
+    pixels up to the grid size first."""
+    h, w = g.shape
+    if h < 8:
+        g = np.repeat(g, -(-8 // h), axis=0)
+    if w < 9:
+        g = np.repeat(g, -(-9 // w), axis=1)
+    h, w = g.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(9) * w) // 9
+    block = np.add.reduceat(np.add.reduceat(g.astype(np.float64), ys, axis=0), xs, axis=1)
+    hc = np.diff(np.append(ys, h)).astype(np.float64)
+    wc = np.diff(np.append(xs, w)).astype(np.float64)
+    block /= np.outer(hc, wc)
+    bits = (block[:, :-1] > block[:, 1:]).flatten()
+    val = np.uint64(0)
+    for i in np.nonzero(bits)[0]:
+        val |= np.uint64(1) << np.uint64(int(i))
+    return int(val.astype(np.int64))
+
+
+def _dhash_payload(payload: bytes, mode: str) -> int:
+    if mode == "native":
+        arr, _, _ = native_image_decode(payload)
+        gray = arr.astype(np.float64).mean(axis=2) if arr.ndim == 3 else arr.astype(np.float64)
+        return _dhash_from_gray(gray)
+    if mode == "strict":
+        import io
+
+        from PIL import Image  # noqa: PLC0415
+
+        arr = np.asarray(Image.open(io.BytesIO(payload)).convert("L"), dtype=np.float64)
+        return _dhash_from_gray(arr)
+    # fake: deterministic byte-block stand-in — same plumbing, no decode
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if b.size == 0:
+        return 0
+    pad = (-b.size) % 72
+    b = np.pad(b, (0, pad), mode="wrap")
+    return _dhash_from_gray(b.reshape(-1, 72).mean(axis=0).reshape(8, 9))
+
+
+def image_dhash(df: DataFrame, mode: str = "fake") -> DataFrame:
+    """Per-image 64-bit perceptual hash over (media_id, modality,
+    payload) rows — mapInPandas, scan-local, one row out per image.
+    ``mode`` resolves against decode_capabilities() like every decode
+    stage: 'native' uses the pure-numpy PNG/GIF/JPEG/PNM/BMP decoders,
+    'strict' requires PIL, 'fake'/'auto'-degraded keeps the plumbing
+    testable without decoders."""
+    mode = resolve_decode_mode(mode, "image")
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [
+                        _dhash_payload(
+                            p if isinstance(p, (bytes, bytearray)) else bytes(p), mode
+                        )
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(_batches, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, mode: str = "fake"
+) -> DataFrame:
+    """Near-duplicate image pairs with Hamming(dHash) ≤ ``max_hamming``:
+    the SimHash pigeonhole plan (dedup.simhash_pairs) applied to pixel
+    signatures — the signature splits into max_hamming+1 chunks, any
+    qualifying pair agrees exactly on ≥1 chunk, so candidates come from
+    an equi-join on (chunk_idx, chunk_value) buckets, never an all-pairs
+    scan; one JVM bit_count verifies. Output (id1, id2, hamming). The
+    signature frame persists across the self-join's two branches
+    (decode runs once per image, not twice)."""
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sig = image_dhash(df, mode=mode)
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.shiftright("dhash", c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("k"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = sig.select(
+        F.col("media_id").alias("_id"), F.col("dhash").alias("_sig"),
+        F.explode(keys).alias("_bk"),
+    ).persist()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a._bk") == F.col("b._bk")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id1"),
+            F.col("b._id").alias("id2"),
+            F.col("a._sig").alias("_s1"),
+            F.col("b._sig").alias("_s2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

@@ -1211,3 +1211,86 @@ def test_spectral_features_silence_and_short(spark):
            for r in audio_spectral_features(df, mode="native").collect()}
     assert out[0] == [0.0] * 5  # silent: zero total power path
     assert out[1] == [0.0] * 5  # single sample: too short for a spectrum
+
+
+def test_image_dhash_perceptual_properties(spark):
+    """dHash over natively-decoded PNGs: identical pixels hash equal, a
+    uniform brightness shift is hash-INVARIANT (gradient signs survive),
+    a small local edit moves few bits, an unrelated image moves many."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import image_dhash
+
+    rng = np.random.RandomState(7)
+    base = (rng.rand(64, 64, 3) * 200).astype(np.uint8)
+    brighter = np.clip(base.astype(np.int64) + 20, 0, 255).astype(np.uint8)
+    edited = base.copy()
+    edited[:, 28:36] = 255  # one full-height stripe ≈ one grid column
+    other = (rng.rand(64, 64, 3) * 200).astype(np.uint8)
+
+    media = spark.createDataFrame(
+        [(1, "image", _png_bytes(base)), (2, "image", _png_bytes(base)),
+         (3, "image", _png_bytes(brighter)), (4, "image", _png_bytes(edited)),
+         (5, "image", _png_bytes(other))],
+        "media_id long, modality string, payload binary",
+    )
+    h = {r["media_id"]: r["dhash"] for r in image_dhash(media, mode="native").collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert h[1] == h[2]                      # decode+hash deterministic
+    assert ham(h[1], h[3]) == 0              # brightness-shift invariant
+    assert 0 < ham(h[1], h[4]) <= 16         # one-column edit: bounded bits
+    assert ham(h[1], h[5]) > 16              # unrelated: many bits
+    assert ham(h[1], h[4]) < ham(h[1], h[5])
+
+
+def test_image_near_dup_pairs_banded_join(spark):
+    """Near-dup pair gen finds exactly the planted perceptual pair via
+    the pigeonhole band join (no all-pairs), at native decode."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import image_near_dup_pairs
+
+    rng = np.random.RandomState(11)
+    imgs = {}
+    base = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    near = np.clip(base.astype(np.int64) + 5, 0, 255).astype(np.uint8)
+    imgs[1], imgs[2] = base, near
+    for i in range(3, 9):
+        imgs[i] = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(i, "image", _png_bytes(a)) for i, a in imgs.items()],
+        "media_id long, modality string, payload binary",
+    )
+    pairs = image_near_dup_pairs(media, max_hamming=3, mode="native")
+    got = [(r["id1"], r["id2"], r["hamming"]) for r in pairs.collect()]
+    assert got == [(1, 2, 0)], got
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_image_dhash_partition_independent_and_fake_mode(spark):
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import image_dhash
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, "image", _png_bytes((rng.rand(16, 16, 3) * 255).astype(np.uint8)))
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(rows, "media_id long, modality string, payload binary")
+    one = {r["media_id"]: r["dhash"]
+           for r in image_dhash(media.coalesce(1), mode="native").collect()}
+    many = {r["media_id"]: r["dhash"]
+            for r in image_dhash(media.repartition(8), mode="native").collect()}
+    assert one == many
+
+    # fake mode: plumbing works on arbitrary bytes, deterministic
+    junk = spark.createDataFrame(
+        [(1, "image", b"not an image at all"), (2, "image", b"")],
+        "media_id long, modality string, payload binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(junk, mode="fake").collect()}
+    again = {r["media_id"]: r["dhash"] for r in image_dhash(junk, mode="fake").collect()}
+    assert got == again and got[2] == 0
