@@ -356,3 +356,61 @@ def gapfill_locf(
         F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
         F.max("_sv").over(wg).cast("double").alias("locf_value"),
     )
+
+
+def rolling_robust_z(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int = 24,
+    k: float = 4.0,
+) -> DataFrame:
+    """Trailing-window robust anomaly score per key: each row's value is
+    compared against the median and IQR of the ``window_rows`` rows
+    STRICTLY BEFORE it (the anomaly must not drag its own baseline), in
+    ``order_cols`` order. Appends ``roll_med``, ``roll_iqr``,
+    ``robust_z`` ((v − med)/(0.7413·IQR), the normal-consistent robust
+    z; NULL when the trailing window is short or IQR is 0) and
+    ``is_anomaly`` (|z| > k).
+
+    IQR, not MAD: a rolling MAD needs the median of |x − frame-median|
+    — a window nested inside a window, which no engine's frame model
+    expresses; p75−p25 over the same frame is the standard
+    one-pass-window robust scale (consistency constant 0.7413 =
+    1/1.349). All three percentiles and the count share ONE window
+    spec, so Spark plans a single partitioning+sort pass — one shuffle
+    keyed by ``key_cols``, the floor for any ordered per-key scan.
+    ``order_cols`` must be a deterministic total order per key (add a
+    row id to break timestamp ties)."""
+    clash = {"roll_med", "roll_iqr", "robust_z", "is_anomaly"} & set(df.columns)
+    if clash:
+        raise ValueError(f"input already has columns {sorted(clash)}")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-window_rows, -1)
+    )
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    p25 = F.expr(f"percentile({value_col}, 0.25)").over(w)
+    p75 = F.expr(f"percentile({value_col}, 0.75)").over(w)
+    n = F.count(F.lit(1)).over(w)
+    out = (
+        df.withColumn("roll_med", F.when(n >= window_rows, med))
+        .withColumn("roll_iqr", F.when(n >= window_rows, p75 - p25))
+        .withColumn(
+            "robust_z",
+            F.when(
+                (F.col("roll_iqr").isNotNull()) & (F.col("roll_iqr") != 0),
+                (F.col(value_col) - F.col("roll_med"))
+                / (F.lit(0.7413) * F.col("roll_iqr")),
+            ),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.when(
+                F.col("robust_z").isNotNull(), F.abs(F.col("robust_z")) > F.lit(k)
+            ).otherwise(F.lit(False)),
+        )
+    )
+    return out

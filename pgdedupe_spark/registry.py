@@ -3851,6 +3851,7 @@ PYTEST_ONLY = frozenset(
         "pii_pseudonymize",
         "a16_rate_ci",
         "stats_equidepth",
+        "events_rolling_anomaly",
     }
 )
 
@@ -4931,3 +4932,47 @@ def stats_equidepth(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return equi_depth_histogram(docs.select("source", "n_chars"), "n_chars", 4, ["source"])
+
+
+@query(
+    "events_rolling_anomaly",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             CAST(count(*) OVER f AS BIGINT) AS n,
+             quantile_cont(value, 0.5) OVER f AS med,
+             quantile_cont(value, 0.25) OVER f AS p25,
+             quantile_cont(value, 0.75) OVER f AS p75
+      FROM events
+      WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ), s AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN n >= 24 THEN med END AS roll_med,
+             CASE WHEN n >= 24 THEN p75 - p25 END AS roll_iqr
+      FROM w
+    )
+    SELECT event_id, event_type, value, roll_med, roll_iqr,
+           CASE WHEN roll_iqr IS NOT NULL AND roll_iqr <> 0
+                THEN (value - roll_med) / (0.7413 * roll_iqr) END AS robust_z,
+           coalesce(CASE WHEN roll_iqr IS NOT NULL AND roll_iqr <> 0
+                THEN abs((value - roll_med) / (0.7413 * roll_iqr)) > 4.0
+                END, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def events_rolling_anomaly(spark, sf_dir):
+    """Trailing-window robust anomaly gate (temporal.rolling_robust_z,
+    new r7): per event_type, each value vs the median/IQR of the 24
+    preceding events (strictly before — the anomaly can't drag its own
+    baseline), deterministic (ts, event_id) total order. All three
+    percentiles and the count share one window spec → single
+    partition+sort pass; interpolation and the z arithmetic mirror the
+    oracle textually. Registered PYTEST_ONLY from birth — window full;
+    full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.temporal import rolling_robust_z
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    return rolling_robust_z(
+        ev, ["event_type"], ["ts", "event_id"], "value", window_rows=24, k=4.0
+    ).drop("ts")

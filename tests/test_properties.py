@@ -757,3 +757,43 @@ def test_incremental_exact_flags_equal_plain_join_property(spark, corpus, batch)
     )
     ref = {r.doc_id: (r.cid is not None, r.cid) for r in ref_rows}
     assert got == ref
+
+
+def test_rolling_robust_z_plants_and_contracts(spark):
+    """A flat-ish series with one planted spike: only the spike flags
+    (strictly-before baseline ⇒ the spike can't dilute itself); the
+    first window_rows rows are NULL-scored; IQR=0 stretches score NULL
+    but don't flag; one hash exchange total (all window exprs share the
+    partitioning)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.temporal import rolling_robust_z
+
+    vals = [10.0 + (i % 5) for i in range(40)]
+    vals[30] = 500.0  # the anomaly
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], "k string, t long, v double"
+    )
+    out = rolling_robust_z(df, ["k"], ["t"], "v", window_rows=8, k=4.0)
+    rows = {r["t"]: r for r in out.collect()}
+    assert [t for t, r in rows.items() if r["is_anomaly"]] == [30]
+    for t in range(8):  # short trailing window -> unscored, unflagged
+        assert rows[t]["robust_z"] is None and not rows[t]["is_anomaly"]
+    assert rows[29]["roll_med"] == 12.0  # median of the 5-cycle
+
+    # constant series: IQR 0 -> NULL z, never flags
+    const = spark.createDataFrame(
+        [("c", i, 7.0) for i in range(20)], "k string, t long, v double"
+    )
+    cz = rolling_robust_z(const, ["k"], ["t"], "v", window_rows=8).collect()
+    assert all(r["robust_z"] is None and not r["is_anomaly"] for r in cz)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final.count("Window [") == 1, final  # all exprs share one pass
+    assert final.count("Sort ") == 1, final
+    assert "PythonUDF" not in final
+
+    with pytest.raises(ValueError, match="robust_z"):
+        rolling_robust_z(out, ["k"], ["t"], "v")
