@@ -366,3 +366,52 @@ def rare_token_blocking_map(
         F.concat(F.lit(f"rare:{field}:"), F.col("tok")).alias("block_key"),
         F.col(id_col),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the OTHER classic ER candidate
+    generator, complementary to predicate/token blocking D6/D7): sort
+    the corpus by a fuzzy key and pair every record with its ``window``
+    successors — records that are near-duplicates sort near each other
+    even when no predicate token matches exactly (typo in the first
+    token, prefix truncation). Output (id1, id2, rank_gap), id1 the
+    lower-ranked record, 1 ≤ rank_gap ≤ window — exactly the pairs a
+    row_number self-join ``0 < rb−ra ≤ w`` produces, O(n·w) of them.
+
+    Scale shape: ranks come from :func:`ids.add_deterministic_id`
+    (range-partition + per-partition offsets — NO single-partition
+    global sort), and the neighbor join is an EQUI-join: cells of width
+    ``window`` on the rank, the right side exploded to (cell, cell−1),
+    so every qualifying pair meets on exactly one key (cells differ by
+    ≤1 when ranks differ by ≤ window — no distinct needed, no range
+    join, no cartesian). ``sort_cols + [id_col]`` must be a unique
+    total order; ``id_col`` is appended as the tiebreak."""
+    from pgdedupe_spark.operators.ids import add_deterministic_id
+
+    ranked = add_deterministic_id(
+        df.select(id_col, *sort_cols), [*sort_cols, id_col], "_snm_rank"
+    ).select(F.col(id_col).alias("_id"), F.col("_snm_rank").alias("_rk"))
+    cell = ((F.col("_rk") - 1) / F.lit(window)).cast("long")
+    a = ranked.select("_id", "_rk", cell.alias("_cell"))
+    b = ranked.select(
+        F.col("_id").alias("_idb"),
+        F.col("_rk").alias("_rkb"),
+        F.explode(F.array(cell, cell - 1)).alias("_cell"),
+    )
+    return (
+        a.join(b, "_cell")
+        .filter(
+            (F.col("_rkb") > F.col("_rk"))
+            & (F.col("_rkb") - F.col("_rk") <= window)
+        )
+        .select(
+            F.col("_id").alias("id1"),
+            F.col("_idb").alias("id2"),
+            (F.col("_rkb") - F.col("_rk")).cast("int").alias("rank_gap"),
+        )
+    )

@@ -3852,6 +3852,7 @@ PYTEST_ONLY = frozenset(
         "a16_rate_ci",
         "stats_equidepth",
         "events_rolling_anomaly",
+        "d7_sorted_neighborhood",
     }
 )
 
@@ -4976,3 +4977,36 @@ def events_rolling_anomaly(spark, sf_dir):
     return rolling_robust_z(
         ev, ["event_type"], ["ts", "event_id"], "value", window_rows=24, k=4.0
     ).drop("ts")
+
+
+@query(
+    "d7_sorted_neighborhood",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY substr(lower(text), 1, 12), doc_id)
+               AS rk
+      FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(b.rk - a.rk AS INT) AS rank_gap
+    FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 4
+    """,
+)
+def d7_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (blocking.sorted_neighborhood_pairs,
+    new r7): candidates = each document paired with its 4 successors in
+    (lowercased 12-char text prefix, doc_id) order — the classic SNM
+    complement to predicate blocking, catching near-dups whose tokens
+    don't match any predicate exactly. Spark ranks come from the
+    range-partitioned serial-id path (no single-partition sort) and the
+    neighbor join is a cell-banded EQUI-join; the oracle is the naive
+    row_number self-join the composition must equal exactly.
+    Registered PYTEST_ONLY from birth — window full; full DuckDB
+    coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.blocking import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_key", F.substring(F.lower(F.col("text")), 1, 12)
+    )
+    return sorted_neighborhood_pairs(docs, "doc_id", ["_key"], window=4)

@@ -247,3 +247,35 @@ def test_quality_at_reference_integration_scale(spark):
     assert precision >= 0.9, f"pairwise precision {precision:.3f} < 0.9"
     assert recall >= 0.95, f"pairwise recall {recall:.3f} < 0.95"
     assert plurality >= 0.9, f"plurality accuracy {plurality:.3f} < 0.9"
+
+
+def test_sorted_neighborhood_pairs_equal_naive_reference(spark):
+    """The cell-banded equi-join composition must equal the naive
+    row_number self-join exactly — including across range-partition
+    boundaries (the classic SNM distributed-implementation bug)."""
+    from pgdedupe_spark.operators.blocking import sorted_neighborhood_pairs
+
+    rows = [(i, f"k{(i * 37) % 100:03d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "rid long, key string").repartition(7)
+    w = 5
+    got = sorted(
+        map(tuple, sorted_neighborhood_pairs(df, "rid", ["key"], window=w)
+            .select("id1", "id2", "rank_gap").collect())
+    )
+    # naive reference: python sort + all pairs within w ranks
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = sorted(
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w + 1, len(order)))
+    )
+    assert got == want
+    n = len(rows)
+    assert len(got) == n * w - w * (w + 1) // 2  # exact SNM pair count
+
+    plan = (
+        sorted_neighborhood_pairs(df, "rid", ["key"], window=w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PythonUDF" not in plan
