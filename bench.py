@@ -120,6 +120,8 @@ HEADLINE = [
     "pii_pseudonymize",
     "a16_rate_ci",
     "stats_equidepth",
+    "events_rolling_anomaly",
+    "d7_sorted_neighborhood",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
