@@ -31,17 +31,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks exactly the first 50 queries per round, so the dict
 # below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
-# tests/test_entry_contract.py). Round 7 executes the wholesale
-# tail↔priority swap promised in r6: _PRIORITY below is the r6 _TAIL (the
-# r5 window, all 50 green in CORRECTNESS_r05) — led by the four queries
-# getting their FIRST driver row: events_attribution_outer (born
-# PYTEST_ONLY in r6, VERDICT r6 #3) and three of the five newly promoted
-# olap.py shapes (VERDICT r6 #4: q21/q20/q12 here, q8/grouping-sets in
-# _TAIL for r8). Six saturated trivial rows (a12_setops, a14_except,
-# a15_union_by_name, f12_posexplode, f5_concat_null, p2_filter_projection
-# — green since r1-r3) are demoted to registry.PYTEST_ONLY to make the
-# room; they keep full DuckDB oracle coverage via tests/test_oracle.py.
+# tests/test_entry_contract.py). Round 8 executes the wholesale
+# tail↔priority swap promised in r7: _PRIORITY below is the r7 _TAIL (the
+# r6 window, all 50 green in CORRECTNESS_r06, minus two demoted trivial
+# rows) — led by the five queries getting their FIRST driver row:
+# q8_market_share, q_grouping_sets (VERDICT r6 #4 leftovers) and the
+# three late-r7 promotions graph_pagerank / j14_snapshot_diff /
+# events_rolling_anomaly (VERDICT r7 #2).
 _PRIORITY = [
+    # -- first driver rows in r8 (VERDICT r7 #2 + #6) — lead with these --
+    "q2_min_balance_supplier",  # correlated-min supplier match (first row r8)
+    "q6_forecast_revenue",  # single-table selective agg (first row r8)
+    "q9_product_profit",  # 6-way profit snowflake (first row r8)
+    "q11_heavy_parts",  # HAVING vs scalar-subquery threshold (first row r8)
+    "q14_promo_share",  # conditional-agg ratio (first row r8)
+    # or be bench/pytest-only), or the "no query >2 rounds without a
+    # driver row" promise breaks.
+    "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
+    "q_grouping_sets",  # explicit GROUPING SETS + GROUPING() id (first row r8)
+    # late-r7 additions promoted for their first driver rows in r8,
+    # displacing three saturated scalar-function rows (f9/f10/a11, green
+    # since r2-r3, near-zero marginal information — demoted to
+    # registry.PYTEST_ONLY, full oracle coverage retained in pytest):
+    "graph_pagerank",  # iterative op under an exact-integer hash oracle
+    "j14_snapshot_diff",  # full-outer reconciliation, IS DISTINCT FROM
+    "events_rolling_anomaly",  # window percentiles + robust z (first row r8)
+    "ann_pq_serve",
+    "multimodal_audio_native",
+    "pack_sequences",
+    "corpus_token_budget",
+    "q13_customer_distribution",
+    "q4_order_priority",
+    "q7_nation_flow",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "dedup_incremental",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "dedup_canonical_pick",
+    "j3_singleton_coalesce",
+    "w2_window_suite",
+    "dedup_exact_norm",
+    "d6_rare_token_blocks",
+    "d4_pair_scores",
+    "d3_uncertain_pairs",
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
+    "j5_exact_edges",
+    "w1_serial_ids",
+    "ann_cosine_topk",
+    "events_funnel",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "events_sessionize",
+    "events_json_props",
+    "events_asof_join",
+    "events_approx_distinct",
+    "events_range_join",
+    "events_hourly_rollup",
+    "events_user_seq",
+    "events_daily_from_hourly",
+    "events_pivot",
+    "stats_validate",
+    "text_tfidf",
+]
+_TAIL = [
+    # r9 rotation: _TAIL below is the r7 window (all 50 green in
+    # CORRECTNESS_r07 — 43 hash + 7 rows-only-by-design) and becomes the
+    # r9 _PRIORITY on the next wholesale swap. The two lists partition
+    # the 100 driver-eligible queries in alternating rounds — keep it
+    # that way (new queries must displace into the other half, demote a
+    # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
+    # or the "no query >2 rounds without a driver row" promise breaks.
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -94,71 +157,6 @@ _PRIORITY = [
     "ann_ivf_topk",
     "j6_update_join",
     "g1_connected_components",
-]
-_TAIL = [
-    # r8 rotation is a wholesale swap again: _TAIL below is the r6 window
-    # (all 50 green in CORRECTNESS_r06) minus the two demoted trivial rows,
-    # plus the remaining two promoted olap shapes (q8, grouping-sets) —
-    # leading so they get their first driver row in r8. _PRIORITY above is
-    # exactly 50; the two lists partition the 100 driver-eligible queries
-    # in alternating rounds — keep it that way (new queries must displace
-    # into the other half, demote a saturated row to registry.PYTEST_ONLY,
-    # or be bench/pytest-only), or the "no query >2 rounds without a
-    # driver row" promise breaks.
-    "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
-    "q_grouping_sets",  # explicit GROUPING SETS + GROUPING() id (first row r8)
-    # late-r7 additions promoted for their first driver rows in r8,
-    # displacing three saturated scalar-function rows (f9/f10/a11, green
-    # since r2-r3, near-zero marginal information — demoted to
-    # registry.PYTEST_ONLY, full oracle coverage retained in pytest):
-    "graph_pagerank",  # iterative op under an exact-integer hash oracle
-    "j14_snapshot_diff",  # full-outer reconciliation, IS DISTINCT FROM
-    "events_rolling_anomaly",  # window percentiles + robust z (first row r8)
-    "ann_pq_serve",
-    "multimodal_audio_native",
-    "pack_sequences",
-    "corpus_token_budget",
-    "q13_customer_distribution",
-    "q4_order_priority",
-    "q7_nation_flow",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "dedup_incremental",
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "dedup_canonical_pick",
-    "j3_singleton_coalesce",
-    "w2_window_suite",
-    "dedup_exact_norm",
-    "d6_rare_token_blocks",
-    "d4_pair_scores",
-    "d3_uncertain_pairs",
-    "j1_plural_block",
-    "j2_smaller_coverage",
-    "j7_candidate_pairs",
-    "j5_exact_edges",
-    "w1_serial_ids",
-    "ann_cosine_topk",
-    "events_funnel",
-    "dedup_embedding_cosine",
-    "embedding_label_centroids",
-    "events_sessionize",
-    "events_json_props",
-    "events_asof_join",
-    "events_approx_distinct",
-    "events_range_join",
-    "events_hourly_rollup",
-    "events_user_seq",
-    "events_daily_from_hourly",
-    "events_pivot",
-    "stats_validate",
-    "a7_mode_plurality",
-    "a8_ratio_metrics",
-    "j8_anti_join",
-    "j9_semi_join",
-    "text_token_counts",
-    "text_tfidf",
 ]
 
 

@@ -300,7 +300,52 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
         fh.write(line + "\n")
     print(line)
+    # the driver records only the LAST ~2000 chars of stdout and parses a
+    # JSON object out of that window — the full line above is >4 KB, so
+    # BENCH_r07.json came back "parsed": null (VERDICT r7 "What's wrong"
+    # #2). Print a compact summary LAST, hard-capped under the window, so
+    # the driver artifact is always machine-readable; the complete record
+    # stays in the full line / BENCH_LOCAL.json.
+    print(_compact_summary_line(out))
     spark.stop()
+
+
+def _compact_summary_line(out: dict, budget: int = 1900) -> str:
+    """One JSON line <= ``budget`` chars with the driver-contract keys
+    (metric/value/unit/queries/sf). Query times round to 2 decimals; if
+    the full per-query dict still doesn't fit, keep the slowest queries
+    (the informative ones) and flag ``queries_truncated`` — BENCH_LOCAL
+    keeps every entry at full precision regardless."""
+    q = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in out["queries"].items()
+    }
+    slim = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": q,
+        "sf": out["sf"],
+        "value_legacy24": out.get("value_legacy24"),
+        "value_probes": out.get("value_probes"),
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    for key in ("value_probes", "value_legacy24"):
+        slim.pop(key, None)
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    # still too big: drop fastest queries first until it fits
+    by_time = sorted(q, key=lambda k: (q[k] is not None, q[k]), reverse=True)
+    slim["queries_truncated"] = True
+    for keep in range(len(by_time), 0, -1):
+        slim["queries"] = {k: q[k] for k in by_time[:keep]}
+        line = json.dumps(slim, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+    return line
 
 
 def probe_main(name: str) -> None:

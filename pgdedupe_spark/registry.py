@@ -3804,6 +3804,17 @@ for _name in (
     "q12_shipmode_priority",
     "q8_market_share",
     "q_grouping_sets",
+    # third promotion wave (VERDICT r7 #6): the remaining classic TPC-H
+    # aggregation/join shapes get driver rows in r8 — min-cost-supplier
+    # correlated min, single-table selective agg, 6-way profit snowflake,
+    # group-HAVING over a scalar subquery threshold, conditional-agg
+    # ratio. Displaces five saturated trivial rows (a7/a8/j8/j9/
+    # text_token_counts — green since r2-r3) into PYTEST_ONLY below.
+    "q2_min_balance_supplier",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q11_heavy_parts",
+    "q14_promo_share",
 ):
     QUERIES[_name] = _olap.QUERIES[_name]
     ORACLES[_name] = _olap.ORACLES[_name]
@@ -3858,6 +3869,16 @@ PYTEST_ONLY = frozenset(
         "a11_percentiles",
         "f9_string_funcs",
         "f10_datetime_funcs",
+        # demoted in r8 (VERDICT r7 #6) to make window room for the five
+        # promoted olap shapes q2/q6/q9/q11/q14: saturated trivial rows,
+        # green since r2-r3, whose join/agg shapes are now strictly
+        # subsumed by the TPC-H rotation (q21/q22 anti+semi joins,
+        # q14/q_ratio conditional aggs). Full oracle coverage retained.
+        "a7_mode_plurality",
+        "a8_ratio_metrics",
+        "j8_anti_join",
+        "j9_semi_join",
+        "text_token_counts",
     }
 )
 
@@ -4012,10 +4033,9 @@ def events_attribution_outer(spark, sf_dir):
     caveat is also documented). Same hash-join shape as
     `events_attribution` with NULL-extension; the unmatched-purchase
     rows are exactly the "conversion without marketing touch" set a
-    funnel analysis needs. Registered PYTEST_ONLY from birth: the
-    driver's 100-query window is full, and the demotion mechanism
-    (VERDICT r5 #3) gives it full DuckDB coverage via tests/test_oracle
-    without displacing a driver row."""
+    funnel analysis needs. Promoted into the r7 driver window (VERDICT
+    r6 #3) — first driver row hash-matched in CORRECTNESS_r07; full
+    DuckDB coverage via tests/test_oracle.py."""
     ev = _events(spark, sf_dir)
     c = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
@@ -4550,8 +4570,9 @@ def pipeline_corpus_curation(spark, sf_dir):
            CASE WHEN NOT in_old THEN 'added'
                 WHEN NOT in_new THEN 'removed'
                 ELSE 'changed' END AS change_type,
-           CASE WHEN in_old AND in_new THEN diffs
-                ELSE CAST([] AS VARCHAR[]) END AS changed_cols,
+           CASE WHEN in_old AND in_new
+                THEN array_to_string(list_sort(diffs), ',')
+                ELSE '' END AS changed_cols,
            new_o_orderstatus, new_o_totalprice
     FROM j
     WHERE NOT (in_old AND in_new AND len(diffs) = 0)
@@ -4566,8 +4587,11 @@ def j14_snapshot_diff(spark, sf_dir):
     %7/%5 dropped to plant adds+removes; status/price perturbed on
     %3/%2 to plant per-column changes incl. both-columns rows) so both
     engines see identical inputs. One full-outer equi-join on the key,
-    IS DISTINCT FROM semantics per column. Registered PYTEST_ONLY from
-    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
+    IS DISTINCT FROM semantics per column. changed_cols is stringified
+    (sorted, comma-joined) at this query boundary only — the driver's
+    canonicalizer cannot hash array columns (CORRECTNESS_r01 incident);
+    merge.snapshot_diff keeps returning array<string> for API users.
+    Promoted to the r8 driver window (commit 3019265)."""
     from pgdedupe_spark.operators.merge import snapshot_diff
 
     orders = _t(spark, sf_dir, "orders")
@@ -4584,7 +4608,13 @@ def j14_snapshot_diff(spark, sf_dir):
             + F.when(F.col("o_orderkey") % 2 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
         ).alias("o_totalprice"),
     )
-    return snapshot_diff(snap_old, snap_new, ["o_orderkey"])
+    return snapshot_diff(snap_old, snap_new, ["o_orderkey"]).select(
+        "o_orderkey",
+        "change_type",
+        F.array_join(F.array_sort("changed_cols"), ",").alias("changed_cols"),
+        "new_o_orderstatus",
+        "new_o_totalprice",
+    )
 
 
 @query(
@@ -4662,7 +4692,7 @@ def graph_pagerank(spark, sf_dir):
     bits). Suppliers are all dangling (no out-edges), so the
     uniform-redistribution correction is exercised on every row, and the
     bipartite shape makes ranks genuinely non-uniform (customer fan-out
-    varies). Registered PYTEST_ONLY from birth — window full; full
+    varies). Promoted to the r8 driver window (commit 3019265); full
     DuckDB coverage via tests/test_oracle.py."""
     from pgdedupe_spark.operators.graph import pagerank
 
@@ -4974,8 +5004,8 @@ def events_rolling_anomaly(spark, sf_dir):
     baseline), deterministic (ts, event_id) total order. All three
     percentiles and the count share one window spec → single
     partition+sort pass; interpolation and the z arithmetic mirror the
-    oracle textually. Registered PYTEST_ONLY from birth — window full;
-    full DuckDB coverage via tests/test_oracle.py."""
+    oracle textually. Promoted to the r8 driver window (commit
+    3019265); full DuckDB coverage via tests/test_oracle.py."""
     from pgdedupe_spark.operators.temporal import rolling_robust_z
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")

@@ -40,6 +40,22 @@ def test_window_is_exactly_fifty():
     assert names[:50] == in_priority
 
 
+def test_driver_eligible_docstrings_dont_claim_pytest_only():
+    """VERDICT r7 #3: three late-r7 promotions kept docstrings saying
+    'Registered PYTEST_ONLY from birth — window full' after moving into
+    the driver rotation. A driver-eligible query's docstring must not
+    claim PYTEST_ONLY status — stale claims hide schema-contract bugs
+    (the j14 array<string> incident) from review."""
+    for name in list(entry._PRIORITY) + list(entry._TAIL):
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        doc = fn.__doc__ or ""
+        assert "PYTEST_ONLY" not in doc, (
+            f"{name} is driver-eligible but its docstring claims PYTEST_ONLY"
+        )
+
+
 def test_every_oracle_has_a_query():
     oracles = entry.oracle_sql()
     queries = entry.queries()
