@@ -77,6 +77,7 @@ def snapshot_diff(
     keys: list[str],
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    assert_unique_keys: bool = False,
 ) -> DataFrame:
     """Reconcile two snapshots of the same table: one row per key that
     differs, tagged ``change_type`` ∈ {'added','removed','changed'} (plus
@@ -91,6 +92,14 @@ def snapshot_diff(
     join is null-safe), so a snapshot with a NULL-keyed row diffs rather
     than cross-producting or dropping.
 
+    PRECONDITION — keys are unique per snapshot (ADVICE r7): a
+    duplicated key fans out through the full-outer join into one row
+    per old×new pairing, each reported 'changed' against a different
+    counterpart. Pass ``assert_unique_keys=True`` to fail fast instead
+    (adds one count-distinct aggregation per side — two extra passes,
+    so it is opt-in; dedup upstream with ``latest_per_key`` if the
+    snapshots are change feeds rather than states).
+
     Plan shape (the 100 TB argument): ONE full-outer equi-join on the
     key — each side shuffles once on the same key (zero shuffles when
     both snapshots share a bucketed layout, `sources/io.write_bucketed`);
@@ -101,9 +110,32 @@ def snapshot_diff(
         compare_cols = [
             c for c in old.columns if c not in keys and c in set(new.columns)
         ]
-    clash = {"change_type", "changed_cols"} & (set(old.columns) | set(new.columns))
+    # clash check covers the new_{c} output names too (ADVICE r7): the
+    # output schema is keys + change_type/changed_cols + new_{c}, so a
+    # key named new_<comparecol> (or a snapshot column named
+    # change_type/changed_cols) would emerge as a silent duplicate
+    out_names = (
+        list(keys) + ["change_type", "changed_cols"] + [f"new_{c}" for c in compare_cols]
+    )
+    dups = {n for n in out_names if out_names.count(n) > 1}
+    clash = ({"change_type", "changed_cols"} & (set(old.columns) | set(new.columns))) | dups
     if clash:
-        raise ValueError(f"snapshots already have columns {sorted(clash)}")
+        raise ValueError(f"snapshot columns collide with outputs: {sorted(clash)}")
+    if assert_unique_keys:
+        for side, df_ in (("old", old), ("new", new)):
+            dup = (
+                df_.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"{side} snapshot has duplicate key "
+                    f"{tuple(dup[0][k] for k in keys)!r} — snapshot_diff "
+                    "requires unique keys per snapshot"
+                )
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_o_{c}") for c in compare_cols],

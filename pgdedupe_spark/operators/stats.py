@@ -70,6 +70,7 @@ def robust_outlier_flags(
     value_col: str,
     group_cols: list[str] | None = None,
     k: float = 3.0,
+    exact: bool = True,
 ) -> DataFrame:
     """Median/MAD outlier detection — the robust quality filter (mean/
     stddev gates are themselves dragged by the outliers they're meant to
@@ -78,9 +79,21 @@ def robust_outlier_flags(
     ``group_median``, ``group_mad``, ``robust_z`` (NULL when MAD is 0)
     and ``is_outlier`` (MAD 0 ⇒ any deviation flags).
 
-    Oracle-exact by construction: medians come from the EXACT
-    interpolating percentile, so on integer-ish columns every statistic
-    is a representable double and both engines agree bit-for-bit.
+    ``robust_z`` is SIGNED — (value − median)/(1.4826·MAD) — so
+    thresholding ``z < -k`` finds low-side outliers and the sign says
+    which tail (ADVICE r7: the former |.|-based z silently broke such
+    callers and disagreed with temporal.rolling_robust_z under the same
+    name). ``is_outlier`` uses the absolute deviation as before.
+
+    Oracle-exact by construction (``exact=True``): medians come from the
+    EXACT interpolating percentile, so on integer-ish columns every
+    statistic is a representable double and both engines agree
+    bit-for-bit. Exact percentile buffers a per-group value-count map —
+    unbounded state on high-cardinality double domains — so at extreme
+    scale pass ``exact=False``: both percentiles swap to
+    ``approx_percentile`` (bounded KLL-style sketch state, default
+    accuracy 1/10000), same plan shape, statistically-equal stats
+    (equivalence pinned on bounded domains in tests/test_stats.py).
 
     Plan shape: two sequential aggregations (median, then MAD of
     deviations — inherently ordered) + broadcast joins of the
@@ -88,16 +101,14 @@ def robust_outlier_flags(
     hash-shuffles for a join. The plan scans the (column-pruned) input
     three times rather than caching it — at 100 TB re-scanning a pruned
     column beats materializing the fact; persist ``df`` first if it is
-    small and reused. Exact percentile buffers a per-group
-    value-count map; for unbounded-domain doubles at extreme scale,
-    swap in approx_percentile or the sketches.quantile_histogram layer
-    (same call shape, looser oracle). Grouping is optional: global mode
-    uses a constant group key (one reducer holds the value map — the
-    exact-global-median floor in any engine)."""
+    small and reused. Grouping is optional: global mode uses a constant
+    group key (one reducer holds the percentile state — the
+    exact-global-median floor in any engine; ``exact=False`` bounds it)."""
     out_cols = {"group_median", "group_mad", "robust_z", "is_outlier"}
     clash = out_cols & set(df.columns)
     if clash:
         raise ValueError(f"input already has columns {sorted(clash)}")
+    pctl = "percentile" if exact else "approx_percentile"
     gb = list(group_cols) if group_cols else []
     tmp_g = "_rof_g"
     while tmp_g in df.columns:
@@ -105,27 +116,29 @@ def robust_outlier_flags(
     base = df if gb else df.withColumn(tmp_g, F.lit(1))
     keys = gb if gb else [tmp_g]
     med = base.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("group_median")
+        F.expr(f"{pctl}({value_col}, 0.5)").cast("double").alias("group_median")
     )
-    dev = base.join(F.broadcast(med), keys).withColumn(
-        "_rof_ad", F.abs(F.col(value_col) - F.col("group_median"))
+    dev = (
+        base.join(F.broadcast(med), keys)
+        .withColumn("_rof_sd", F.col(value_col) - F.col("group_median"))
+        .withColumn("_rof_ad", F.abs(F.col("_rof_sd")))
     )
     mad = dev.groupBy(*keys).agg(
-        F.expr("percentile(_rof_ad, 0.5)").alias("group_mad")
+        F.expr(f"{pctl}(_rof_ad, 0.5)").cast("double").alias("group_mad")
     )
     out = (
         dev.join(F.broadcast(mad), keys)
         .withColumn(
             "robust_z",
             F.when(F.col("group_mad") == 0, F.lit(None).cast("double")).otherwise(
-                F.col("_rof_ad") / (F.lit(1.4826) * F.col("group_mad"))
+                F.col("_rof_sd") / (F.lit(1.4826) * F.col("group_mad"))
             ),
         )
         .withColumn(
             "is_outlier",
             F.col("_rof_ad") > F.lit(k) * F.lit(1.4826) * F.col("group_mad"),
         )
-        .drop("_rof_ad")
+        .drop("_rof_sd", "_rof_ad")
     )
     return out.drop(tmp_g) if not gb else out
 
@@ -142,6 +155,12 @@ def rate_wilson_ci(
     conversion/defect/dedup-rate dashboards). ``success`` is any boolean
     Column; default z is the exact two-sided 95% quantile.
 
+    NULL semantics (ADVICE r7): a NULL ``success`` counts as FAILURE —
+    it is coalesced to false before summing, so n (count of all rows)
+    and k (count of successes) share one definition and an all-NULL
+    group yields k=0 with a well-defined interval, never a NULL rate.
+    Filter NULLs upstream if "unknown ≠ failure" in your domain.
+
     Output: group cols + n, k, rate, ci_lo, ci_hi. One map-side-combined
     aggregation (count + conditional count) keyed by the group; the
     interval arithmetic is row-local on the aggregate row. The formula
@@ -149,7 +168,7 @@ def rate_wilson_ci(
     oracle SQL, so doubles match bit-for-bit across engines."""
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(success.cast("long")).alias("k"),
+        F.sum(F.coalesce(success, F.lit(False)).cast("long")).alias("k"),
     )
     zz = z * z
     return (
@@ -184,6 +203,7 @@ def equi_depth_histogram(
     value_col: str,
     n_buckets: int,
     group_cols: list[str] | None = None,
+    exact: bool = True,
 ) -> DataFrame:
     """Equi-depth (quantile-bucketed) histogram WITHOUT a global sort:
     the classic ntile formulation needs a total order — on Spark that is
@@ -196,11 +216,22 @@ def equi_depth_histogram(
     group cols + bucket, n_rows, lo, hi. Under heavy ties buckets are
     approximately equal-depth — the deterministic trade.
 
+    State bound: exact ``percentile`` buffers a per-group value-count
+    map — unbounded on high-cardinality double domains. At extreme
+    scale pass ``exact=False`` to swap in ``approx_percentile``
+    (bounded sketch state, same plan shape; boundaries may differ by
+    the sketch accuracy — equivalence on bounded domains pinned in
+    tests/test_stats.py). NULL values compare NULL against every
+    boundary, so the filter keeps nothing and NULLs land in bucket 0
+    by construction (ADVICE r7) — filter them upstream if bucket 0
+    must stay pure.
+
     Oracle parity note: the boundary probabilities must be the same
     literals both sides; n_buckets with non-terminating binary
     fractions (e.g. 3) still match because both engines fold the same
     double literal."""
     gb = list(group_cols) if group_cols else []
+    pctl = "percentile" if exact else "approx_percentile"
     tmp_g = "_edh_g"
     while tmp_g in df.columns:
         tmp_g += "_"
@@ -208,7 +239,9 @@ def equi_depth_histogram(
     keys = gb if gb else [tmp_g]
     probs = ", ".join(repr(i / n_buckets) for i in range(1, n_buckets))
     bnds = base.groupBy(*keys).agg(
-        F.expr(f"percentile({value_col}, array({probs}))").alias("_bnds")
+        F.expr(f"cast({pctl}({value_col}, array({probs})) as array<double>)").alias(
+            "_bnds"
+        )
     )
     j = base.join(F.broadcast(bnds), keys)
     bucket = (

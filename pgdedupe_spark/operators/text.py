@@ -350,16 +350,27 @@ def url_parse(df: DataFrame, url_col: str, prefix: str = "url_") -> DataFrame:
     raw URL). Pure JVM regexp projections, zero shuffle; malformed URLs
     yield NULL fields rather than errors (filter on
     ``{prefix}host IS NULL`` for the reject stream). Port is NULL when
-    absent; path is '' for bare-host URLs."""
+    absent; path is '' for bare-host URLs.
+
+    Case handling (ADVICE r7): scheme and host are case-insensitive per
+    RFC 3986 §3.1/§3.2.2 — ``HTTPS://WWW.Example.COM/Path`` parses with
+    scheme 'https', host 'www.example.com' (both canonically
+    lowercased); the PATH keeps its original case (paths are
+    case-sensitive). Out of scope: IP-literal hosts — a dotted-quad
+    yields its last two octets as the 'domain' and a bracketed IPv6
+    host is rejected by the host charset, both by design of the
+    registered-domain heuristic (suffix-match on labels); route IPs
+    through their own branch if they matter in your corpus."""
     clash = {f"{prefix}{s}" for s in ("scheme", "host", "port", "path", "domain")}
     if clash & set(df.columns):
         raise ValueError(f"input already has columns {sorted(clash & set(df.columns))}")
     u = F.col(url_col)
-    scheme = F.nullif(F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1), F.lit(""))
-    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    lu = F.lower(u)
+    scheme = F.nullif(F.regexp_extract(lu, r"^([a-z][a-z0-9+.-]*)://", 1), F.lit(""))
+    auth = F.regexp_extract(lu, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
     host = F.nullif(F.regexp_extract(auth, r"^(?:[^@]*@)?([^:]*)", 1), F.lit(""))
     port = F.nullif(F.regexp_extract(auth, r":([0-9]+)$", 1), F.lit("")).cast("int")
-    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_extract(u, r"^(?i:[a-z][a-z0-9+.-]*)://[^/?#]*([^?#]*)", 1)
     domain = F.nullif(F.regexp_extract(host, url_domain_regex(), 1), F.lit(""))
     return (
         df.withColumn(f"{prefix}scheme", scheme)

@@ -4719,6 +4719,7 @@ def graph_pagerank(spark, sf_dir):
       FROM documents GROUP BY source
     ), dev AS (
       SELECT d.doc_id, d.source, d.n_chars, m.group_median,
+             d.n_chars - m.group_median AS sd,
              abs(d.n_chars - m.group_median) AS ad
       FROM documents d JOIN med m USING (source)
     ), mad AS (
@@ -4727,7 +4728,7 @@ def graph_pagerank(spark, sf_dir):
     )
     SELECT doc_id, source, n_chars, group_median, group_mad,
            CASE WHEN group_mad = 0 THEN NULL
-                ELSE ad / (1.4826 * group_mad) END AS robust_z,
+                ELSE sd / (1.4826 * group_mad) END AS robust_z,
            ad > 2.5 * 1.4826 * group_mad AS is_outlier
     FROM dev JOIN mad USING (source)
     """,
@@ -4735,12 +4736,13 @@ def graph_pagerank(spark, sf_dir):
 def stats_robust_outliers(spark, sf_dir):
     """Robust per-source length-outlier flags (stats.robust_outlier_flags,
     new r7): median/MAD gating of documents.n_chars per source — the
-    resistant replacement for mean±kσ quality filters. Exact
+    resistant replacement for mean±kσ quality filters. robust_z is
+    SIGNED (ADVICE r7) so the tail direction survives; exact
     interpolating percentiles keep every statistic a representable
     double, so the whole row (median, MAD, z, flag) hash-matches the
     DuckDB oracle. k=2.5 so real rows flag on the driver corpus.
-    Registered PYTEST_ONLY from birth — window full; full DuckDB
-    coverage via tests/test_oracle.py."""
+    PYTEST_ONLY (window full); full DuckDB coverage via
+    tests/test_oracle.py."""
     from pgdedupe_spark.operators.stats import robust_outlier_flags
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
@@ -4811,8 +4813,9 @@ _DOM_RE = _url_domain_regex()
       FROM documents
     ), parsed AS (
       SELECT doc_id,
-        nullif(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1), '') AS scheme,
-        regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS auth
+        nullif(regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1), '')
+          AS scheme,
+        regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS auth
       FROM urls
     ), hostp AS (
       SELECT doc_id, scheme,
@@ -4840,9 +4843,9 @@ def text_url_profile(spark, sf_dir):
     scheme, and malformed strings (NULL-domain reject group). The
     oracle mirrors the exact extraction regexes (Java and RE2 agree on
     these anchored leftmost-first patterns — that agreement is what
-    this row pins), then the same keyed rollup. Registered PYTEST_ONLY
-    from birth — window full; full DuckDB coverage via
-    tests/test_oracle.py."""
+    this row pins) over lower(url) — scheme/host are case-insensitive
+    per RFC 3986 (ADVICE r7) — then the same keyed rollup. PYTEST_ONLY
+    (window full); full DuckDB coverage via tests/test_oracle.py."""
     from pgdedupe_spark.operators.text import domain_profile
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")

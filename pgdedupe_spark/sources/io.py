@@ -277,7 +277,13 @@ def read_jsonl_quarantine(
     job, bare PERMISSIVE hides them). Returns the typed frame plus a
     ``corrupt_col`` holding the raw line for bad records (NULL for good
     ones); split with :func:`split_quarantine`. Schema is explicit as
-    everywhere in this module — inference at scale is a full read."""
+    everywhere in this module — inference at scale is a full read.
+
+    Blank and whitespace-only lines are IGNORED by design (ADVICE r7) —
+    the JSONL convention treats them as record separators/trailing
+    newlines, not records, so they are neither parsed nor quarantined;
+    count them upstream via ``spark.read.text`` if a producer emitting
+    them is itself the anomaly you're hunting."""
     from pyspark.sql.types import StringType, StructField
 
     if corrupt_col in schema.fieldNames():

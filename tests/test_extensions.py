@@ -340,6 +340,12 @@ def test_url_parse_matrix(spark):
          None, "", "data.ne.jp"),
         ("https://localhost/x", "https", "localhost", None, "/x", None),
         ("no scheme here", None, None, None, None, None),
+        # ADVICE r7: scheme/host are case-insensitive (RFC 3986) and
+        # canonically lowercased; path keeps its original case
+        ("HTTPS://WWW.Example.COM/CaseSensitive/Path", "https",
+         "www.example.com", None, "/CaseSensitive/Path", "example.com"),
+        ("HtTp://Blog.Sample.CO.UK:8080/X", "http", "blog.sample.co.uk",
+         8080, "/X", "sample.co.uk"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, *_) in enumerate(cases)],
                                "i long, url string")

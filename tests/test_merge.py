@@ -304,3 +304,43 @@ def test_snapshot_diff_feeds_apply_cdc_roundtrip(spark):
     )
     applied = apply_cdc(old, feed, ["id"])
     assert _rows(applied) == _rows(new)
+
+
+def test_snapshot_diff_assert_unique_keys(spark):
+    """ADVICE r7: duplicate keys fan out through the full-outer join into
+    spurious 'changed' rows with no error — the opt-in precondition
+    check fails fast instead, naming the offending key."""
+    import pytest
+
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k int, v string")
+    new = spark.createDataFrame([(1, "a"), (2, "z")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        snapshot_diff(old, new, ["k"], assert_unique_keys=True)
+    # unique keys pass the assertion and still diff correctly
+    ok_old = spark.createDataFrame([(1, "a"), (2, "c")], "k int, v string")
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(ok_old, new, ["k"], assert_unique_keys=True).collect()
+    }
+    assert got == {2: "changed"}
+
+
+def test_snapshot_diff_new_prefix_clash(spark):
+    """ADVICE r7: a key named new_<comparecol> would duplicate an output
+    column — refused; a compare column merely NAMED with the new_ prefix
+    is fine (its output is new_new_*)."""
+    import pytest
+
+    from pgdedupe_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "k int, new_v string, v double")
+    new = spark.createDataFrame([(1, "y", 2.0)], "k int, new_v string, v double")
+    # new_v as a KEY collides with new_{v} output
+    with pytest.raises(ValueError, match="new_v"):
+        snapshot_diff(old, new, ["k", "new_v"], compare_cols=["v"])
+    # new_v as a compare col is fine: its output is new_new_v
+    out = snapshot_diff(old, new, ["k"], compare_cols=["new_v"])
+    assert out.columns.count("new_new_v") == 1
+    assert len(out.columns) == len(set(out.columns))

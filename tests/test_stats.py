@@ -185,3 +185,84 @@ def test_equi_depth_histogram_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan, plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_robust_z_is_signed(spark):
+    """ADVICE r7: robust_z carries the deviation SIGN — a low-side
+    outlier has z < 0, so callers thresholding z < -k actually find it
+    (the former |.|-based z silently returned nothing for them), and the
+    semantics now agree with temporal.rolling_robust_z under the same
+    column name."""
+    from pgdedupe_spark.operators.stats import robust_outlier_flags
+
+    vals = list(range(1, 10)) + [100, -80]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x long")
+    out = {r["x"]: r for r in robust_outlier_flags(df, "x", ["grp"], k=3.0).collect()}
+    assert out[100]["robust_z"] > 0 and out[-80]["robust_z"] < 0
+    assert out[100]["is_outlier"] and out[-80]["is_outlier"]
+    med = out[1]["group_median"]
+    mad = out[1]["group_mad"]
+    assert abs(out[-80]["robust_z"] - (-80 - med) / (1.4826 * mad)) < 1e-12
+
+
+def test_rate_wilson_ci_null_is_failure(spark):
+    """ADVICE r7: NULL success coalesces to failure so n and k share one
+    definition — an all-NULL group yields k=0 with a real interval,
+    never a NULL rate."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.stats import rate_wilson_ci
+
+    rows = [("a", True), ("a", None), ("a", False), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "grp string, ok boolean")
+    out = {r["grp"]: r for r in rate_wilson_ci(df, F.col("ok"), ["grp"]).collect()}
+    assert out["a"]["n"] == 3 and out["a"]["k"] == 1
+    assert out["b"]["n"] == 2 and out["b"]["k"] == 0
+    assert out["b"]["rate"] == 0.0 and out["b"]["ci_lo"] == 0.0
+    assert 0.0 < out["b"]["ci_hi"] < 1.0
+
+
+def test_percentile_exact_approx_equivalence(spark, sf_dir):
+    """VERDICT r7 #7: the approx (bounded-state) switch must agree with
+    exact within the sketch's rank-error contract — exact `percentile`
+    interpolates between ranks while `approx_percentile` returns a real
+    element, so equality is rank-based, not bitwise: every approx
+    equi-depth bucket must hold its target share of rows within 2% of
+    the group, and the approx median/MAD must land between the exact
+    p=0.49/0.51 quantiles. Pins that the 100 TB escape hatch computes
+    the same statistics, not just 'runs'."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.stats import (
+        equi_depth_histogram,
+        robust_outlier_flags,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "value as v"
+    )
+    totals = {
+        r["event_type"]: r["n"]
+        for r in df.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    ha = equi_depth_histogram(df, "v", 4, ["event_type"], exact=False).collect()
+    assert {r["event_type"] for r in ha} == set(totals)
+    for r in ha:
+        share = r["n_rows"] / totals[r["event_type"]]
+        assert abs(share - 0.25) < 0.02, (r, share)
+
+    exact_band = {
+        r["event_type"]: r
+        for r in df.groupBy("event_type")
+        .agg(
+            F.expr("percentile(v, 0.49)").alias("lo"),
+            F.expr("percentile(v, 0.51)").alias("hi"),
+        )
+        .collect()
+    }
+    fa = robust_outlier_flags(df, "v", ["event_type"], exact=False).select(
+        "event_type", "group_median"
+    ).distinct().collect()
+    for r in fa:
+        band = exact_band[r["event_type"]]
+        assert band["lo"] <= r["group_median"] <= band["hi"], (r, band)
