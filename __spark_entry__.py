@@ -45,6 +45,7 @@ _PRIORITY = [
     "q9_product_profit",  # 6-way profit snowflake (first row r8)
     "q11_heavy_parts",  # HAVING vs scalar-subquery threshold (first row r8)
     "q14_promo_share",  # conditional-agg ratio (first row r8)
+    "dedup_minhash_portable",  # md5-hash twin: dedup core under full hash oracle (first row r8)
     # or be bench/pytest-only), or the "no query >2 rounds without a
     # driver row" promise breaks.
     "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
@@ -70,7 +71,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q5_regional_revenue",
     "dedup_canonical_pick",
-    "j3_singleton_coalesce",
     "w2_window_suite",
     "dedup_exact_norm",
     "d6_rare_token_blocks",
@@ -105,6 +105,7 @@ _TAIL = [
     # that way (new queries must displace into the other half, demote a
     # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
     # or the "no query >2 rounds without a driver row" promise breaks.
+    "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -127,7 +128,6 @@ _TAIL = [
     "stats_analyze",
     "events_histogram",
     "w3_rolling",
-    "f11_string_agg",
     "events_retention",
     "events_gapfill",
     "j12_full_outer",

@@ -45,6 +45,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
     "dedup_embedding_cosine",
     "text_quality_stats",
     "text_language_id",

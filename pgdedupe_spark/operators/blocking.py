@@ -250,11 +250,17 @@ def make_block_key_expr(rules: list[tuple[str, str, tuple]]) -> Column:
     with ``"{i}:{field}:"`` so different predicates never collide (mirrors
     dedupe's per-predicate key namespacing).
     """
+    # NB: bind the prefix via a real closure, NOT a defaulted second lambda
+    # param — pyspark calls any two-parameter lambda as (element, index),
+    # defaults included, which silently replaced the namespace prefix with
+    # the element position (r8 find; '0york' from either rule collided)
+    def _prefixed(keys: Column, prefix: str) -> Column:
+        return F.transform(keys, lambda k: F.concat(F.lit(prefix), k))
+
     parts = []
     for i, (pred, field, args) in enumerate(rules):
         keys = PREDICATES[pred](F.col(field), *args)
-        prefix = f"{i}:{field}:"
-        parts.append(F.transform(keys, lambda k, p=prefix: F.concat(F.lit(p), k)))
+        parts.append(_prefixed(keys, f"{i}:{field}:"))
     out = parts[0]
     for p in parts[1:]:
         out = F.concat(out, p)

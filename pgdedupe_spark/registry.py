@@ -1247,6 +1247,124 @@ def dedup_simhash(spark, sf_dir):
     return simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
 
 
+@query(
+    "dedup_minhash_portable",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
+                           i -> substr(text, i::int, 5))) AS ss
+      FROM documents
+    ), shf AS (
+      SELECT doc_id, ss FROM sh WHERE len(ss) > 0
+    ), hsd AS (
+      SELECT doc_id, ss,
+             list_transform(ss, s ->
+               CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+               AS hs
+      FROM shf
+    ), sig AS (
+      SELECT doc_id, ss,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(hs, h ->
+                 ([1103527590,59559188,1163074433,119106031,1222621276,178652874,1282168119,238199717,1341714962,297746560,1401261805,357293403,1460808648,416840246,1520355491,476387089,1579902334,535933932,1639449177,595480775,1698996020,655027618,1758542863,714574461,1818089706,774121304,1877636549,833668147,1937183392,893214990,1996730235,952761833,2056277078,1012308676,2115823921,1071855519,27887117,1131402362,87433960,1190949205,146980803,1250496048,206527646,1310042891,266074489,1369589734,325621332,1429136577,385168175,1488683420,444715018,1548230263,504261861,1607777106,563808704,1667323949,623355547,1726870792,682902390,1786417635,742449233,1845964478,801996076,1905511321][k+1] * h + [1856146434,812178032,1915693277,871724875,1975240120,931271718,2034786963,990818561,2094333806,1050365404,6397002,1109912247,65943845,1169459090,125490688,1229005933,185037531,1288552776,244584374,1348099619,304131217,1407646462,363678060,1467193305,423224903,1526740148,482771746,1586286991,542318589,1645833834,601865432,1705380677,661412275,1764927520,720959118,1824474363,780505961,1884021206,840052804,1943568049,899599647,2003114892,959146490,2062661735,1018693333,2122208578,1078240176,34271774,1137787019,93818617,1197333862,153365460,1256880705,212912303,1316427548,272459146,1375974391,332005989,1435521234,391552832,1495068077,451099675,1554614920,510646518][k+1]) % 2147483647))) AS mh
+      FROM hsd
+    ), bnd AS (
+      SELECT doc_id, b.b AS band,
+             CAST(concat('0x', substr(md5(concat_ws('|', CAST(b.b AS VARCHAR),
+                  CAST(mh[4*b.b+1] AS VARCHAR), CAST(mh[4*b.b+2] AS VARCHAR),
+                  CAST(mh[4*b.b+3] AS VARCHAR), CAST(mh[4*b.b+4] AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS bkey
+      FROM sig, (SELECT unnest(range(0, 16)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+      FROM bnd a JOIN bnd c
+        ON a.band = c.band AND a.bkey = c.bkey AND a.doc_id < c.doc_id
+    )
+    SELECT id1, id2,
+           len(list_intersect(s1.ss, s2.ss))::DOUBLE /
+             (len(s1.ss) + len(s2.ss) - len(list_intersect(s1.ss, s2.ss))) AS jaccard
+    FROM cand
+    JOIN shf s1 ON s1.doc_id = cand.id1
+    JOIN shf s2 ON s2.doc_id = cand.id2
+    WHERE len(list_intersect(s1.ss, s2.ss))::DOUBLE /
+            (len(s1.ss) + len(s2.ss) - len(list_intersect(s1.ss, s2.ss))) >= 0.6
+    """,
+)
+def dedup_minhash_portable(spark, sf_dir):
+    """MinHash-LSH near-dup pairs under the PORTABLE 60-bit md5 hash
+    (dedup.portable_hash60, new r8 — VERDICT r7 #4): the exact same
+    shingle → k-minhash → banded-bucket-join → exact-Jaccard-verify
+    pipeline as dedup_minhash_lsh, but every hash is DuckDB-replicable
+    bit-for-bit — converting the dedup family's core from rows-only
+    "trust my pins" into the driver's HARD signal. Hash design: md5
+    runs ONCE per shingle (60-bit value of its first 15 hex digits,
+    reduced mod 2^31-1); the 64 signature hashes are Carter-Wegman
+    affine permutations (A_i·h+B_i mod 2^31-1 — constants are literals
+    in the oracle) folded in ONE aggregate pass so the expensive node
+    isn't paid k times (k md5 passes measured 174 s at sf0.1; this
+    shape ~17 s cold). Band keys md5 the '|'-joined minhash runs —
+    16 bands of 4, the perf twin's exact operating point (2-row bands
+    measured 3.7M false candidates vs 240k; the verify stage, not the
+    hashing, is where a permissive curve bleeds). First driver row
+    scheduled r8."""
+    from pgdedupe_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=5,
+        num_hashes=64, bands=16, threshold=0.6, portable=True,
+    )
+
+
+@query(
+    "dedup_simhash_portable",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             list_transform(toks, t ->
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+      FROM tok
+    ), sg AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+                    THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), 0)
+               AS BIGINT) AS sig
+      FROM th
+    ), bnd AS (
+      SELECT doc_id, sig, c.c AS c, (sig >> (c.c * 15)) & 32767 AS k
+      FROM sg, (SELECT unnest(range(0, 4)) AS c) c
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.sig AS s1, b.sig AS s2
+      FROM bnd a JOIN bnd b
+        ON a.c = b.c AND a.k = b.k AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+    """,
+)
+def dedup_simhash_portable(spark, sf_dir):
+    """SimHash Hamming-ball near-dup pairs under the PORTABLE 60-bit md5
+    token hash (new r8 — VERDICT r7 #4): same tokenize → bit-majority
+    signature → pigeonhole chunk join → hamming filter pipeline as
+    dedup_simhash, with a 60-bit signature (4 chunks × 15 bits for
+    max_hamming=3; 60 bits keeps every value non-negative in a signed
+    BIGINT on both engines, dodging sign-extension skew). The DuckDB
+    oracle rebuilds every signature bit-for-bit from md5 — the
+    signature space IS SQL-replicable under this hash, so the driver
+    hash-checks what the xxhash64 twin could only rows-only claim."""
+    from pgdedupe_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        max_hamming=3, portable=True,
+    )
+
+
 _SW_EN = "'the','a','of','and','to','in','is','it','that','for'"
 
 
@@ -3879,6 +3997,10 @@ PYTEST_ONLY = frozenset(
         "j8_anti_join",
         "j9_semi_join",
         "text_token_counts",
+        # demoted in r8 to make window room for the portable-hash dedup
+        # twins (VERDICT r7 #4): trivial scalar shapes green since r1-r5
+        "j3_singleton_coalesce",
+        "f11_string_agg",
     }
 )
 

@@ -293,3 +293,80 @@ def test_ivf_cell_skew_bounded_on_clustered_mixture(spark, tmp_path):
     assert len(counts) >= 24, f"only {len(counts)} non-empty cells of 32"
     ratio = max(counts) / (sum(counts) / len(counts))
     assert ratio <= 6.0, f"straggler cell: max/mean = {ratio:.2f}"
+
+
+def test_minhash_signatures_are_distinct_per_seed(spark):
+    """r8 regression pin for the defaulted-lambda seed bug: pyspark calls
+    any two-parameter lambda as (element, index) — defaults included —
+    so `lambda s, i=i: xxhash64(lit(i), s)` silently hashed with the
+    ELEMENT POSITION as seed, making all k signature columns one
+    identical hash and collapsing the banded LSH curve toward single-hash
+    recall. The k columns must be genuinely distinct hash functions."""
+    from pgdedupe_spark.operators.dedup import char_shingles, minhash_signature_cols
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sh = df.select(
+        F.col("doc_id"), char_shingles(F.col("text"), 5).alias("_sh")
+    )
+    sig = sh.select("doc_id", *minhash_signature_cols("_sh", 8)).collect()
+    # across 20 docs and 8 seeds, at least one doc must have differing
+    # signature values between seeds (all-equal == the bug)
+    distinct_per_doc = [len({r[f"_mh{i}"] for i in range(8)}) for r in sig]
+    assert max(distinct_per_doc) > 1, "all minhash seeds produced one hash — seed bug is back"
+
+
+def test_portable_minhash_matches_kpass_formulation(spark):
+    """The one-pass aggregate signature (minhash_signature_array) must be
+    bit-identical to the naive k-pass Carter-Wegman formulation — the
+    fold is an optimization, not a semantics change."""
+    from pgdedupe_spark.operators.dedup import (
+        MINHASH_P, _CW_A, _CW_B, char_shingles,
+        minhash_signature_array, portable_hash60,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} sharing quite a few character shingles") for i in range(30)],
+        "doc_id long, text string",
+    )
+    sh = df.select(F.col("doc_id"), char_shingles(F.col("text"), 5).alias("_sh"))
+    one_pass = {
+        r["doc_id"]: r["sig"]
+        for r in sh.select(
+            "doc_id", minhash_signature_array("_sh", 8).alias("sig")
+        ).collect()
+    }
+
+    def kpass(i):
+        return F.array_min(
+            F.transform(
+                "_sh",
+                lambda s: (
+                    F.lit(_CW_A[i]) * (portable_hash60(s) % F.lit(MINHASH_P))
+                    + F.lit(_CW_B[i])
+                ) % F.lit(MINHASH_P),
+            )
+        ).alias(f"m{i}")
+
+    naive = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(8)]
+        for r in sh.select("doc_id", *[kpass(i) for i in range(8)]).collect()
+    }
+    assert one_pass == naive
+
+
+def test_portable_minhash_pair_recall(spark):
+    """The portable (md5/Carter-Wegman) twin runs the same 64×16 banding
+    curve as the xxhash64 path, so it owes the same recall contract
+    against exact n-gram Jaccard."""
+    exact = _pairs(registry.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR), "id1", "id2")
+    approx = _pairs(
+        registry.QUERIES["dedup_minhash_portable"](spark, SF_DIR), "id1", "id2"
+    )
+    assert exact, "exact jaccard produced no pairs — fixture drifted"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"dedup_minhash_portable pair recall {recall:.3f} < 0.9"
