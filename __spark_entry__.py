@@ -171,6 +171,7 @@ _BENCH_ONLY = {
     "pack_scale_probe",
     "cc_scale_probe",
     "ann_pq_stress",
+    "pagerank_scale_probe",
 }
 
 

@@ -126,6 +126,9 @@ HEADLINE = [
     "d7_sorted_neighborhood",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
+    # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
+    # full runs with in-band mass/stability/hub self-checks
+    "pagerank_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
     "ann_pq_stress",
 ]
@@ -133,7 +136,7 @@ HEADLINE = [
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
 # their cost is dominated by data volume, not JIT, so a second warm run
 # buys noise reduction that isn't worth +3 min of bench wall-clock
-HEAVY_PROBES = {"cc_scale_probe", "ann_pq_stress"}
+HEAVY_PROBES = {"cc_scale_probe", "ann_pq_stress", "pagerank_scale_probe"}
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
 # over round, so the all-query total is not comparable across artifacts.

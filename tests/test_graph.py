@@ -101,3 +101,21 @@ def test_pagerank_checkpoint_footprint_is_constant(spark):
     assert out  # materialized
     after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     assert len(after - before) <= 2, "checkpoint blocks accumulated"
+
+
+def test_pagerank_scale_probe_self_checks(spark):
+    """The bench probe's in-band self-checks must hold at the pytest
+    floor (sf0.001 → 500k edges, 50k vertices, same code path and graph
+    shape as the sf0.1 bench run): mass within the truncation bound,
+    top-20 reproduced exactly by the second run, argmax on an upper-half
+    power-law sink."""
+    from pgdedupe_spark import registry
+
+    row = registry.QUERIES["pagerank_scale_probe"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["mass_ok"], row
+    assert row["top20_stable"] == 20, row
+    assert row["hub_is_upper_sink"], row
+    assert row["rounds"] == 3
+    assert row["n_vertices"] > 10_000
