@@ -298,8 +298,13 @@ def native_image_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
     * JPEG baseline sequential (T.81 SOF0 — the dominant web format):
       full huffman entropy decode, dequantize, 8×8 IDCT, restart
       markers, byte stuffing, chroma upsampling for any integer
-      sampling factors, JFIF YCbCr→RGB; grayscale or 3-component.
-      Progressive (SOF2) and arithmetic coding raise.
+      sampling factors, JFIF YCbCr→RGB; grayscale or 3-component;
+    * JPEG progressive (T.81 SOF2, Annex G — the majority of large web
+      JPEGs, new r8): multi-scan coefficient accumulation with spectral
+      selection AND successive approximation (DC/AC first + refinement
+      scans, EOBRUN, interleaved DC / non-interleaved AC block order,
+      restarts), then one dequantize+IDCT pass. Arithmetic coding and
+      lossless/hierarchical SOFs raise.
 
     Returns (H×W×C uint8 array, width, height). Raises ValueError on any
     other container — callers choosing mode='native' declare their
@@ -910,6 +915,8 @@ def _jpeg_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → table
     frame = None  # (h, w, comps) comps: [(cid, hi, vi, tq)]
+    progressive = False
+    coef_store: dict[int, np.ndarray] | None = None  # cid → (by, bx, 64) int64
     dri = 0  # restart interval in MCUs (0 = none)
     pos = 2
     n = len(payload)
@@ -944,7 +951,7 @@ def _jpeg_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
                 nv = sum(bits)
                 huff[(tc, th)] = _jpeg_build_huff(bits, seg[i + 17 : i + 17 + nv])
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if seg[0] != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             h = int.from_bytes(seg[1:3], "big")
@@ -954,19 +961,27 @@ def _jpeg_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
                 o = 6 + 3 * ci
                 comps.append((seg[o], seg[o + 1] >> 4, seg[o + 1] & 15, seg[o + 2]))
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"JPEG SOF{marker - 0xC0} unsupported (baseline SOF0 only)")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} unsupported (SOF0 baseline / SOF2 progressive only)"
+            )
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
             scan_tables = {}
+            scan_comps = []
             for si in range(ns):
                 cs = seg[1 + 2 * si]
                 td_ta = seg[2 + 2 * si]
                 scan_tables[cs] = (td_ta >> 4, td_ta & 15)
+                scan_comps.append(cs)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 15
             data_start = pos + seg_len
             # split entropy data on restart markers, strip stuffing
             segments, cur, i = [], bytearray(), data_start
@@ -987,9 +1002,20 @@ def _jpeg_decode(payload: bytes) -> tuple[np.ndarray, int, int]:
                 cur.append(b)
                 i += 1
             segments.append(bytes(cur))
-            return _jpeg_decode_scan(frame, scan_tables, qt, huff, segments, dri)
+            if not progressive:
+                return _jpeg_decode_scan(frame, scan_tables, qt, huff, segments, dri)
+            if coef_store is None:
+                coef_store = _jpeg_alloc_coefs(frame)
+            _jpeg_progressive_scan(
+                frame, coef_store, scan_comps, scan_tables, huff, segments,
+                dri, ss, se, ah, al,
+            )
+            pos = i  # resume the marker loop at whatever ended the scan
+            continue
         # all other segments (APPn, COM…) are skipped
         pos += seg_len
+    if progressive and coef_store is not None:
+        return _jpeg_reconstruct(frame, coef_store, qt)
     raise ValueError("JPEG contains no scan")
 
 
@@ -1056,6 +1082,12 @@ def _jpeg_decode_scan(
                         y0, x0 = (my * vi + by) * 8, (mx * hi + bx) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
 
+    return _jpeg_planes_to_image(planes, comps, hmax, vmax, h, w)
+
+
+def _jpeg_planes_to_image(planes, comps, hmax, vmax, h, w):
+    """Shared decode tail: upsample subsampled planes, crop padding, map
+    level-shifted samples to uint8 (gray) or JFIF YCbCr→RGB."""
     out_planes = []
     for cid, hi, vi, _ in comps:
         p = planes[cid]
@@ -1078,6 +1110,209 @@ def _jpeg_decode_scan(
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h
+
+
+def _jpeg_mcu_geometry(frame):
+    """(hmax, vmax, mcux, mcuy) for a frame header."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    return hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+
+def _jpeg_alloc_coefs(frame):
+    """Per-component coefficient store for progressive accumulation:
+    cid → (blocks_y, blocks_x, 64) int64 in ZIGZAG order, sized to the
+    MCU-padded grid (interleaved DC scans address the padded grid;
+    non-interleaved AC scans address a prefix of it)."""
+    _, _, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_mcu_geometry(frame)
+    return {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for cid, hi, vi, _ in comps
+    }
+
+
+def _jpeg_comp_blocks(frame, cid):
+    """Non-interleaved block-raster dimensions for one component (T.81
+    §A.1.1: ceil over the COMPONENT's sample dimensions, not the padded
+    MCU grid)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    for c, hi, vi, _ in comps:
+        if c == cid:
+            cw = -(-(w * hi) // hmax)
+            ch = -(-(h * vi) // vmax)
+            return -(-ch // 8), -(-cw // 8)
+    raise ValueError(f"unknown JPEG component {cid}")
+
+
+def _jpeg_progressive_scan(
+    frame, coef_store, scan_comps, scan_tables, huff, segments, dri,
+    ss, se, ah, al,
+):
+    """Decode ONE progressive scan (T.81 Annex G) into ``coef_store``.
+
+    Four scan kinds by (ss, ah): DC first (ss=0, ah=0 — baseline-style
+    diffs shifted left by al, optionally interleaved), DC refinement
+    (ss=0, ah>0 — one bit per block), AC first (ss>0, ah=0 — EOBRUN +
+    run/size on a single component in block-raster order), AC refinement
+    (ss>0, ah>0 — the §G.1.2.3 correction-bit walk). Restart segments
+    reset DC predictors and the EOB run."""
+    h, w, comps = frame
+    comp_by_id = {c[0]: c for c in comps}
+    seg_iter = iter(segments)
+    r = _JpegBits(next(seg_iter))
+    state = {"eobrun": 0, "pred": {cid: 0 for cid in scan_comps}}
+
+    def restart():
+        nxt = next(seg_iter, None)
+        if nxt is None:
+            raise ValueError("JPEG missing restart segment")
+        state["eobrun"] = 0
+        state["pred"] = {cid: 0 for cid in scan_comps}
+        return _JpegBits(nxt)
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        # DC scan: interleaved over scan components in MCU order when
+        # ns > 1, else this component's block-raster order
+        hmax, vmax, mcux, mcuy = _jpeg_mcu_geometry(frame)
+        if len(scan_comps) > 1:
+            units = mcux * mcuy
+
+            def blocks_of(unit):
+                my, mx = divmod(unit, mcux)
+                for cid in scan_comps:
+                    _, hi, vi, _ = comp_by_id[cid]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            yield cid, my * vi + by, mx * hi + bx
+        else:
+            cid0 = scan_comps[0]
+            bh, bw = _jpeg_comp_blocks(frame, cid0)
+            units = bh * bw
+
+            def blocks_of(unit):
+                yield cid0, unit // bw, unit % bw
+
+        for unit in range(units):
+            if dri and unit and unit % dri == 0:
+                r = restart()
+            for cid, by, bx in blocks_of(unit):
+                blk = coef_store[cid][by, bx]
+                if ah == 0:
+                    td = scan_tables[cid][0]
+                    sbits = _jpeg_huff_decode(r, huff[(0, td)])
+                    state["pred"][cid] += _jpeg_extend(r.bits(sbits), sbits)
+                    blk[0] = state["pred"][cid] << al
+                else:
+                    if r.bit():
+                        blk[0] |= 1 << al
+        return
+
+    # AC scan: single component, block-raster order over its own grid
+    if len(scan_comps) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    cid = scan_comps[0]
+    ta = scan_tables[cid][1]
+    ac_t = huff[(1, ta)]
+    bh, bw = _jpeg_comp_blocks(frame, cid)
+    pbit = 1 << al
+
+    for unit in range(bh * bw):
+        if dri and unit and unit % dri == 0:
+            r = restart()
+        blk = coef_store[cid][unit // bw, unit % bw]
+        if ah == 0:  # AC first scan (G.1.2.2)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(r, ac_t)
+                rr, sbits = rs >> 4, rs & 15
+                if sbits == 0:
+                    if rr != 15:
+                        state["eobrun"] = (1 << rr) - 1
+                        if rr:
+                            state["eobrun"] += r.bits(rr)
+                        break
+                    k += 16  # ZRL
+                    continue
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG AC index out of band")
+                blk[k] = _jpeg_extend(r.bits(sbits), sbits) << al
+                k += 1
+            continue
+
+        # AC refinement scan (G.1.2.3): correction bit per nonzero-history
+        # coefficient visited; run/size symbols place newly-significant ±1
+        def refine(k):
+            if r.bit() and not (blk[k] & pbit):
+                blk[k] += pbit if blk[k] > 0 else -pbit
+
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(r, ac_t)
+                rr, sbits = rs >> 4, rs & 15
+                val = 0
+                if sbits == 0:
+                    if rr != 15:
+                        state["eobrun"] = (1 << rr)
+                        if rr:
+                            state["eobrun"] += r.bits(rr)
+                        break
+                    # ZRL: rr stays 15 → skip 16 zero-history positions
+                else:
+                    if sbits != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = pbit if r.bit() else -pbit
+                while k <= se:
+                    if blk[k] != 0:
+                        refine(k)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    refine(k)
+                k += 1
+            state["eobrun"] -= 1
+
+
+def _jpeg_reconstruct(frame, coef_store, qt):
+    """Dequantize + IDCT every accumulated block, then the shared plane
+    assembly — the single pixel pass all progressive scans fund."""
+    h, w, comps = frame
+    hmax, vmax, mcux, mcuy = _jpeg_mcu_geometry(frame)
+    unzig = _JPEG_ZIGZAG
+    A = _JPEG_A
+    planes = {}
+    for cid, hi, vi, tq in comps:
+        grid = coef_store[cid]
+        by, bx = grid.shape[0], grid.shape[1]
+        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
+        q = qt[tq]
+        for yy in range(by):
+            for xx in range(bx):
+                block = np.zeros(64)
+                block[unzig] = grid[yy, xx] * q
+                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
+                    A.T @ block.reshape(8, 8) @ A
+                )
+        planes[cid] = plane
+    return _jpeg_planes_to_image(planes, comps, hmax, vmax, h, w)
 
 
 def _spectral_feature_vector(x: np.ndarray, rate: int, n_fft: int = 4096) -> np.ndarray:

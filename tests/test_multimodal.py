@@ -1066,6 +1066,293 @@ def _jpeg_bytes(img, subsample=(1, 1), restart_interval=0):
     return bytes(out), exp
 
 
+def _jpeg_progressive_bytes(img, subsample=(1, 1), sa=False, restart_interval=0):
+    """Progressive (SOF2) encoder, written from T.81 Annex G text — NOT by
+    inverting the decoder. Scan script without ``sa``: interleaved DC
+    scan, then per-component AC band scans (1-5, 6-63) at Al=0 with
+    cross-block EOB runs. With ``sa``: DC first at Al=1 + DC refinement,
+    AC 1-63 first at Al=1 + AC refinement (the §G.1.2.3 correction-bit
+    walk with buffered bits riding behind EOB runs). Returns (bytes,
+    expected reconstruction) — the expected pixels are the BASELINE
+    encoder's reconstruction of the same quantized blocks, since
+    progressive transmission reorders bits, not coefficients."""
+    _, exp = _jpeg_bytes(img, subsample=subsample)
+    imgf = np.asarray(img, dtype=np.float64)
+    gray = imgf.ndim == 2
+    h, w = imgf.shape[:2]
+    sh, sv = subsample
+    hmax, vmax = (1, 1) if gray else (sh, sv)
+    bw_, bh_ = 8 * hmax, 8 * vmax
+    ph, pw = -(-h // bh_) * bh_, -(-w // bw_) * bw_
+
+    def pad(pl, H, W):
+        return np.pad(pl, ((0, H - pl.shape[0]), (0, W - pl.shape[1])), mode="edge")
+
+    if gray:
+        comps = [(1, 1, 1, 0, pad(imgf, ph, pw))]
+        qts = {0: _JQ_LUMA}
+    else:
+        r, g, b = imgf[..., 0], imgf[..., 1], imgf[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        y = pad(y, ph, pw)
+        ch, cw = ph // sv, pw // sh
+
+        def sub(pl):
+            pl = pad(pl, ph, pw)
+            if (sh, sv) == (1, 1):
+                return pl
+            return pl.reshape(ch, sv, cw, sh).mean(axis=(1, 3))
+
+        comps = [(1, sh, sv, 0, y), (2, 1, 1, 1, sub(cb)), (3, 1, 1, 1, sub(cr))]
+        qts = {0: _JQ_LUMA, 1: _JQ_CHROMA}
+
+    blocks = {cid: _jencode_blocks(plane, qts[tq]) for cid, hi, vi, tq, plane in comps}
+    mcux, mcuy = pw // bw_, ph // bh_
+    bpr = {cid: plane.shape[1] // 8 for cid, hi, vi, tq, plane in comps}
+
+    # --- scan emitters: each yields (symbol, nbits_extra, extra) or raw
+    # bits via ('bits', n, v); a two-pass walk gathers symbols then emits
+    def dc_first_syms_and_bits(al, emit):
+        pred = {cid: 0 for cid, *_ in comps}
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    emit("restart", 0, 0)
+                    pred = {cid: 0 for cid, *_ in comps}
+                mcu_i += 1
+                for cid, hi, vi, tq, plane in comps:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = blocks[cid][(my * vi + by) * bpr[cid] + mx * hi + bx]
+                            dct = int(zz[0]) >> al  # DC point transform: arith shift
+                            diff = dct - pred[cid]
+                            pred[cid] = dct
+                            sbits, v = _jcat(diff)
+                            emit("sym", cid, sbits)
+                            if sbits:
+                                emit("bits", sbits, v)
+
+    def dc_refine_bits(al, emit):
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    emit("restart", 0, 0)
+                mcu_i += 1
+                for cid, hi, vi, tq, plane in comps:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = blocks[cid][(my * vi + by) * bpr[cid] + mx * hi + bx]
+                            emit("bits", 1, (int(zz[0]) >> al) & 1)
+
+    def _trunc_shift(v, al):
+        # AC point transform: divide by 2^al rounding toward zero
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def ac_scan(cid, ss, se, al, refine, emit):
+        """AC scan over one component's blocks; EOB runs accumulate across
+        blocks, correction bits (refinement) buffer behind them."""
+        state = {"eobrun": 0, "bebuf": []}
+
+        def flush():
+            n = state["eobrun"]
+            if not n:
+                return
+            rr = n.bit_length() - 1
+            emit("sym", cid, rr << 4)
+            if rr:
+                emit("bits", rr, n - (1 << rr))
+            for bit in state["bebuf"]:
+                emit("bits", 1, bit)
+            state["eobrun"], state["bebuf"] = 0, []
+
+        # T.81 §A.2.2: a non-interleaved scan covers the COMPONENT's own
+        # block grid (ceil of its sample dims), not the MCU-padded grid
+        # the encoder materialized for interleaving — select real blocks
+        # out of the padded raster
+        chi, cvi = next((hi, vi) for c2, hi, vi, tq, _ in comps if c2 == cid)
+        bh_c = -(-(-(-h * cvi // vmax)) // 8)
+        bw_c = -(-(-(-w * chi // hmax)) // 8)
+        order = [by * bpr[cid] + bx for by in range(bh_c) for bx in range(bw_c)]
+        for ui, bi in enumerate(order):
+            if restart_interval and ui and ui % restart_interval == 0:
+                flush()
+                emit("restart", 0, 0)
+            zz = blocks[cid][bi]
+            t = [_trunc_shift(int(zz[k]), al) for k in range(64)]
+            if not refine:
+                band = [t[k] for k in range(ss, se + 1)]
+                if not any(band):
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 32767:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i, v in enumerate(band):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        emit("sym", cid, 0xF0)
+                        run -= 16
+                    sbits, code = _jcat(v)
+                    emit("sym", cid, (run << 4) | sbits)
+                    emit("bits", sbits, code)
+                    run = 0
+                if last_nz < se - ss:
+                    state["eobrun"] += 1
+            else:
+                # history = value at the coarser precision (al+1); the bit
+                # stream must mirror the decoder's position walk exactly —
+                # correction bits interleave IN POSITION ORDER with the
+                # zero-run bookkeeping, and a ZRL consumes only the bits
+                # lying before its 16th zero-history position
+                newly = [
+                    k for k in range(ss, se + 1)
+                    if abs(t[k]) == 1 and _trunc_shift(int(zz[k]), al + 1) == 0
+                ]
+                if not newly:
+                    bits = [
+                        abs(t[k]) & 1
+                        for k in range(ss, se + 1)
+                        if _trunc_shift(int(zz[k]), al + 1) != 0
+                    ]
+                    state["eobrun"] += 1
+                    state["bebuf"].extend(bits)
+                    if state["eobrun"] == 32767:
+                        flush()
+                    continue
+                flush()
+                last_new = newly[-1]
+                zeros_seen, bits_buf = 0, []
+                for k in range(ss, last_new + 1):
+                    hist = _trunc_shift(int(zz[k]), al + 1)
+                    if hist != 0:
+                        bits_buf.append(abs(t[k]) & 1)
+                    elif t[k] == 0:
+                        zeros_seen += 1
+                        if zeros_seen == 16:
+                            emit("sym", cid, 0xF0)
+                            for bit in bits_buf:
+                                emit("bits", 1, bit)
+                            bits_buf = []
+                            zeros_seen = 0
+                    else:  # newly significant
+                        emit("sym", cid, (zeros_seen << 4) | 1)
+                        emit("bits", 1, 1 if t[k] > 0 else 0)
+                        for bit in bits_buf:
+                            emit("bits", 1, bit)
+                        bits_buf = []
+                        zeros_seen = 0
+                # trailing positions covered by the next EOB run
+                tail_bits = [
+                    abs(t[k]) & 1
+                    for k in range(last_new + 1, se + 1)
+                    if _trunc_shift(int(zz[k]), al + 1) != 0
+                ]
+                if last_new < se:
+                    state["eobrun"] += 1
+                    state["bebuf"].extend(tail_bits)
+        flush()
+
+    # --- scan script
+    scans = []  # (scan_comps, ss, se, ah, al, walker, classes)
+    if not sa:
+        scans.append((list(blocks), 0, 0, 0, 0,
+                      lambda e: dc_first_syms_and_bits(0, e), 0))
+        for cid in blocks:
+            scans.append(([cid], 1, 5, 0, 0,
+                          lambda e, c=cid: ac_scan(c, 1, 5, 0, False, e), 1))
+        for cid in blocks:
+            scans.append(([cid], 6, 63, 0, 0,
+                          lambda e, c=cid: ac_scan(c, 6, 63, 0, False, e), 1))
+    else:
+        scans.append((list(blocks), 0, 0, 0, 1,
+                      lambda e: dc_first_syms_and_bits(1, e), 0))
+        for cid in blocks:
+            scans.append(([cid], 1, 63, 0, 1,
+                          lambda e, c=cid: ac_scan(c, 1, 63, 1, False, e), 1))
+        scans.append((list(blocks), 0, 0, 1, 0,
+                      lambda e: dc_refine_bits(0, e), 0))
+        for cid in blocks:
+            scans.append(([cid], 1, 63, 1, 0,
+                          lambda e, c=cid: ac_scan(c, 1, 63, 0, True, e), 1))
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]))
+        out.extend((len(body) + 2).to_bytes(2, "big"))
+        out.extend(body)
+
+    for tq, q in qts.items():
+        seg(0xDB, bytes([tq]) + bytes(int(q.flatten()[z]) for z in _JZZ))
+    sof = bytearray([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hi, vi, tq, _ in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    seg(0xC2, bytes(sof))
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+
+    for scan_comps, ss, se, ah, al, walker, cls in scans:
+        # gather this scan's symbols per component, build one table per
+        # class slot (DC scans share slot 0 across comps for simplicity:
+        # gather union)
+        if cls == 0:
+            symset = set()
+            walker(lambda kind, a, b: symset.add(b) if kind == "sym" else None)
+            if not symset:
+                symset = {0}
+            spec = _jhuff_tables([sorted(symset)])[0]
+            seg(0xC4, bytes([(0 << 4) | 0]) + bytes(spec[0]) + bytes(spec[1]))
+            tables = {cid: spec for cid in scan_comps}
+            tsel = {cid: 0 for cid in scan_comps}
+        else:
+            symset = set()
+            walker(lambda kind, a, b: symset.add(b) if kind == "sym" else None)
+            if not symset:
+                symset = {0}
+            spec = _jhuff_tables([sorted(symset)])[0]
+            seg(0xC4, bytes([(1 << 4) | 0]) + bytes(spec[0]) + bytes(spec[1]))
+            tables = {cid: spec for cid in scan_comps}
+            tsel = {cid: 0 for cid in scan_comps}
+
+        sos = bytearray([len(scan_comps)])
+        for cid in scan_comps:
+            sos += bytes([cid, (tsel[cid] << 4) | tsel[cid]])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+
+        wtr = _JBitWriter()
+        state = {"rst": 0}
+
+        def emit(kind, a, b):
+            if kind == "restart":
+                out.extend(wtr.flush())
+                wtr.__init__()
+                out.extend(bytes([0xFF, 0xD0 + (state["rst"] & 7)]))
+                state["rst"] += 1
+            elif kind == "sym":
+                code, ln = tables[a][2][b]
+                wtr.put(code, ln)
+            else:  # bits
+                if a:
+                    wtr.put(b, a)
+
+        walker(emit)
+        out.extend(wtr.flush())
+
+    out.extend(b"\xff\xd9")
+    return bytes(out), exp
+
+
 def _jpeg_test_image(h, w, color=True, seed=3):
     """Deterministic gradient + hash noise, no RNG objects."""
     yy, xx = np.mgrid[0:h, 0:w]
@@ -1125,14 +1412,76 @@ def test_native_jpeg_restart_markers():
     assert np.array_equal(a1, a2)
 
 
-def test_native_jpeg_rejects_progressive_and_truncated():
+def test_native_jpeg_progressive_spectral_selection():
+    """Progressive SOF2 with spectral selection only (interleaved DC scan
+    + per-component AC band scans 1-5 / 6-63, cross-block EOB runs):
+    decoded pixels must equal the baseline reconstruction of the same
+    quantized blocks — progressive reorders bits, not coefficients.
+    Grayscale non-multiple-of-8, 4:4:4 color, and 4:2:0 color (whose
+    non-interleaved AC scans exercise the component-grid-vs-MCU-grid
+    distinction on the luma plane)."""
+    from pgdedupe_spark.operators.multimodal import _jpeg_decode
+
+    for img, sub in [
+        (_jpeg_test_image(21, 29, color=False), (1, 1)),
+        (_jpeg_test_image(24, 31, color=True), (1, 1)),
+        (_jpeg_test_image(24, 31, color=True), (2, 2)),
+    ]:
+        payload, expected = _jpeg_progressive_bytes(img, subsample=sub)
+        arr, w, h = _jpeg_decode(payload)
+        assert (w, h) == (img.shape[1], img.shape[0])
+        assert arr.shape == expected.shape
+        assert np.array_equal(arr, expected), (
+            sub, np.abs(arr.astype(int) - expected.astype(int)).max()
+        )
+
+
+def test_native_jpeg_progressive_successive_approximation():
+    """Progressive SOF2 with successive approximation (DC first at Al=1 +
+    DC refinement, AC 1-63 first at Al=1 + the §G.1.2.3 correction-bit
+    refinement with buffered bits behind EOB runs): decoded pixels must
+    equal the baseline reconstruction bit-for-bit once all refinement
+    scans land."""
+    from pgdedupe_spark.operators.multimodal import _jpeg_decode
+
+    for img, sub in [
+        (_jpeg_test_image(21, 29, color=False), (1, 1)),
+        (_jpeg_test_image(24, 31, color=True), (1, 1)),
+        (_jpeg_test_image(24, 31, color=True), (2, 2)),
+    ]:
+        payload, expected = _jpeg_progressive_bytes(img, subsample=sub, sa=True)
+        arr, w, h = _jpeg_decode(payload)
+        assert np.array_equal(arr, expected), (
+            sub, np.abs(arr.astype(int) - expected.astype(int)).max()
+        )
+
+
+def test_native_jpeg_progressive_restart_markers():
+    """Restart markers inside progressive scans (MCU-counted in the DC
+    scan, block-counted in AC scans; DC predictors and EOB runs reset):
+    same pixels as the unrestarted stream."""
+    from pgdedupe_spark.operators.multimodal import _jpeg_decode
+
+    img = _jpeg_test_image(24, 40, color=False)
+    plain, expected = _jpeg_progressive_bytes(img)
+    rst, _ = _jpeg_progressive_bytes(img, restart_interval=2)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    a1, _, _ = _jpeg_decode(plain)
+    a2, _, _ = _jpeg_decode(rst)
+    assert np.array_equal(a1, expected)
+    assert np.array_equal(a2, expected)
+
+
+def test_native_jpeg_rejects_unsupported_sof_and_truncated():
+    """SOF2 is decodable since r8 — the reject set is now the lossless /
+    hierarchical / arithmetic SOFs (SOF3 here) and truncated streams."""
     from pgdedupe_spark.operators.multimodal import native_image_decode
 
     img = _jpeg_test_image(8, 8, color=False)
     payload, _ = _jpeg_bytes(img)
-    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF2"):
-        native_image_decode(prog)
+    lossless = payload.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    with pytest.raises(ValueError, match="SOF3"):
+        native_image_decode(lossless)
     with pytest.raises(ValueError):
         native_image_decode(payload[:20])
 
