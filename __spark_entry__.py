@@ -106,6 +106,8 @@ _TAIL = [
     # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
     # or the "no query >2 rounds without a driver row" promise breaks.
     "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle (first row r9)
+    "er_golden_record",  # survivorship golden record (first row r9)
+    "er_blocking_metrics",  # blocking quality scorecard (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -124,7 +126,6 @@ _TAIL = [
     "q17_small_qty_revenue",
     "j10_merge_upsert",
     "j11_cdc_apply",
-    "a13_cube",
     "stats_analyze",
     "events_histogram",
     "w3_rolling",
@@ -135,7 +136,6 @@ _TAIL = [
     "ann_pq_topk",
     "events_time_weighted",
     "corpus_mix_weighted",
-    "a10_rollup",
     "f_array_ops",
     "decontaminate_ngrams",
     "text_repetition_signals",

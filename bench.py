@@ -124,6 +124,9 @@ HEADLINE = [
     "stats_equidepth",
     "events_rolling_anomaly",
     "d7_sorted_neighborhood",
+    # r8: survivorship golden record + blocking quality scorecard
+    "er_golden_record",
+    "er_blocking_metrics",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two

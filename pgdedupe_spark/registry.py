@@ -1365,6 +1365,150 @@ def dedup_simhash_portable(spark, sf_dir):
     )
 
 
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey % 211 AS cluster, c_custkey,
+             c_name, c_acctbal, c_mktsegment, c_nationkey
+      FROM customer
+    ), agg AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+             max(c_acctbal) AS c_acctbal
+      FROM base GROUP BY cluster
+    ), longest AS (
+      SELECT cluster, c_name,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY len(c_name) DESC, c_name) AS rk
+      FROM base WHERE c_name IS NOT NULL
+    ), latest AS (
+      SELECT cluster, c_nationkey,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY c_custkey DESC, c_nationkey DESC) AS rk
+      FROM base WHERE c_nationkey IS NOT NULL
+    ), seg_counts AS (
+      SELECT cluster, c_mktsegment, count(*) AS n
+      FROM base WHERE c_mktsegment IS NOT NULL
+      GROUP BY cluster, c_mktsegment
+    ), seg_mode AS (
+      SELECT cluster, c_mktsegment,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY n DESC, c_mktsegment) AS rk
+      FROM seg_counts
+    )
+    SELECT a.cluster, a.n_members, lo.c_name, a.c_acctbal,
+           sm.c_mktsegment, la.c_nationkey
+    FROM agg a
+    JOIN longest lo ON lo.cluster = a.cluster AND lo.rk = 1
+    JOIN latest la ON la.cluster = a.cluster AND la.rk = 1
+    JOIN seg_mode sm ON sm.cluster = a.cluster AND sm.rk = 1
+    """,
+)
+def er_golden_record(spark, sf_dir):
+    """Survivorship — the last mile the reference's workflow stops short
+    of (run.py writes entity_map cluster ids and ends): one golden
+    record per cluster, each field picked by its own deterministic rule
+    (survivorship.golden_record, new r8). Synthetic clusters
+    (c_custkey % 211 → ~7-member entities at sf0.01) exercise all four
+    rule families at once: longest (c_name — equal lengths, so the tie
+    rule 'smallest value' is what's actually pinned), max (c_acctbal),
+    mode with ties→smallest (c_mktsegment — 5 segments, real plurality),
+    latest by seq (c_nationkey at max c_custkey). The Spark plan is ONE
+    cluster-keyed aggregation + one count-agg join for the mode field;
+    the oracle mirrors each rule with an explicitly-ordered window."""
+    from pgdedupe_spark.operators.survivorship import golden_record
+
+    c = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 211).alias("cluster"),
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey",
+    )
+    return golden_record(
+        c,
+        "cluster",
+        {
+            "c_name": "longest",
+            "c_acctbal": "max",
+            "c_mktsegment": "mode",
+            "c_nationkey": "latest",
+        },
+        seq_col="c_custkey",
+    )
+
+
+@query(
+    "er_blocking_metrics",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE source = 'src0'
+    ), keyed AS (
+      SELECT doc_id,
+             substr(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), 1, 32)
+               AS bkey
+      FROM corpus
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ), truth AS (
+      SELECT doc_id AS id1, doc_id + 1000000 AS id2
+      FROM documents WHERE source = 'src0'
+    ), nums AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+             (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM cand JOIN truth USING (id1, id2)) AS n_hits,
+             (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS nr
+    )
+    SELECT n_candidates, n_truth, n_hits,
+           1.0 - CAST(n_candidates AS DOUBLE)
+                 / (CAST(nr AS DOUBLE) * (CAST(nr AS DOUBLE) - 1) / 2.0)
+             AS reduction_ratio,
+           CASE WHEN n_truth > 0
+                THEN CAST(n_hits AS DOUBLE) / CAST(n_truth AS DOUBLE) END
+             AS completeness,
+           CASE WHEN n_candidates > 0
+                THEN CAST(n_hits AS DOUBLE) / CAST(n_candidates AS DOUBLE) END
+             AS quality
+    FROM nums
+    """,
+)
+def er_blocking_metrics(spark, sf_dir):
+    """Blocking-stage scorecard (survivorship.blocking_metrics, new r8):
+    reduction ratio / pairs completeness / pairs quality of a prefix
+    blocker on the re-crawl corpus (documents ∪ src0 shard re-ingested
+    under new ids — the dedup_exact_norm scenario, where the planted
+    truth is exactly the (doc, recrawl) pairs). The blocker keys on the
+    first 32 chars of the normalized text: completeness must be 1.0
+    (exact dups share any prefix), quality < 1 where distinct docs
+    share openings, and the quadratic denominator comes from a 1-row
+    count INSIDE the plan — no driver collects anywhere."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.survivorship import blocking_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = docs.select("doc_id", "text").unionByName(
+        recrawl.select("doc_id", "text")
+    )
+    keyed = corpus.select(
+        "doc_id", F.substring(normalize_text(F.col("text")), 1, 32).alias("bkey")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+    )
+    truth = docs.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("id1"),
+        (F.col("doc_id") + 1_000_000).alias("id2"),
+    )
+    return blocking_metrics(cand, truth, corpus)
+
+
 _SW_EN = "'the','a','of','and','to','in','is','it','that','for'"
 
 
@@ -4001,6 +4145,13 @@ PYTEST_ONLY = frozenset(
         # twins (VERDICT r7 #4): trivial scalar shapes green since r1-r5
         "j3_singleton_coalesce",
         "f11_string_agg",
+        # demoted in r8 to make r9 window room for the survivorship pair
+        # (er_golden_record / er_blocking_metrics): the ROLLUP/CUBE
+        # shapes are strictly subsumed by q_grouping_sets (explicit
+        # GROUPING SETS + GROUPING() id, first driver row r8). Oracles
+        # retained in pytest as always.
+        "a10_rollup",
+        "a13_cube",
     }
 )
 
