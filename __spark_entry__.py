@@ -108,6 +108,7 @@ _TAIL = [
     "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle (first row r9)
     "er_golden_record",  # survivorship golden record (first row r9)
     "er_blocking_metrics",  # blocking quality scorecard (first row r9)
+    "ml_kmeans_exact",  # exact-integer Lloyd's k-means (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -127,7 +128,6 @@ _TAIL = [
     "j10_merge_upsert",
     "j11_cdc_apply",
     "stats_analyze",
-    "events_histogram",
     "w3_rolling",
     "events_retention",
     "events_gapfill",

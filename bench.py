@@ -127,6 +127,7 @@ HEADLINE = [
     # r8: survivorship golden record + blocking quality scorecard
     "er_golden_record",
     "er_blocking_metrics",
+    "ml_kmeans_exact",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
