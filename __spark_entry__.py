@@ -109,6 +109,7 @@ _TAIL = [
     "er_golden_record",  # survivorship golden record (first row r9)
     "er_blocking_metrics",  # blocking quality scorecard (first row r9)
     "ml_kmeans_exact",  # exact-integer Lloyd's k-means (first row r9)
+    "ml_contrastive_negatives",  # deterministic negative sampling (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -145,7 +146,6 @@ _TAIL = [
     "text_duplicated_spans",
     "skew_salted_agg",
     "skew_salted_join",
-    "sample_stratified",
     "dedup_ngram_jaccard",
     "text_quality_stats",
     "text_language_id",

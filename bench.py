@@ -128,6 +128,7 @@ HEADLINE = [
     "er_golden_record",
     "er_blocking_metrics",
     "ml_kmeans_exact",
+    "ml_contrastive_negatives",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two

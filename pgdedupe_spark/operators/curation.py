@@ -729,3 +729,64 @@ def pseudonymize(
             ),
         )
     return out
+
+
+def contrastive_negatives(
+    anchors: DataFrame,
+    items: DataFrame,
+    positives: DataFrame,
+    k: int,
+    anchor_col: str,
+    item_col: str,
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / preference
+    training pairs: for each anchor, ``k`` pseudo-random items that are
+    NOT among its positives, ranked stably. Returns
+    ``(anchor_col, item_col, neg_rank)`` with ``neg_rank`` in 1..k.
+
+    Scale design: NEVER a cross join. Items get dense 1..n ranks via the
+    range-partitioned serial-id path; each anchor emits k·oversample
+    candidate indices ``portable_hash60(anchor, j) % n + 1`` (a pure
+    projection), which equi-join the item index, anti-join the
+    positives, collapse hash collisions by min(j), and keep the first k
+    per anchor — the per-anchor window sees ≤ k·oversample rows, so the
+    sort is bounded by construction. One driver scalar (the item count)
+    and the id path's per-partition offsets are the only non-plan state.
+
+    The hash is the md5-derived portable one, so a DuckDB oracle
+    reproduces every sampled negative — seeded-RNG samplers can't be
+    driver-checked. Collisions with positives or duplicate draws eat
+    into ``oversample`` headroom; anchors can fall short of k negatives
+    only if k·oversample draws hit that many collisions (raise
+    ``oversample`` for tiny item sets)."""
+    from pgdedupe_spark.operators.dedup import portable_hash60
+    from pgdedupe_spark.operators.ids import add_deterministic_id
+
+    n = items.count()  # bounded driver scalar
+    if n == 0:
+        raise ValueError("items is empty")
+    idx_items = add_deterministic_id(
+        items.select(item_col), [item_col], id_col="_idx"
+    )
+    cand = anchors.select(anchor_col).withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1)))
+    )
+    cand = cand.withColumn(
+        "_idx",
+        portable_hash60(
+            F.col(anchor_col).cast("string"), F.col("_j").cast("string")
+        )
+        % F.lit(n)
+        + 1,
+    )
+    joined = cand.join(idx_items, "_idx").select(anchor_col, item_col, "_j")
+    neg = joined.join(positives, [anchor_col, item_col], "left_anti")
+    # hash collisions: same item drawn twice for one anchor → keep min j
+    dedup = neg.groupBy(anchor_col, item_col).agg(F.min("_j").alias("_j"))
+    w = Window.partitionBy(anchor_col).orderBy("_j")
+    return (
+        dedup.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(anchor_col, item_col, "neg_rank")
+    )

@@ -1365,6 +1365,64 @@ def dedup_simhash_portable(spark, sf_dir):
     )
 
 
+@query(
+    "ml_contrastive_negatives",
+    oracle="""
+    WITH it AS (
+      SELECT vec_id AS item_id,
+             row_number() OVER (ORDER BY vec_id) AS idx
+      FROM embeddings
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    ), anch AS (
+      SELECT vec_id AS anchor_id FROM embeddings WHERE vec_id % 10 = 1
+    ), cand AS (
+      SELECT anchor_id, j.j AS j,
+             CAST(concat('0x', substr(md5(concat_ws('|',
+                  CAST(anchor_id AS VARCHAR), CAST(j.j AS VARCHAR))), 1, 15))
+                  AS BIGINT) % (SELECT n FROM nn) + 1 AS idx
+      FROM anch, (SELECT unnest(range(0, 10)) AS j) j
+    ), joined AS (
+      SELECT c.anchor_id, c.j, i.item_id FROM cand c JOIN it i USING (idx)
+    ), neg AS (
+      SELECT * FROM joined
+      WHERE item_id <> anchor_id AND item_id <> anchor_id - 1
+    ), ded AS (
+      SELECT anchor_id, item_id, min(j) AS j FROM neg GROUP BY 1, 2
+    )
+    SELECT anchor_id, item_id, CAST(neg_rank AS INT) AS neg_rank FROM (
+      SELECT anchor_id, item_id,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY j) AS neg_rank
+      FROM ded) WHERE neg_rank <= 5
+    """,
+)
+def ml_contrastive_negatives(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (curation.contrastive_negatives, new r8): 5 negatives per anchor
+    (every 10th vector), excluding the anchor itself and its planted
+    near-dup twin (vec_id−1) as positives. The sampler is the portable
+    md5 hash mod the item count over dense serial-id ranks — a pure
+    projection + equi-join + bounded per-anchor window, never a cross
+    join and never RNG — so DuckDB reproduces every sampled negative.
+    The training-pair primitive for contrastive/DPO data builds."""
+    from pgdedupe_spark.operators.curation import contrastive_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 10 == 1).select(
+        F.col("vec_id").alias("anchor_id")
+    )
+    items = emb.select(F.col("vec_id").alias("item_id"))
+    positives = anchors.select(
+        "anchor_id", F.col("anchor_id").alias("item_id")
+    ).unionByName(
+        anchors.select("anchor_id", (F.col("anchor_id") - 1).alias("item_id"))
+    )
+    return contrastive_negatives(
+        anchors, items, positives, k=5,
+        anchor_col="anchor_id", item_col="item_id", oversample=2,
+    )
+
+
 def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the exact-integer
     twin of operators/kmeans.kmeans_exact (same floor-quantize, BIGINT
@@ -4226,6 +4284,11 @@ PYTEST_ONLY = frozenset(
         # histogram, green r5+r7, histogram coverage continues via
         # stats_equidepth in the rotation. Oracle retained in pytest.
         "events_histogram",
+        # demoted in r8 for ml_contrastive_negatives (r9 window): three
+        # sampling rows rode the rotation (stratified / quota / weighted
+        # mix) — stratified is the least informative of the family.
+        # Oracle retained in pytest.
+        "sample_stratified",
     }
 )
 
