@@ -340,38 +340,63 @@ def minhash_signature_cols(shingle_col: str, num_hashes: int) -> list[Column]:
     return [_minhash(i) for i in range(num_hashes)]
 
 
-def minhash_signature_array(shingle_col: str, num_hashes: int) -> Column:
-    """All k PORTABLE min-hashes in ONE pass: array<long> of running
-    minima folded over the shingles. The portable base hash
-    (:func:`portable_hash60`, ~6 nodes incl. an md5) is too expensive to
-    pay k times — k separate md5 passes measured 174 s at sf0.1, and a
-    projected base-hash column does NOT help because Catalyst's
-    projection collapse inlines it back into every signature expression
-    (no CSE inside higher-order functions; re-measured 106 s). So one
-    ``aggregate`` walks the shingles once, binds the md5 hash ONCE per
-    element via a 1-element inner aggregate, fans it through k
-    Carter-Wegman affine permutations mod 2^31-1 (zip_with over literal
-    constant arrays), and zip_with/least folds the state — ~4.5 s at
-    sf0.1, bit-identical to the k-pass formulation (equality pinned in
-    tests/test_recall.py). DuckDB replicates the same arithmetic."""
-    if num_hashes > len(_CW_A):
-        raise ValueError(f"portable minhash supports <= {len(_CW_A)} hashes")
-    a_arr = F.array(*[F.lit(a).cast("long") for a in _CW_A[:num_hashes]])
-    b_arr = F.array(*[F.lit(b).cast("long") for b in _CW_B[:num_hashes]])
-    init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+def minhash_signature_array(
+    shingle_col: str, num_hashes: int, portable: bool = True
+) -> Column:
+    """All k min-hashes in ONE pass: array<long> of running minima folded
+    over the shingles — one array traversal instead of k.
 
-    def step(acc: Column, s: Column) -> Column:
-        return F.aggregate(
-            F.array(portable_hash60(s) % F.lit(MINHASH_P)),
+    Portable (default): the base hash (:func:`portable_hash60`, ~6 nodes
+    incl. an md5) is too expensive to pay k times — k separate md5
+    passes measured 174 s at sf0.1, and a projected base-hash column
+    does NOT help because Catalyst's projection collapse inlines it back
+    into every signature expression (no CSE inside higher-order
+    functions; re-measured 106 s). So one ``aggregate`` walks the
+    shingles once, binds the md5 hash ONCE per element via a 1-element
+    inner aggregate, fans it through k Carter-Wegman affine permutations
+    mod 2^31-1 (zip_with over literal constant arrays), and
+    zip_with/least folds the state — ~4.5 s at sf0.1, bit-identical to
+    the k-pass formulation (equality pinned in tests/test_recall.py).
+    DuckDB replicates the same arithmetic.
+
+    ``portable=False``: the same fold with xxhash64(seed, shingle) —
+    bit-identical values to :func:`minhash_signature_cols` (INT seed
+    literals; pinned) at ~60% of its wall time (2.1 s vs 3.3 s warm at
+    sf0.1, k=64): one traversal amortizes the interpreted HOF overhead
+    the 64 separate array_min passes each pay."""
+    if portable:
+        if num_hashes > len(_CW_A):
+            raise ValueError(f"portable minhash supports <= {len(_CW_A)} hashes")
+        a_arr = F.array(*[F.lit(a).cast("long") for a in _CW_A[:num_hashes]])
+        b_arr = F.array(*[F.lit(b).cast("long") for b in _CW_B[:num_hashes]])
+        init = F.array(*[F.lit(MINHASH_P).cast("long")] * num_hashes)
+
+        def step(acc: Column, s: Column) -> Column:
+            return F.aggregate(
+                F.array(portable_hash60(s) % F.lit(MINHASH_P)),
+                acc,
+                lambda acc2, h: F.zip_with(
+                    acc2,
+                    F.zip_with(
+                        a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P)
+                    ),
+                    lambda cur, new: F.least(cur, new),
+                ),
+            )
+
+        return F.aggregate(F.col(shingle_col), init, step)
+
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])  # INT, like lit(i)
+    init = F.array(*[F.lit((1 << 63) - 1).cast("long")] * num_hashes)
+
+    def xstep(acc: Column, s: Column) -> Column:
+        return F.zip_with(
             acc,
-            lambda acc2, h: F.zip_with(
-                acc2,
-                F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MINHASH_P)),
-                lambda cur, new: F.least(cur, new),
-            ),
+            F.transform(seeds, lambda k: F.xxhash64(k, s)),
+            lambda cur, new: F.least(cur, new),
         )
 
-    return F.aggregate(F.col(shingle_col), init, step)
+    return F.aggregate(F.col(shingle_col), init, xstep)
 
 
 def minhash_lsh_pairs(
@@ -397,37 +422,27 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sh = _fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
+    ).filter(F.size("_sh") > 0).persist()
+    # persist the signature frame (tiny: id + k longs) BEFORE deriving
+    # band keys: projection collapse would otherwise inline the whole
+    # one-pass aggregate into every element_at reference below — 2 refs ×
+    # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
+    # the fold runs once). Both hash families use the same fold shape.
+    sig = sh.select(
+        "_id",
+        minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+    ).persist()
+    mh = [
+        [F.element_at("_mhs", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        for b in range(bands)
+    ]
     if portable:
-        # persist the signature frame (tiny: id + k longs) BEFORE deriving
-        # band keys: projection collapse would otherwise inline the whole
-        # one-pass aggregate into every element_at reference below —
-        # 2 refs × 8 bands re-ran the md5 fold 16× (120 s at sf0.1; with
-        # the barrier the fold runs once, ~6 s)
-        sig = sh.select(
-            "_id", minhash_signature_array("_sh", num_hashes).alias("_mhs")
-        ).persist()
         band_keys = F.array(
-            *[
-                portable_hash60(
-                    F.lit(str(b)),
-                    *[
-                        F.element_at("_mhs", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-                for b in range(bands)
-            ]
+            *[portable_hash60(F.lit(str(b)), *mh[b]) for b in range(bands)]
         )
     else:
-        sig = sh.select("_id", *minhash_signature_cols("_sh", num_hashes))
         band_keys = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-                for b in range(bands)
-            ]
+            *[F.xxhash64(F.lit(b), *mh[b]) for b in range(bands)]
         )
     # persist: the self-join below reads `buckets` once per branch, and
     # without a materialization barrier each branch would re-evaluate the
@@ -448,18 +463,18 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cands
-    # Verify against shingles recomputed ONLY for candidate rows: join the
-    # (tiny, AQE-broadcastable) candidate id pairs to the raw text payload
-    # and shingle AFTER the joins — projecting shingles before the join
-    # would evaluate them for every corpus row (projections fuse below the
-    # probe in codegen), i.e. two more full-corpus shingle passes.
-    t1 = df.select(F.col(id_col).alias("id1"), F.col(text_col).alias("_t1"))
-    t2 = df.select(F.col(id_col).alias("id2"), F.col(text_col).alias("_t2"))
+    # Verify against the MATERIALIZED per-doc shingle arrays: `sh` is
+    # persisted, so each doc's array is computed once — a candidate set
+    # of C pairs would otherwise re-shingle 2C texts (the earlier
+    # join-raw-text formulation paid ~29 µs/pair shingling at sf0.1:
+    # the 240k-candidate verify was ~8 s of shingle RECOMPUTES and fell
+    # to ~2 s with the reuse). Memory: one shingle array per doc — the
+    # same linear state the candidate stage already materialized.
+    t1 = sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
+    t2 = sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
     return (
         cands.join(t1, "id1")
         .join(t2, "id2")
-        .withColumn("_sh1", char_shingles(F.col("_t1"), n))
-        .withColumn("_sh2", char_shingles(F.col("_t2"), n))
         .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
         .withColumn(
             "jaccard",
