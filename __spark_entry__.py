@@ -46,6 +46,7 @@ _PRIORITY = [
     "q11_heavy_parts",  # HAVING vs scalar-subquery threshold (first row r8)
     "q14_promo_share",  # conditional-agg ratio (first row r8)
     "dedup_minhash_portable",  # md5-hash twin: dedup core under full hash oracle (first row r8)
+    "q15_top_supplier",  # argmax-vs-derived-max (first row r8)
     # or be bench/pytest-only), or the "no query >2 rounds without a
     # driver row" promise breaks.
     "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
@@ -62,7 +63,6 @@ _PRIORITY = [
     "pack_sequences",
     "corpus_token_budget",
     "q13_customer_distribution",
-    "q4_order_priority",
     "q7_nation_flow",
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
@@ -110,6 +110,7 @@ _TAIL = [
     "er_blocking_metrics",  # blocking quality scorecard (first row r9)
     "ml_kmeans_exact",  # exact-integer Lloyd's k-means (first row r9)
     "ml_contrastive_negatives",  # deterministic negative sampling (first row r9)
+    "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -132,7 +133,6 @@ _TAIL = [
     "w3_rolling",
     "events_retention",
     "events_gapfill",
-    "j12_full_outer",
     "events_attribution",
     "ann_pq_topk",
     "events_time_weighted",

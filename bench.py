@@ -129,6 +129,8 @@ HEADLINE = [
     "er_blocking_metrics",
     "ml_kmeans_exact",
     "ml_contrastive_negatives",
+    "q15_top_supplier",
+    "q_ranking_windows",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two

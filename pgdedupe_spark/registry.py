@@ -4205,6 +4205,13 @@ for _name in (
     "q9_product_profit",
     "q11_heavy_parts",
     "q14_promo_share",
+    # fourth promotion wave (r8, for r9 first rows): argmax-vs-derived-max
+    # (view-free q15) and the NTILE/PERCENT_RANK/CUME_DIST/LAG ranking
+    # window suite. Displaces j12_full_outer (full-outer reconciliation
+    # is covered by j14_snapshot_diff) and q4_order_priority (EXISTS semi
+    # join, subsumed by q21's EXISTS+NOT-EXISTS pair).
+    "q15_top_supplier",
+    "q_ranking_windows",
 ):
     QUERIES[_name] = _olap.QUERIES[_name]
     ORACLES[_name] = _olap.ORACLES[_name]
@@ -4284,6 +4291,9 @@ PYTEST_ONLY = frozenset(
         # histogram, green r5+r7, histogram coverage continues via
         # stats_equidepth in the rotation. Oracle retained in pytest.
         "events_histogram",
+        # demoted in r8 for the fourth olap wave (q15/q_ranking_windows):
+        "j12_full_outer",
+        "q4_order_priority",
         # demoted in r8 for ml_contrastive_negatives (r9 window): three
         # sampling rows rode the rotation (stratified / quota / weighted
         # mix) — stratified is the least informative of the family.
