@@ -111,6 +111,7 @@ _TAIL = [
     "ml_kmeans_exact",  # exact-integer Lloyd's k-means (first row r9)
     "ml_contrastive_negatives",  # deterministic negative sampling (first row r9)
     "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite (first row r9)
+    "text_html_extract",  # HTML->text crawl extraction (first row r9)
     # -- never driver-checked — lead with these --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
@@ -133,7 +134,6 @@ _TAIL = [
     "w3_rolling",
     "events_retention",
     "events_gapfill",
-    "events_attribution",
     "ann_pq_topk",
     "events_time_weighted",
     "corpus_mix_weighted",

@@ -131,6 +131,7 @@ HEADLINE = [
     "ml_contrastive_negatives",
     "q15_top_supplier",
     "q_ranking_windows",
+    "text_html_extract",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two

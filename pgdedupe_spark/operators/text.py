@@ -393,3 +393,52 @@ def domain_profile(df: DataFrame, url_col: str) -> DataFrame:
         F.sum(F.col("url_port").isNotNull().cast("long")).alias("n_with_port"),
         F.count_distinct("url_scheme").alias("n_schemes"),
     )
+
+
+# HTML entity decode order: named/numeric entities first, &amp; LAST —
+# otherwise '&amp;lt;' would double-decode to '<'. The short list covers
+# the entities that dominate crawl text; extend the pairs for full HTML5.
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(df: DataFrame, html_col: str, out_col: str = "text_extracted") -> DataFrame:
+    """Extract visible text from an HTML column — the first stage of any
+    web-crawl curation pipeline (quality scoring, dedup, language id all
+    operate on TEXT; running them on markup measures the boilerplate).
+
+    Fixed, documented pass order (each a single JVM regexp/replace node;
+    zero shuffle, zero Python — the whole chain stays in one codegen
+    projection at the scan):
+
+    1. strip comments ``(?s)<!--.*?-->`` (first — a comment may wrap
+       script tags),
+    2. strip script/style/noscript ELEMENTS incl. their content
+       (``(?is)`` — case-insensitive, dot-all),
+    3. strip every remaining tag ``<[^>]*>`` → space (block boundaries
+       become whitespace, then collapse),
+    4. decode the common entities (&amp; last so entity-escaped
+       entities don't double-decode),
+    5. collapse whitespace + trim.
+
+    Lossy by design: tables/lists flatten to word soup and rare
+    entities pass through verbatim — this is the curation-grade
+    extractor, not a DOM renderer. Both Java regex and RE2 execute
+    these exact patterns identically, so the op is oracle-checkable."""
+    x = F.col(html_col)
+    x = F.regexp_replace(x, r"(?s)<!--.*?-->", " ")
+    x = F.regexp_replace(
+        x, r"(?is)<(script|style|noscript)\b[^>]*>.*?</(script|style|noscript)>", " "
+    )
+    x = F.regexp_replace(x, r"<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        x = F.replace(x, F.lit(ent), F.lit(rep))
+    x = F.trim(F.regexp_replace(x, r"\s+", " "))
+    return df.withColumn(out_col, x)

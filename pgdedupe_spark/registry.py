@@ -1423,6 +1423,71 @@ def ml_contrastive_negatives(spark, sf_dir):
     )
 
 
+@query(
+    "text_html_extract",
+    oracle="""
+    WITH html AS (
+      SELECT doc_id,
+             '<html><!-- id=' || CAST(doc_id AS VARCHAR)
+             || ' --><head><script type="text/javascript">var id='
+             || CAST(doc_id AS VARCHAR)
+             || ';</script><style>p { color: red; }</style></head>'
+             || '<body><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR)
+             || '</h1><p>' || text
+             || '</p><div>&nbsp;&lt;footer&gt;</div></body></html>' AS h
+      FROM documents
+    ), stripped AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(h, '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)<(script|style|noscript)\\b[^>]*>.*?</(script|style|noscript)>',
+            ' ', 'g'),
+          '<[^>]*>', ' ', 'g') AS t
+      FROM html
+    ), decoded AS (
+      SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS t
+      FROM stripped
+    )
+    SELECT doc_id,
+           trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text_extracted,
+           CAST(len(trim(regexp_replace(t, '\\s+', ' ', 'g'))) AS BIGINT)
+             AS n_chars_extracted
+    FROM decoded
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """HTML→text extraction (text.html_to_text, new r8): documents
+    wrapped in a deterministic HTML shell — comment, script AND style
+    elements with content, heading/paragraph structure, and entity
+    escapes (&amp;/&nbsp;/&lt;…) — then extracted back. The first stage
+    of a crawl pipeline: everything downstream (quality, dedup, LID)
+    must run on visible text, not markup. Pure regexp/replace chain in
+    one codegen projection, zero shuffle; the oracle executes the
+    byte-identical patterns (Java regex ≡ RE2 on these)."""
+    from pgdedupe_spark.operators.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><!-- id="), did,
+        F.lit(' --><head><script type="text/javascript">var id='), did,
+        F.lit(";</script><style>p { color: red; }</style></head>"),
+        F.lit("<body><h1>Doc &amp; "), did,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>&nbsp;&lt;footer&gt;</div></body></html>"),
+    )
+    out = html_to_text(docs.select("doc_id", "text").withColumn("_h", html), "_h")
+    return out.select(
+        F.col("doc_id"),
+        F.col("text_extracted"),
+        F.length("text_extracted").cast("bigint").alias("n_chars_extracted"),
+    )
+
+
 def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the exact-integer
     twin of operators/kmeans.kmeans_exact (same floor-quantize, BIGINT
@@ -4294,6 +4359,10 @@ PYTEST_ONLY = frozenset(
         # demoted in r8 for the fourth olap wave (q15/q_ranking_windows):
         "j12_full_outer",
         "q4_order_priority",
+        # demoted in r8 for text_html_extract (r9 window): the INNER
+        # attribution join is a strict subset of events_attribution_outer
+        # (same hash-join, NULL-extension dropped). Oracle retained.
+        "events_attribution",
         # demoted in r8 for ml_contrastive_negatives (r9 window): three
         # sampling rows rode the rotation (stratified / quota / weighted
         # mix) — stratified is the least informative of the family.

@@ -372,3 +372,38 @@ def test_url_parse_refuses_clash_and_stays_jvm(spark):
     plan = url_parse(clean, "url")._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan
     assert "Exchange" not in plan  # pure projection, zero shuffle
+
+
+def test_html_to_text_extraction_matrix(spark):
+    """html_to_text strips comments (even ones wrapping script tags),
+    script/style/noscript WITH content, all remaining tags; decodes the
+    common entities with &amp; last; collapses whitespace. Encoded
+    markup (&lt;b&gt;) survives as text because decode runs AFTER the
+    tag strip."""
+    from pgdedupe_spark.operators.text import html_to_text
+
+    cases = [
+        ("<p>Hello <b>world</b></p>", "Hello world"),
+        ("<!-- <script>x</script> --><p>kept</p>", "kept"),
+        ("<SCRIPT a=1>var x = '<p>';</SCRIPT>after", "after"),
+        ("<style>p { color: red }</style>text", "text"),
+        ("a&nbsp;b &amp; c &lt;i&gt; &#39;q&#39;", "a b & c <i> 'q'"),
+        ("&amp;lt;", "&lt;"),  # escaped entity must NOT double-decode
+        ("  <div>\n\tspaced   out\n</div> ", "spaced out"),
+        ("plain text, no markup", "plain text, no markup"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, h string"
+    )
+    got = {r["i"]: r["text_extracted"] for r in html_to_text(df, "h").collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_html_to_text_zero_shuffle_plan(spark):
+    from pgdedupe_spark.operators.text import html_to_text
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "i long, h string")
+    plan = html_to_text(df, "h")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "PythonUDF" not in plan
