@@ -1630,7 +1630,7 @@ def er_golden_record(spark, sf_dir):
 
 @query(
     "er_blocking_metrics",
-    oracle="""
+    oracle=r"""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
       UNION ALL
