@@ -30,6 +30,39 @@ from pgdedupe_spark.operators.ids import add_deterministic_id
 # fixed bitmask (V/64 longs, ≤ 2 KiB/doc) + bit_count intersection
 _BITMAP_MAX_VOCAB = 16384
 
+# Per-call persisted intermediates (signature/bucket frames). The persists
+# are load-bearing — they are the materialization BARRIERS that stop
+# Catalyst's projection collapse from re-running the minhash fold per
+# consumer (see minhash_lsh_pairs) — but a returned DataFrame's lineage
+# still references them, so they cannot be unpersisted inside the
+# function without forcing a recompute at materialization. Long-lived
+# sessions (pipelines, bench loops) therefore call :func:`release_caches`
+# AFTER materializing results (ADVICE r8); bench.py additionally drains
+# getPersistentRDDs between queries.
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + track for a later :func:`release_caches`."""
+    df = df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate this module persisted since the last
+    call; returns how many frames were released. Safe to call any time —
+    results materialized afterwards recompute from source (correct, just
+    uncached)."""
+    n = len(_TRACKED_CACHES)
+    for df in _TRACKED_CACHES:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+    _TRACKED_CACHES.clear()
+    return n
+
 
 def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     """Small parquet inputs arrive as ONE scan partition; shingling /
@@ -169,18 +202,18 @@ def _ngram_docs_and_candidates(
     sh = _fan_out(df, id_col).select(
         F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
     ).filter(F.size("_sh") > 0)
-    sh = sh.persist()
+    sh = _persist(sh)
     # materialize the shingle cache in its own job BEFORE the dfreq
     # aggregate: fusing the cache build with explode+hashAgg in one task set
     # measured 31 s vs 11 s split (4k docs × ~700 shingles) — the columnar
     # cache builders and the agg hash maps thrash the same task memory.
     sh.count()
 
-    dfreq = (
+    dfreq = _persist(
         sh.select(F.explode("_sh").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_df"))
-    ).persist()  # consumed twice: strategy-choice count + vocab id assignment
+    )  # consumed twice: strategy-choice count + vocab id assignment
     vocab_size = dfreq.count()
     if strategy == "auto":
         use_bitmap = vocab_size <= _BITMAP_MAX_VOCAB
@@ -227,7 +260,8 @@ def _ngram_docs_and_candidates(
                 ).alias("_bm"),
             )
             .withColumn("_sz", F.size("_ids"))
-        ).persist()
+        )
+        docs = _persist(docs)
     else:
         # add_deterministic_id avoids the single-partition global-sort
         # window -- the vocab can be huge on real corpora (W1 scale path)
@@ -241,7 +275,8 @@ def _ngram_docs_and_candidates(
             .groupBy("_id")
             .agg(F.sort_array(F.collect_list("_vid")).alias("_ids"))
             .withColumn("_sz", F.size("_ids"))
-        ).persist()
+        )
+        docs = _persist(docs)
 
     plen = F.col("_sz") - F.ceil(F.col("_sz") * F.lit(float(threshold))).cast("int") + 1
     prefix = docs.select(
@@ -420,18 +455,24 @@ def minhash_lsh_pairs(
     the exact candidate set — the driver-checkable twin; xxhash64
     stays the default perf path."""
     rows_per_band = num_hashes // bands
-    sh = _fan_out(df, id_col).select(
-        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0).persist()
+    sh = _persist(
+        _fan_out(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+    )
     # persist the signature frame (tiny: id + k longs) BEFORE deriving
     # band keys: projection collapse would otherwise inline the whole
     # one-pass aggregate into every element_at reference below — 2 refs ×
     # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
     # the fold runs once). Both hash families use the same fold shape.
-    sig = sh.select(
-        "_id",
-        minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
-    ).persist()
+    sig = _persist(
+        sh.select(
+            "_id",
+            minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+        )
+    )
     mh = [
         [F.element_at("_mhs", b * rows_per_band + r + 1) for r in range(rows_per_band)]
         for b in range(bands)
@@ -448,7 +489,9 @@ def minhash_lsh_pairs(
     # without a materialization barrier each branch would re-evaluate the
     # k minhash passes — the single most expensive expression in the plan
     # (measured ~2x end-to-end at sf0.1). Same rule as the SimHash join.
-    buckets = sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey")).persist()
+    buckets = _persist(
+        sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey"))
+    )
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     cands = (
@@ -555,7 +598,7 @@ def simhash_pairs(
     )
     # persist: the self-join would otherwise evaluate the (expensive)
     # signature expression once per join branch
-    buckets = sig.select("_id", "_sig", F.explode(keys).alias("_bk")).persist()
+    buckets = _persist(sig.select("_id", "_sig", F.explode(keys).alias("_bk")))
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(
@@ -655,9 +698,9 @@ def incremental_jaccard_pairs(
     job (`ngram_jaccard_pairs`); this op is deliberately cross-set only.
     """
     t = float(threshold)
-    c_sh = (corpus_shingles if corpus_shingles is not None
-            else shingle_index(corpus, id_col, text_col, n)).persist()
-    n_sh = shingle_index(new_batch, id_col, text_col, n).persist()
+    c_sh = _persist(corpus_shingles if corpus_shingles is not None
+                    else shingle_index(corpus, id_col, text_col, n))
+    n_sh = _persist(shingle_index(new_batch, id_col, text_col, n))
 
     c_post = c_sh.select(F.col("_id").alias("corpus_id"), F.col("_sz").alias("_csz"),
                          F.explode("_sh").alias("_s"))

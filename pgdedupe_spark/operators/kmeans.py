@@ -60,7 +60,17 @@ def kmeans_exact(
     if dim is None:
         first = iv.select(F.size("_iv")).first()
         if first is None:
-            return df.sparkSession.createDataFrame([], f"{id_col} long, cluster int")
+            # empty-input schema must match the non-empty path: keep the
+            # caller's id type instead of hardcoding long (ADVICE r8)
+            from pyspark.sql.types import IntegerType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField(id_col, df.schema[id_col].dataType, True),
+                    StructField("cluster", IntegerType(), True),
+                ]
+            )
+            return df.sparkSession.createDataFrame([], schema)
         dim = first[0]
 
     if init is None:

@@ -48,8 +48,14 @@ def _one_pass_expr(field: str, rule: str, seq_col: str | None) -> Column:
         if seq_col is None:
             raise ValueError(f"rule {rule!r} for {field!r} requires seq_col")
         # value at max/min seq among non-null values; seq ties → the
-        # max/min value at that seq (struct comparison is lexicographic)
-        st = F.when(v.isNotNull(), F.struct(F.col(seq_col).alias("s"), v.alias("v")))
+        # max/min value at that seq (struct comparison is lexicographic).
+        # Rows with NULL seq never win either rule: unguarded, a NULL seq
+        # compares lowest in the struct order and would beat real
+        # sequence values under `first` (ADVICE r8).
+        st = F.when(
+            v.isNotNull() & F.col(seq_col).isNotNull(),
+            F.struct(F.col(seq_col).alias("s"), v.alias("v")),
+        )
         agg = F.max(st) if rule == "latest" else F.min(st)
         return agg.getField("v").alias(field)
     raise ValueError(f"unknown survivorship rule {rule!r} for {field!r}")
@@ -70,7 +76,8 @@ def golden_record(
     * ``min`` / ``max`` — extreme non-null value;
     * ``longest`` — longest non-null string, ties → smallest value;
     * ``latest`` / ``first`` — value at the max/min ``seq_col`` among
-      non-null values (ties on seq → max/min value respectively);
+      rows where BOTH value and seq are non-null (ties on seq → max/min
+      value respectively; NULL-seq rows never win);
     * ``mode`` — most frequent non-null value, ties → smallest value.
 
     Plan shape: one cluster-keyed hash aggregation carries n_members and

@@ -61,6 +61,16 @@ def test_kmeans_validation_and_empty_input(spark):
     assert kmeans_exact(empty, "vec_id", "embedding", k=2).count() == 0
 
 
+def test_kmeans_empty_input_keeps_id_type(spark):
+    """Empty-input schema matches the non-empty path for non-long ids
+    (ADVICE r8: the empty branch hardcoded `long`)."""
+    empty = spark.createDataFrame([], "doc string, embedding array<float>")
+    out = kmeans_exact(empty, "doc", "embedding", k=2)
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    assert out.schema["cluster"].dataType.simpleString() == "int"
+    assert out.count() == 0
+
+
 def test_kmeans_assignment_plan_has_no_join(spark, sf_dir):
     """Centroids are expression literals: the final assignment must be a
     pure scan-local projection — no join, no Exchange beyond the scan,

@@ -370,3 +370,29 @@ def test_portable_minhash_pair_recall(spark):
     assert exact, "exact jaccard produced no pairs — fixture drifted"
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"dedup_minhash_portable pair recall {recall:.3f} < 0.9"
+
+
+def test_release_caches_frees_lsh_intermediates(spark):
+    """minhash_lsh_pairs persists sh/sig/buckets as load-bearing CSE
+    barriers; `dedup.release_caches()` must free them all once the caller
+    has materialized the result (ADVICE r8 — long-lived sessions were
+    accumulating cached blocks per call)."""
+    from pgdedupe_spark.operators import dedup
+
+    dedup.release_caches()  # drain whatever earlier tests left behind
+    jsc = spark.sparkContext._jsc
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame(
+        [(i, f"document body text number {i} " * 4) for i in range(40)]
+        + [(100, "a common duplicate body " * 5), (101, "a common duplicate body " * 5)],
+        "doc_id long, body string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "body", num_hashes=16, bands=4)
+    assert pairs.count() >= 1  # materialize → caches are live
+    assert jsc.getPersistentRDDs().size() > before
+    released = dedup.release_caches()
+    assert released >= 3  # sh + sig + buckets
+    assert jsc.getPersistentRDDs().size() == before
+    # idempotent, and results remain correct (recompute from source)
+    assert dedup.release_caches() == 0
+    assert pairs.count() >= 1

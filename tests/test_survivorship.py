@@ -51,6 +51,22 @@ def test_golden_record_latest_first(spark):
     assert first["v"] == "old"
 
 
+def test_golden_record_null_seq_never_wins(spark):
+    """Rows with NULL seq are excluded from latest/first (ADVICE r8:
+    unguarded, a NULL seq compared lowest and won `first`)."""
+    rows = [(1, None, "ghost"), (1, 2, "real-first"), (1, 7, "real-latest")]
+    df = spark.createDataFrame(rows, "cluster int, seq long, v string")
+    first = golden_record(df, "cluster", {"v": "first"}, seq_col="seq").collect()[0]
+    assert first["v"] == "real-first"
+    latest = golden_record(df, "cluster", {"v": "latest"}, seq_col="seq").collect()[0]
+    assert latest["v"] == "real-latest"
+    # all seqs NULL → rule yields NULL rather than an arbitrary value
+    allnull = spark.createDataFrame(
+        [(1, None, "a"), (1, None, "b")], "cluster int, seq long, v string"
+    )
+    assert golden_record(allnull, "cluster", {"v": "first"}, seq_col="seq").collect()[0]["v"] is None
+
+
 def test_golden_record_validation(spark):
     df = spark.createDataFrame([(1, "a")], "cluster int, v string")
     with pytest.raises(ValueError, match="unknown rules"):
