@@ -31,80 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks exactly the first 50 queries per round, so the dict
 # below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
-# tests/test_entry_contract.py). Round 8 executes the wholesale
-# tail↔priority swap promised in r7: _PRIORITY below is the r7 _TAIL (the
-# r6 window, all 50 green in CORRECTNESS_r06, minus two demoted trivial
-# rows) — led by the five queries getting their FIRST driver row:
-# q8_market_share, q_grouping_sets (VERDICT r6 #4 leftovers) and the
-# three late-r7 promotions graph_pagerank / j14_snapshot_diff /
-# events_rolling_anomaly (VERDICT r7 #2).
+# tests/test_entry_contract.py). Round 9 executes the wholesale
+# tail↔priority swap promised in r8 (VERDICT r8 #2): _PRIORITY below is
+# the r8 _TAIL (the r7 window, all 50 green in CORRECTNESS_r07) — led by
+# the seven driver-eligible queries that have NEVER had a driver row.
 _PRIORITY = [
-    # -- first driver rows in r8 (VERDICT r7 #2 + #6) — lead with these --
-    "q2_min_balance_supplier",  # correlated-min supplier match (first row r8)
-    "q6_forecast_revenue",  # single-table selective agg (first row r8)
-    "q9_product_profit",  # 6-way profit snowflake (first row r8)
-    "q11_heavy_parts",  # HAVING vs scalar-subquery threshold (first row r8)
-    "q14_promo_share",  # conditional-agg ratio (first row r8)
-    "dedup_minhash_portable",  # md5-hash twin: dedup core under full hash oracle (first row r8)
-    "q15_top_supplier",  # argmax-vs-derived-max (first row r8)
-    # or be bench/pytest-only), or the "no query >2 rounds without a
-    # driver row" promise breaks.
-    "q8_market_share",  # 7-join snowflake, nation in two roles (first row r8)
-    "q_grouping_sets",  # explicit GROUPING SETS + GROUPING() id (first row r8)
-    # late-r7 additions promoted for their first driver rows in r8,
-    # displacing three saturated scalar-function rows (f9/f10/a11, green
-    # since r2-r3, near-zero marginal information — demoted to
-    # registry.PYTEST_ONLY, full oracle coverage retained in pytest):
-    "graph_pagerank",  # iterative op under an exact-integer hash oracle
-    "j14_snapshot_diff",  # full-outer reconciliation, IS DISTINCT FROM
-    "events_rolling_anomaly",  # window percentiles + robust z (first row r8)
-    "ann_pq_serve",
-    "multimodal_audio_native",
-    "pack_sequences",
-    "corpus_token_budget",
-    "q13_customer_distribution",
-    "q7_nation_flow",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q22_idle_customers",
-    "dedup_incremental",
-    "q1_pricing_summary",
-    "q5_regional_revenue",
-    "dedup_canonical_pick",
-    "w2_window_suite",
-    "dedup_exact_norm",
-    "d6_rare_token_blocks",
-    "d4_pair_scores",
-    "d3_uncertain_pairs",
-    "j1_plural_block",
-    "j2_smaller_coverage",
-    "j7_candidate_pairs",
-    "j5_exact_edges",
-    "w1_serial_ids",
-    "ann_cosine_topk",
-    "events_funnel",
-    "dedup_embedding_cosine",
-    "embedding_label_centroids",
-    "events_sessionize",
-    "events_json_props",
-    "events_asof_join",
-    "events_approx_distinct",
-    "events_range_join",
-    "events_hourly_rollup",
-    "events_user_seq",
-    "events_daily_from_hourly",
-    "events_pivot",
-    "stats_validate",
-    "text_tfidf",
-]
-_TAIL = [
-    # r9 rotation: _TAIL below is the r7 window (all 50 green in
-    # CORRECTNESS_r07 — 43 hash + 7 rows-only-by-design) and becomes the
-    # r9 _PRIORITY on the next wholesale swap. The two lists partition
-    # the 100 driver-eligible queries in alternating rounds — keep it
-    # that way (new queries must displace into the other half, demote a
-    # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
-    # or the "no query >2 rounds without a driver row" promise breaks.
+    # -- first driver rows in r9 (VERDICT r8 #2) — lead with these --
     "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle (first row r9)
     "er_golden_record",  # survivorship golden record (first row r9)
     "er_blocking_metrics",  # blocking quality scorecard (first row r9)
@@ -112,12 +44,11 @@ _TAIL = [
     "ml_contrastive_negatives",  # deterministic negative sampling (first row r9)
     "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite (first row r9)
     "text_html_extract",  # HTML->text crawl extraction (first row r9)
-    # -- never driver-checked — lead with these --
+    # -- r7 window rotated back in (no driver row since r7) --
     "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
     "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
     "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
     "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
-    # -- r5-green tail rotated back in (no driver row since r5) --
     "a1_exact_collapse",
     "pipeline_entity_map",
     "d5_learned_rules",
@@ -157,6 +88,65 @@ _TAIL = [
     "ann_ivf_topk",
     "j6_update_join",
     "g1_connected_components",
+]
+_TAIL = [
+    # r10 rotation: _TAIL below is the r8 window (all 50 green in
+    # CORRECTNESS_r08 — 48 hash + 2 rows-only-by-design) and becomes the
+    # r10 _PRIORITY on the next wholesale swap. The two lists partition
+    # the 100 driver-eligible queries in alternating rounds — keep it
+    # that way (new queries must displace into the other half, demote a
+    # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
+    # or the "no query >2 rounds without a driver row" promise breaks.
+    "q2_min_balance_supplier",  # correlated-min supplier match
+    "q6_forecast_revenue",  # single-table selective agg
+    "q9_product_profit",  # 6-way profit snowflake
+    "q11_heavy_parts",  # HAVING vs scalar-subquery threshold
+    "q14_promo_share",  # conditional-agg ratio
+    "dedup_minhash_portable",  # md5-hash twin: dedup core under full hash oracle
+    "q15_top_supplier",  # argmax-vs-derived-max
+    "q8_market_share",  # 7-join snowflake, nation in two roles
+    "q_grouping_sets",  # explicit GROUPING SETS + GROUPING() id
+    "graph_pagerank",  # iterative op under an exact-integer hash oracle
+    "j14_snapshot_diff",  # full-outer reconciliation, IS DISTINCT FROM
+    "events_rolling_anomaly",  # window percentiles + robust z
+    "ann_pq_serve",
+    "multimodal_audio_native",
+    "pack_sequences",
+    "corpus_token_budget",
+    "q13_customer_distribution",
+    "q7_nation_flow",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
+    "dedup_incremental",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "dedup_canonical_pick",
+    "w2_window_suite",
+    "dedup_exact_norm",
+    "d6_rare_token_blocks",
+    "d4_pair_scores",
+    "d3_uncertain_pairs",
+    "j1_plural_block",
+    "j2_smaller_coverage",
+    "j7_candidate_pairs",
+    "j5_exact_edges",
+    "w1_serial_ids",
+    "ann_cosine_topk",
+    "events_funnel",
+    "dedup_embedding_cosine",
+    "embedding_label_centroids",
+    "events_sessionize",
+    "events_json_props",
+    "events_asof_join",
+    "events_approx_distinct",
+    "events_range_join",
+    "events_hourly_rollup",
+    "events_user_seq",
+    "events_daily_from_hourly",
+    "events_pivot",
+    "stats_validate",
+    "text_tfidf",
 ]
 
 

@@ -38,6 +38,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--training", help="labeled-pairs JSON (dedupe format)")
     p.add_argument("--learn-rules", action="store_true", help="learn blocking rules (D5)")
     p.add_argument(
+        "--save-model",
+        metavar="PATH",
+        help="after fitting, write the trained classifier (+ learned "
+        "blocking rules, + model hash) as a JSON artifact — the reference's "
+        "settings_file (run.py:180-181)",
+    )
+    p.add_argument(
+        "--use-saved-model",
+        metavar="PATH",
+        help="skip training and score with a previously saved model — the "
+        "reference's use_saved_model/StaticDedupe path (run.py:126-129); "
+        "--training becomes optional",
+    )
+    p.add_argument(
         "--model-hash",
         action="store_true",
         help="log the model-definition hash (the reference `run` entry point's "
@@ -79,12 +93,15 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
-    missing = [n for n in ("config", "input", "output", "training") if not getattr(args, n)]
+    required = ["config", "input", "output"]
+    if not args.use_saved_model:
+        required.append("training")  # a saved model replaces the fit
+    missing = [n for n in required if not getattr(args, n)]
     if missing:
         parser.error(f"the following arguments are required: {', '.join('--' + n for n in missing)}")
 
     config = DedupeConfig.from_dict(load_config(args.config))
-    training = read_training(args.training)
+    training = read_training(args.training) if args.training else None
     spark = get_spark("pgdedupe_spark_cli")
     if args.master:  # pragma: no cover — cluster-submit path
         spark.stop()
@@ -92,12 +109,57 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = SparkSession.builder.master(args.master).getOrCreate()
 
-    if args.model_hash:
+    model_hash = None
+    if training is not None:
         model_def = create_model_definition(config, training)
-        print(f"model definition hash: {filename_friendly_hash(model_def)}")
+        model_hash = filename_friendly_hash(model_def)
+    if args.model_hash:
+        if model_hash is not None:
+            print(f"model definition hash: {model_hash}")
 
     source = spark.read.parquet(args.input)
-    result = run_pipeline(source, config, training, learn_rules=args.learn_rules)
+    if args.use_saved_model:
+        # reference run.py:126-129 — StaticDedupe from the settings file:
+        # no classifier fit, and saved blocking rules skip the D5 fit too
+        from pgdedupe_spark.ml.persistence import load_model
+
+        saved = load_model(args.use_saved_model)
+        if args.model_hash and saved.model_hash:
+            print(f"model definition hash: {saved.model_hash}")
+        result = run_pipeline(
+            source,
+            config,
+            training,
+            block_rules=saved.block_rules,
+            classifier=saved.classifier,
+        )
+    else:
+        block_rules = None
+        if args.learn_rules:
+            from pgdedupe_spark.ml.learning import learn_blocking_rules
+
+            block_rules = learn_blocking_rules(
+                spark, training, config.field_names, recall=config.recall
+            )
+        result = run_pipeline(
+            source,
+            config,
+            training,
+            block_rules=block_rules,
+            learn_rules=args.learn_rules and block_rules is None,
+        )
+        if args.save_model:
+            # reference run.py:180-181 — write the settings file after train
+            from pgdedupe_spark.ml.persistence import save_model
+
+            save_model(
+                args.save_model,
+                result.classifier,
+                config,
+                block_rules=block_rules,
+                model_hash=model_hash,
+            )
+            print(f"saved model: {args.save_model}")
 
     os.makedirs(args.output, exist_ok=True)
     result.unique_map.write.mode("overwrite").parquet(

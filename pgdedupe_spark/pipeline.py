@@ -60,15 +60,21 @@ class PipelineResult:
     mapping: DataFrame        # reference table: {schema}.map
     unique_map: DataFrame     # dedupe_id per source key
     deduped_source: DataFrame  # source table + dedupe_id column
+    classifier: object = None  # the fitted classifier (D10 save_model input)
 
 
 def run_pipeline(
     source: DataFrame,
     config: DedupeConfig,
-    training_pairs: dict,
+    training_pairs: dict | None,
     block_rules: list[tuple[str, str, tuple]] | None = None,
     learn_rules: bool = False,
+    classifier=None,
 ) -> PipelineResult:
+    """``classifier`` (a fitted object exposing weights/bias) skips stage 2
+    entirely — the reference's ``use_saved_model`` / ``StaticDedupe`` path
+    (run.py:126-129); pair it with saved ``block_rules`` to skip the D5 fit
+    too. ``training_pairs`` may then be None."""
     fields = config.field_names
 
     # 1. preprocess (run.py:62-99)
@@ -77,14 +83,22 @@ def run_pipeline(
     )
     entries_unique.persist()
 
-    # 2. train (run.py:102-183) — driver-side on the labeled JSON
-    clf = T.fit_classifier(config, training_pairs)
+    # 2. train (run.py:102-183) — driver-side on the labeled JSON, unless a
+    # saved model supplies the fit (StaticDedupe, run.py:126-129)
+    if classifier is not None:
+        clf = classifier
+    else:
+        if training_pairs is None:
+            raise ValueError("training_pairs required when no classifier is given")
+        clf = T.fit_classifier(config, training_pairs)
 
     # 3. blocking (run.py:187-321); learn_rules = the reference's D5 path
     # (deduper.train learns predicates by greedy cover, run.py:175-178)
     if learn_rules and block_rules is None:
         from pgdedupe_spark.ml.learning import learn_blocking_rules
 
+        if training_pairs is None:
+            raise ValueError("training_pairs required to learn blocking rules")
         block_rules = learn_blocking_rules(
             source.sparkSession, training_pairs, fields, recall=config.recall
         )
@@ -152,4 +166,5 @@ def run_pipeline(
         mapping=mapping2,
         unique_map=unique_map2,
         deduped_source=deduped_source,
+        classifier=clf,
     )
