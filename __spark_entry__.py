@@ -91,8 +91,10 @@ _PRIORITY = [
 ]
 _TAIL = [
     # r10 rotation: _TAIL below is the r8 window (all 50 green in
-    # CORRECTNESS_r08 — 48 hash + 2 rows-only-by-design) and becomes the
-    # r10 _PRIORITY on the next wholesale swap. The two lists partition
+    # CORRECTNESS_r08 — 48 hash + 2 rows-only, BOTH converted to full
+    # hash oracles in r9: ann_pq_serve via the pinned-integer IVFADC
+    # layout, multimodal_audio_native via a pinned-VALUES oracle) and
+    # becomes the r10 _PRIORITY on the next wholesale swap. The two lists partition
     # the 100 driver-eligible queries in alternating rounds — keep it
     # that way (new queries must displace into the other half, demote a
     # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),

@@ -935,6 +935,38 @@ def _pq_adc_shortlist(
     )
 
 
+def pinned_pq_layout(
+    dim: int,
+    m: int,
+    ksub: int,
+    n_centroids: int,
+) -> tuple[np.ndarray, list[tuple[int, list[float]]]]:
+    """The pinned INTEGER codebooks + coarse centroids backing the
+    ann_pq_serve hash oracle (VERDICT r8 #3) — trained ONCE on the
+    1e4-quantized sf0.01 embeddings and rounded to ints
+    (scripts/gen_pq_pinned.py regenerates ``pq_pinned.py``).
+
+    With integer-valued centroids and integer-quantized vectors, every
+    distance/LUT/ADC value in the IVFADC pipeline is an exact integer
+    carried in doubles (all magnitudes ≪ 2^53), so a DuckDB oracle
+    reproduces the ENTIRE serve — cell assignment, PQ codes, ADC
+    shortlist, exact refine — bit-for-bit; the only non-integer ops are
+    sqrt/division, IEEE-correctly-rounded in both engines. Rounding the
+    trained layout moves each centroid < 1 quantum, so recall stays at
+    the trained level (pinned in tests/test_pq.py); freshly-trained
+    layouts remain the default for every other PQ entry point."""
+    from pgdedupe_spark.operators import pq_pinned as P
+
+    if (dim, m, ksub, n_centroids) != (P.DIM, P.M, P.KSUB, P.N_CENTROIDS):
+        raise ValueError(
+            f"pinned layout is ({P.DIM},{P.M},{P.KSUB},{P.N_CENTROIDS}); "
+            f"regenerate scripts/gen_pq_pinned.py for ({dim},{m},{ksub},{n_centroids})"
+        )
+    books = np.array(P.PINNED_BOOKS, dtype=np.float64)
+    centroids = [(i, [float(v) for v in vec]) for i, vec in enumerate(P.PINNED_CENTROIDS)]
+    return books, centroids
+
+
 def write_pq_index(
     embeddings: DataFrame,
     id_col: str,
@@ -945,6 +977,8 @@ def write_pq_index(
     ksub: int = 16,
     n_centroids: int = 16,
     seed: int = 42,
+    books: np.ndarray | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Materialize the IVFADC layout: coarse IVF cells partition the
     corpus, and within each partition only PQ codes are stored — the
@@ -962,9 +996,19 @@ def write_pq_index(
 
     Codes are encoded from the FULL vectors (not cell residuals): recall
     comes from the refine/re-rank stage, which keeps the encode a plain
-    column transform reusable with or without the coarse layer."""
-    books = pq_train_codebooks(embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed)
-    indexed, centroids = ivf_index(embeddings, id_col, vec_col, n_centroids, seed)
+    column transform reusable with or without the coarse layer.
+
+    ``books``/``centroids`` override training with a caller-supplied
+    layout (e.g. :func:`pinned_pq_layout` for the hash-oracle twin, or a
+    layout trained on an earlier corpus snapshot)."""
+    if books is None:
+        books = pq_train_codebooks(
+            embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
+        )
+    if centroids is None:
+        indexed, centroids = ivf_index(embeddings, id_col, vec_col, n_centroids, seed)
+    else:
+        indexed = _assign_cells(embeddings, vec_col, centroids)
     codes = pq_encode(indexed, id_col, vec_col, books, keep=("cell",))
     (
         codes.repartition("cell")

@@ -3363,23 +3363,184 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
-@query("ann_pq_serve")  # IVFADC serving path — rows-only
+def _pq_serve_oracle() -> str:
+    """Generate the DuckDB twin of the ENTIRE pinned-layout IVFADC serve
+    (VERDICT r8 #3): cell assignment → PQ encode → per-query probe
+    ranking → ADC shortlist → exact refine, all from the embeddings table
+    plus the same :func:`pinned_pq_layout` literals the Spark side bakes
+    into its plan. Every distance/LUT/ADC value is an exact integer
+    carried in doubles (10^4-quantized vectors × integer codebooks), and
+    the non-integer ops (sqrt, one division) are IEEE-correctly-rounded
+    in both engines with identical expression shapes — so the candidate
+    sets, orderings, and sims hash-match bit-for-bit. Tie-breaks mirror
+    the Spark folds exactly: first-wins argmin/argmax (list_position
+    finds the FIRST min/max), then neighbor_id in the window sorts."""
+    import math
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    books, centroids = pinned_pq_layout(64, 16, 32, 16)
+    m, ksub, dsub = books.shape
+    n_probe, refine_k, k = 14, 40, 5
+
+    def ilist(vals) -> str:
+        return "[" + ",".join(str(int(v)) for v in vals) + "]"
+
+    # -- coarse cells: argmax cosine, first-wins (similarity._assign_cells)
+    cos_exprs = []
+    for cid, cvec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos_exprs.append(
+            f"(CAST(list_dot_product(cv, {ilist(cvec)}) AS DOUBLE)"
+            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
+        )
+    cell_expr = (
+        "list_position(["
+        + ",".join(cos_exprs)
+        + "], list_max(["
+        + ",".join(cos_exprs)
+        + "])) - 1"
+    )
+
+    # -- PQ encode: per-subspace argmin L2, first-wins (similarity.pq_encode)
+    code_cols, n2_terms = [], []
+    for j in range(m):
+        dists = []
+        for c in range(ksub):
+            # parenthesize negatives: a bare `x--5` parses as a SQL comment
+            terms = [
+                f"(cv[{j * dsub + d + 1}]-({int(books[j, c, d])}))"
+                f"*(cv[{j * dsub + d + 1}]-({int(books[j, c, d])}))"
+                for d in range(dsub)
+            ]
+            dists.append("(" + "+".join(terms) + ")")
+        dl = "[" + ",".join(dists) + "]"
+        code_cols.append(f"list_position({dl}, list_min({dl})) - 1 AS c{j}")
+        n2 = ilist((books[j] ** 2).sum(axis=1))
+        n2_terms.append(f"{n2}[c{j} + 1]")
+    pqnorm = "sqrt(CAST(" + " + ".join(n2_terms) + " AS DOUBLE))"
+
+    # -- per-query probe ranking by raw centroid dot (similarity._rank_cells)
+    probe_structs = ",".join(
+        f"{{'cid': {cid}, 'cs': list_dot_product(qv, {ilist(cvec)})}}"
+        for cid, cvec in centroids
+    )
+
+    # -- per-query ADC LUT: dot(q_sub_j, book[j][c]) (similarity._pq_query_lut)
+    lut_cols = []
+    for j in range(m):
+        ents = []
+        for c in range(ksub):
+            ents.append(
+                "("
+                + "+".join(
+                    f"qv[{j * dsub + d + 1}]*({int(books[j, c, d])})"
+                    for d in range(dsub)
+                )
+                + ")"
+            )
+        lut_cols.append("[" + ",".join(ents) + f"] AS lut{j}")
+    adc_sum = " + ".join(f"lut{j}[c{j} + 1]" for j in range(m))
+
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {quant} AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {quant} AS qv FROM embeddings WHERE vec_id < 10
+    ), cells AS (
+      SELECT neighbor_id, cv, {cell_expr} AS cell FROM c
+    ), enc AS (
+      SELECT neighbor_id, cell, {", ".join(code_cols)} FROM cells
+    ), encn AS (
+      SELECT *, {pqnorm} AS pqnorm FROM enc
+    ), pr AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, u.cid AS cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY u.cs DESC, u.cid) AS prn
+        FROM (SELECT query_id, unnest([{probe_structs}]) AS u FROM q)
+      ) WHERE prn <= {n_probe}
+    ), qlut AS (
+      SELECT query_id, {", ".join(lut_cols)},
+             sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS qn
+      FROM q
+    ), sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS r
+        FROM (
+          SELECT ql.query_id, e.neighbor_id,
+                 CAST({adc_sum} AS DOUBLE) / (ql.qn * e.pqnorm) AS adc
+          FROM pr
+          JOIN qlut ql USING (query_id)
+          JOIN encn e ON e.cell = pr.cell
+          WHERE ql.query_id <> e.neighbor_id
+        )
+      ) WHERE r <= {refine_k}
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT sl.query_id, sl.neighbor_id,
+             CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) AS sim,
+             row_number() OVER (PARTITION BY sl.query_id
+                                ORDER BY CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+                                         / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+                                            * sqrt(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) DESC,
+                                sl.neighbor_id) AS rank
+      FROM sl
+      JOIN q ON q.query_id = sl.query_id
+      JOIN c ON c.neighbor_id = sl.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_serve", oracle=_pq_serve_oracle())
 def ann_pq_serve(spark, sf_dir):
     """Persisted IVF+PQ serving (the canonical billion-scale composition):
     write the cell=-partitioned codes index once (write_pq_index), then
     answer top-k through pq_topk_from_index — probed cells become static
     PartitionFilters, and within them the scan reads only PQ codes, so
-    serving cost is O(code bytes in probed cells). Coarse probes match
-    ann_ivf_serve (12/16); PQ budget matches ann_pq_topk (16×32, wide
-    refine). Recall and full-probe/full-refine==exact degeneration are
-    pinned in tests/test_pq.py."""
-    from pgdedupe_spark.operators.similarity import pq_topk_from_index, write_pq_index
+    serving cost is O(code bytes in probed cells). PQ budget matches
+    ann_pq_topk (16×32, wide refine); 14/16 probes hold the pinned
+    layout's recall at 0.94 on its home corpus.
+
+    r9 (VERDICT r8 #3): the layout is the PINNED integer codebook/centroid
+    set (similarity.pinned_pq_layout — trained once on the 1e4-quantized
+    sf0.01 embeddings, rounded to ints) over 10^4-quantized vectors, which
+    makes every serve value exact-integer-derived and the whole pipeline —
+    cell assign, codes, probe ranking, ADC shortlist, exact refine —
+    reproducible as a DuckDB hash oracle at ANY sf. Recall is pinned at
+    the layout's home corpus (0.9 floor) with a 0.8 cross-corpus floor in
+    tests/test_pq.py; freshly-TRAINED layouts stay the quality default
+    for every other PQ entry point (their own pins unchanged)."""
+    from pgdedupe_spark.operators.similarity import (
+        pinned_pq_layout,
+        pq_topk_from_index,
+        write_pq_index,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
+    qemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("double"),
+        ).alias("embedding"),
+    )
+    books, centroids = pinned_pq_layout(64, 16, 32, 16)
     path = _serve_index_path(sf_dir, "pq")
-    write_pq_index(emb, "vec_id", "embedding", path, dim=64, m=16, ksub=32, n_centroids=16)
+    write_pq_index(
+        qemb, "vec_id", "embedding", path, dim=64, m=16, ksub=32,
+        n_centroids=16, books=books, centroids=centroids,
+    )
     return pq_topk_from_index(
-        spark, path, emb, "vec_id", "embedding", k=5, n_probe=12, refine=8
+        spark, path, qemb, "vec_id", "embedding", k=5, n_probe=14, refine=8
     )
 
 
@@ -3777,7 +3938,37 @@ def events_gapfill(spark, sf_dir):
     return gapfill_locf(ev, "event_type", "ts_us", "value", bucket_us=3_600_000_000)
 
 
-@query("multimodal_audio_native")  # real WAV decode; no SQL analog — rows-only
+@query(
+    "multimodal_audio_native",
+    # The fixture is fully deterministic (sine sweeps → int16 PCM → the
+    # numpy RIFF parser), so the oracle pins the decoded feature rows as
+    # literals — the d5_learned_rules pattern: decode happens Spark-side,
+    # the oracle pins the answer (VERDICT r8 #3; rms ≈ 1/√2 for a full-
+    # scale sine, zcr ≈ 2·freq/rate — the literals are the exact decoded
+    # values at 6 decimals, regenerated by tests/test_multimodal.py's
+    # independent-decoder pins if the fixture ever changes).
+    oracle="""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(sample_rate AS DOUBLE) AS sample_rate,
+           CAST(n_samples AS DOUBLE) AS n_samples,
+           CAST(n_channels AS DOUBLE) AS n_channels,
+           CAST(rms AS DOUBLE) AS rms,
+           CAST(zcr AS DOUBLE) AS zcr
+    FROM (VALUES
+      (0, 4044, 8000, 2000, 1, 0.70707,  0.054527),
+      (1, 4044, 8000, 2000, 1, 0.707071, 0.082041),
+      (2, 4044, 8000, 2000, 1, 0.70707,  0.109555),
+      (3, 4044, 8000, 2000, 1, 0.70707,  0.137069),
+      (4, 4044, 8000, 2000, 1, 0.70707,  0.164582),
+      (5, 4044, 8000, 2000, 1, 0.707071, 0.192096),
+      (6, 4044, 8000, 2000, 1, 0.707072, 0.21961),
+      (7, 4044, 8000, 2000, 1, 0.707071, 0.247124),
+      (8, 4044, 8000, 2000, 1, 0.70707,  0.274637),
+      (9, 4044, 8000, 2000, 1, 0.707071, 0.302151)
+    ) AS t(media_id, n_bytes, sample_rate, n_samples, n_channels, rms, zcr)
+    """,
+)
 def multimodal_audio_native(spark, sf_dir):
     """Native (dependency-free) REAL audio decode through the Spark
     plumbing: deterministic PCM WAV payloads are synthesized driver-side
@@ -3785,8 +3976,8 @@ def multimodal_audio_native(spark, sf_dir):
     pairs), decoded inside mapInPandas by the pure-numpy RIFF parser, and
     reduced to the audio feature convention (rate, samples, channels,
     duration, rms, peak, mean, zcr). Exact feature values are pinned in
-    tests/test_multimodal.py; this row keeps the decode path executing
-    under the driver's determinism check."""
+    tests/test_multimodal.py; the VALUES oracle pins the same rows for
+    the driver's full rows+schema+hash check."""
     import struct
 
     import numpy as np
