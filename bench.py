@@ -178,6 +178,12 @@ LEGACY24 = [
 ]
 
 
+# The fixed-work JVM canary time on the machine the cross-round bench
+# history was earned on (r7/r8 committed runs). value_legacy24_normalized
+# = value_legacy24 × (this / measured jvm_codegen_sec).
+_REF_CANARY_JVM_SEC = 0.273
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -294,6 +300,21 @@ def main() -> None:
         "queries_cold": cold,
         "value_legacy24": round(sum(warm[n] for n in LEGACY24 if n in warm), 3),
         "value_legacy24_cold": round(sum(cold[n] for n in LEGACY24 if n in cold), 3),
+        # machine-drift-normalized headline (VERDICT r8 #5): scale by the
+        # fixed-work JVM canary so a slower/faster driver machine stops
+        # reading as a plan regression/win (r8's 16.13 vs 14.61 confusion
+        # was entirely canary drift: 0.402 vs 0.273 on identical code).
+        # REF = the r7/r8 builder-machine canary the cross-round numbers
+        # were earned on. Round-over-round comparisons diff THIS number.
+        "value_legacy24_normalized": (
+            round(
+                sum(warm[n] for n in LEGACY24 if n in warm)
+                * (_REF_CANARY_JVM_SEC / canary["jvm_codegen_sec"]),
+                3,
+            )
+            if canary.get("jvm_codegen_sec")
+            else None
+        ),
         # deliberately-heavy scale probes, subtotaled separately so the
         # headline totals stop absorbing probe growth round-over-round
         # (VERDICT r6): value - value_probes is the comparable remainder
@@ -340,12 +361,13 @@ def _compact_summary_line(out: dict, budget: int = 1900) -> str:
         "queries": q,
         "sf": out["sf"],
         "value_legacy24": out.get("value_legacy24"),
+        "value_legacy24_normalized": out.get("value_legacy24_normalized"),
         "value_probes": out.get("value_probes"),
     }
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) <= budget:
         return line
-    for key in ("value_probes", "value_legacy24"):
+    for key in ("value_probes", "value_legacy24", "value_legacy24_normalized"):
         slim.pop(key, None)
         line = json.dumps(slim, separators=(",", ":"))
         if len(line) <= budget:

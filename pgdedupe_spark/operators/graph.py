@@ -43,6 +43,7 @@ def pagerank(
     scale: int = 10**12,
     tol: int | None = None,
     checkpoint_every: int = 5,
+    dangling_inline: bool = True,
 ) -> DataFrame:
     """PageRank over ``edges`` (one row per directed edge; keep
     multi-edges if multiplicity should weight the walk, `.distinct()`
@@ -54,7 +55,14 @@ def pagerank(
     no out-edges) is redistributed uniformly, the standard correction.
     With ``tol`` set, iteration stops early once the L1 rank delta (in
     scale units) drops to ``tol`` or below; ``iterations`` stays the
-    hard cap either way."""
+    hard cap either way.
+
+    ``dangling_inline`` (default, VERDICT r8 #6) folds the dangling-mass
+    aggregate into the step job as a broadcast 1-row cross join, so a
+    tol-less round runs as ONE Spark job (the checkpoint materialization)
+    instead of two — identical integer arithmetic, same oracle, half the
+    per-round driver round-trips (pinned in tests/test_graph.py).
+    ``False`` keeps the original collected-scalar path."""
     from pgdedupe_spark.operators.clustering import _free_local_checkpoint
 
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -86,27 +94,45 @@ def pagerank(
         contribs = e.join(shares, "src").groupBy("dst").agg(
             F.sum("_share").alias("_c")
         )
-        # bounded driver scalar #1: this round's dangling mass (sum over
-        # out-degree-0 vertices; reads the checkpointed ranks, one row out)
-        dangling = (
+        dangling_agg = (
             ranks.join(deg, ranks["v"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("_dm"))
         )
-        per_v = dangling // n
-        stepped = (
-            verts.join(contribs, verts["v"] == contribs["dst"], "left")
-            .select(
-                "v",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_pct} * (coalesce(_c, 0L) + {per_v})) div 100"
-                    )
-                ).cast("long").alias("r"),
+        if dangling_inline:
+            # this round's dangling mass rides INTO the step job as a
+            # broadcast 1-row cross join — per_v = _dm div n inside the
+            # plan, no driver scalar, one job per round (VERDICT r8 #6)
+            stepped = (
+                verts.join(contribs, verts["v"] == contribs["dst"], "left")
+                .crossJoin(F.broadcast(dangling_agg))
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(_c, 0L) + (_dm div {n}))) div 100"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+        else:
+            # original path: bounded driver scalar (one row out per round)
+            dangling = dangling_agg.collect()[0]["_dm"]
+            per_v = dangling // n
+            stepped = (
+                verts.join(contribs, verts["v"] == contribs["dst"], "left")
+                .select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(_c, 0L) + {per_v})) div 100"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
         if tol is not None:
             # bounded driver scalar #2: L1 delta between two checkpointed
             # vertex-sized frames (one row out)
