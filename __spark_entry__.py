@@ -164,6 +164,7 @@ _BENCH_ONLY = {
     "cc_scale_probe",
     "ann_pq_stress",
     "pagerank_scale_probe",
+    "pairs_skew_probe",
 }
 
 

@@ -91,6 +91,8 @@ HEADLINE = [
     "events_gapfill",
     "j12_full_outer",
     "merge_scale_probe",
+    # r9: adversarial hot-block skew probe for J7 (VERDICT r8 #4)
+    "pairs_skew_probe",
     # r5 fourth batch: prefix-sum packing family + Q13 outer-join shape
     "pack_sequences",
     "corpus_token_budget",
@@ -144,7 +146,14 @@ HEADLINE = [
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
 # their cost is dominated by data volume, not JIT, so a second warm run
 # buys noise reduction that isn't worth +3 min of bench wall-clock
-HEAVY_PROBES = {"cc_scale_probe", "ann_pq_stress", "pagerank_scale_probe"}
+HEAVY_PROBES = {
+    "cc_scale_probe",
+    "ann_pq_stress",
+    "pagerank_scale_probe",
+    # subprocess isolation doubles as conf hygiene: the skew probe scopes
+    # AQE skew-join thresholds to its own session
+    "pairs_skew_probe",
+}
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
 # over round, so the all-query total is not comparable across artifacts.

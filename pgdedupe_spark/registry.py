@@ -4249,6 +4249,94 @@ def merge_scale_probe(spark, sf_dir):
     return apply_cdc(target, compacted, ["id"])
 
 
+@query("pairs_skew_probe")  # bench-only: synthetic blocks, conf-scoped
+def pairs_skew_probe(spark, sf_dir):
+    """Adversarial hot-block probe for J7 candidate pairs (VERDICT r8 #4;
+    reference hazard run.py:293-319, SURVEY §4.1): one pathological block
+    (a shared-surname token, 6k members at sf0.1 → 18M raw pairs) plus a
+    2k-block tail, pushed through candidate_pairs THREE ways, self-checked
+    in-band:
+
+    * uncapped + AQE skew split — broadcast disabled (the 100 TB regime:
+      entries don't broadcast) forces the SMJ on block_id; skew-join
+      thresholds are scoped down to this data size so the hot partition
+      splits (``SortMergeJoin(skew=true)``), and the probe records that
+      the split actually engaged (``skew_split_engaged``). Measured
+      finding (SCALE.md r9): AQE's detection is INPUT-size-based — a
+      100k-row block is ~10 MB of shuffle input, far under the 256 MB
+      default threshold, yet 5·10^9 output pairs; AQE alone does NOT
+      save an uncapped quadratic block at defaults. max_block_size is
+      the load-bearing guard; skew split only spreads what survives it.
+    * capped (max_block_size=100) — the reference's guard drops the
+      pathological block entirely; expected count = tail pairs only.
+    * exact counts — both pair counts must equal the closed forms
+      (H·(H−1)/2 + T·45 and T·45).
+
+    Conf changes are saved/restored; the probe runs as a HEAVY_PROBE
+    fresh subprocess in bench.py so nothing leaks into other queries."""
+    from pgdedupe_spark.operators.pairs import candidate_pairs
+
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    H = max(1_500, int(60_000 * sf))
+    T = max(200, int(20_000 * sf))
+    hot = spark.range(H).select(
+        F.lit("blk_smith").alias("block_id"),
+        F.col("id").alias("_unique_id"),
+        F.array().cast("array<long>").alias("smaller_ids"),
+    )
+    tail = spark.range(T * 10).select(
+        F.concat(F.lit("t"), (F.col("id") % T).cast("string")).alias("block_id"),
+        (F.col("id") + H).alias("_unique_id"),
+        F.array().cast("array<long>").alias("smaller_ids"),
+    )
+    cov = hot.unionByName(tail)
+    expected_uncapped = H * (H - 1) // 2 + T * 45
+    expected_capped = T * 45
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        cnt = candidate_pairs(cov).agg(F.count(F.lit(1)).alias("n"))
+        n_uncapped = cnt.collect()[0]["n"]
+        plan = cnt._jdf.queryExecution().executedPlan().toString()
+        skew_engaged = "skew=true" in plan or "AQEShuffleRead skewed" in plan
+        n_capped = candidate_pairs(cov, max_block_size=100).count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        [
+            (
+                H,
+                n_uncapped,
+                expected_uncapped,
+                n_capped,
+                expected_capped,
+                n_uncapped == expected_uncapped and n_capped == expected_capped,
+                skew_engaged,
+            )
+        ],
+        "hot_block_rows long, uncapped_pairs long, expected_uncapped long, "
+        "capped_pairs long, expected_capped long, counts_ok boolean, "
+        "skew_split_engaged boolean",
+    )
+
+
 # ===========================================================================
 # Round 5 (fourth batch): sequence packing / token-budget selection — the
 # prefix-sum family of training-data ops (operators/packing.py) — and the

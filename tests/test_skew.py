@@ -57,3 +57,59 @@ def test_salt_is_deterministic(spark):
     a = sorted(map(tuple, add_salt(df, "row_id", 16).collect()))
     b = sorted(map(tuple, add_salt(df, "row_id", 16).collect()))
     assert a == b
+
+
+def test_candidate_pairs_hot_block_skew_split_and_cap(spark):
+    """VERDICT r8 #4: the J7 self-join under one pathological block. With
+    broadcast disabled (the 100 TB regime) and skew thresholds scoped to
+    the data size, AQE must actually SPLIT the hot block's partition
+    (SortMergeJoin(skew=true) in the executed plan) and the pair count
+    must stay exact; max_block_size must drop the pathological block
+    entirely (the reference's guard, run.py:293-319). Also documents the
+    scale finding: detection is shuffle-INPUT-size-based, so at default
+    thresholds a quadratic-OUTPUT block under 256 MB of input never
+    splits — the cap is the load-bearing defense, not AQE."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.pairs import candidate_pairs
+
+    H, T = 1500, 60
+    hot = spark.range(H).select(
+        F.lit("blk_smith").alias("block_id"),
+        F.col("id").alias("_unique_id"),
+        F.array().cast("array<long>").alias("smaller_ids"),
+    )
+    tail = spark.range(T * 10).select(
+        F.concat(F.lit("t"), (F.col("id") % T).cast("string")).alias("block_id"),
+        (F.col("id") + H).alias("_unique_id"),
+        F.array().cast("array<long>").alias("smaller_ids"),
+    )
+    cov = hot.unionByName(tail)
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4096",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4096",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        cnt = candidate_pairs(cov).agg(F.count(F.lit(1)).alias("n"))
+        assert cnt.collect()[0]["n"] == H * (H - 1) // 2 + T * 45
+        plan = cnt._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "AQEShuffleRead skewed" in plan, plan[:2000]
+        # the reference's guard: cap drops the hot block, keeps the tail
+        assert candidate_pairs(cov, max_block_size=100).count() == T * 45
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
