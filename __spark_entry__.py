@@ -145,7 +145,10 @@ _TAIL = [
     "events_range_join",
     "events_hourly_rollup",
     "events_user_seq",
-    "events_daily_from_hourly",
+    # r9: events_daily_from_hourly (saturated trivial reagg) demoted to
+    # PYTEST_ONLY; er_completeness (notebook cells 26-31, VERDICT r8 #7)
+    # takes its slot for a first driver row in r10
+    "er_completeness",
     "events_pivot",
     "stats_validate",
     "text_tfidf",

@@ -93,6 +93,8 @@ HEADLINE = [
     "merge_scale_probe",
     # r9: adversarial hot-block skew probe for J7 (VERDICT r8 #4)
     "pairs_skew_probe",
+    # r9: notebook completeness analytic (VERDICT r8 #7)
+    "er_completeness",
     # r5 fourth batch: prefix-sum packing family + Q13 outer-join shape
     "pack_sequences",
     "corpus_token_budget",

@@ -118,6 +118,57 @@ def golden_record(
     return out
 
 
+def completeness_histogram(
+    df: DataFrame,
+    identity_col: str,
+    cluster_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Per-identity completeness histogram — the reference validation
+    notebook's last unported analytic (``tests/Deduplication
+    validation.ipynb`` cells 26-31): for each TRUE identity,
+    ``pct_complete = max(count)/sum(count)`` over its per-cluster record
+    counts — the fraction of the identity's records captured by its
+    plurality cluster (1.0 = the identity resolved to one entity;
+    < 0.5 = a split identity, the notebook's cell-30 failure case).
+    Records with NULL ``cluster_col`` (excluded by the filter condition)
+    count as their own group, exactly like the notebook's GROUP BY.
+
+    Output: one row per occupied bucket — ``bucket`` (int,
+    [b/bins, (b+1)/bins) with the last bucket closed at 1.0),
+    ``bucket_lo`` (double), ``n_identities``, ``frac_identities``.
+    Bucketing is exact-integer (``min(bins-1, (max·bins) div total)``) so
+    a DuckDB oracle hash-matches; the one double division per row runs
+    in a fixed order in both engines.
+
+    Plan shape: two identity-keyed hash aggregations (same shuffle key)
+    + one bins-sized aggregation + a broadcast 1-row total — no windows,
+    no driver collects; at 100 TB the only real shuffle is the identity
+    key."""
+    per = df.groupBy(identity_col, cluster_col).agg(F.count(F.lit(1)).alias("_n"))
+    ident = per.groupBy(identity_col).agg(
+        F.max("_n").alias("_mx"), F.sum("_n").alias("_tot")
+    )
+    bucketed = ident.select(
+        F.least(
+            F.lit(bins - 1), F.expr(f"(_mx * {bins}) div _tot").cast("int")
+        ).alias("bucket")
+    )
+    hist = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_identities"))
+    total = hist.agg(F.sum("n_identities").alias("_total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / F.lit(float(bins))).alias("bucket_lo"),
+            "n_identities",
+            (
+                F.col("n_identities").cast("double") / F.col("_total").cast("double")
+            ).alias("frac_identities"),
+        )
+    )
+
+
 def blocking_metrics(
     candidates: DataFrame,
     truth: DataFrame,

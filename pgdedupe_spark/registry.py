@@ -4620,6 +4620,10 @@ PYTEST_ONLY = frozenset(
         "j8_anti_join",
         "j9_semi_join",
         "text_token_counts",
+        # demoted in r9 to make window room for er_completeness (VERDICT
+        # r8 #7): a trivial second-level reagg of events_hourly_rollup
+        # (which stays in the rotation), green r5-r8; oracle retained
+        "events_daily_from_hourly",
         # demoted in r8 to make window room for the portable-hash dedup
         # twins (VERDICT r7 #4): trivial scalar shapes green since r1-r5
         "j3_singleton_coalesce",
@@ -5874,3 +5878,66 @@ def d7_sorted_neighborhood(spark, sf_dir):
         "_key", F.substring(F.lower(F.col("text")), 1, 12)
     )
     return sorted_neighborhood_pairs(docs, "doc_id", ["_key"], window=4)
+
+
+# ===========================================================================
+# r9 (VERDICT r8 #7): the reference validation notebook's last unported
+# analytic — per-identity completeness (cells 26-31). The ANALYTIC is the
+# operator under oracle (survivorship.completeness_histogram: plurality-
+# cluster share per true identity, exact-integer bucketing); the driver row
+# feeds it a deterministic SQL-expressible assignment over orders (identity
+# = o_custkey; ~1/7 of records split into a second cluster, ~1/23 excluded
+# as NULL — the notebook's "split identity" and "ignored records" regimes
+# both populated). The REAL-pipeline completeness floor (assignments from
+# run_pipeline on the datagen population, not SQL-expressible) is the
+# quality-gate extension in tests/test_pipeline.py.
+# ===========================================================================
+
+
+@query(
+    "er_completeness",
+    oracle="""
+    WITH entries AS (
+      SELECT o_custkey AS uuid,
+             CASE WHEN o_orderkey % 23 = 0 THEN NULL
+                  WHEN o_orderkey % 7 = 0 THEN o_custkey * 10 + 1
+                  ELSE o_custkey * 10 END AS dedupe_id
+      FROM orders
+    ), per AS (
+      SELECT uuid, dedupe_id, CAST(count(*) AS BIGINT) AS _n
+      FROM entries GROUP BY uuid, dedupe_id
+    ), ident AS (
+      SELECT uuid, max(_n) AS _mx, sum(_n) AS _tot FROM per GROUP BY uuid
+    ), bucketed AS (
+      SELECT CAST(least(9, (_mx * 10) // _tot) AS INT) AS bucket FROM ident
+    ), hist AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_identities
+      FROM bucketed GROUP BY bucket
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / 10.0 AS bucket_lo,
+           n_identities,
+           CAST(n_identities AS DOUBLE)
+             / CAST((SELECT sum(n_identities) FROM hist) AS DOUBLE)
+             AS frac_identities
+    FROM hist
+    """,
+)
+def er_completeness(spark, sf_dir):
+    """Per-identity completeness histogram (reference notebook cells
+    26-31): pct_complete = plurality-cluster share of each identity's
+    records; NULL cluster = filter-excluded records (their own group,
+    as in the notebook's GROUP BY). Exact-integer bucketing
+    (min(9, max·10 div total)) makes the histogram hash-oracle
+    checkable; the assignment here is the deterministic orders-based
+    fixture, the fitted-pipeline floor lives in tests/test_pipeline.py."""
+    from pgdedupe_spark.operators.survivorship import completeness_histogram
+
+    entries = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uuid"),
+        F.when(F.col("o_orderkey") % 23 == 0, F.lit(None).cast("long"))
+        .when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") * 10 + 1)
+        .otherwise(F.col("o_custkey") * 10)
+        .alias("dedupe_id"),
+    )
+    return completeness_histogram(entries, "uuid", "dedupe_id", bins=10)

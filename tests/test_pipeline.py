@@ -279,3 +279,34 @@ def test_sorted_neighborhood_pairs_equal_naive_reference(spark):
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_completeness_floor(spark, source):
+    """VERDICT r8 #7 quality-gate extension — the notebook's cells 26-31
+    run against the REAL fitted pipeline: per true identity, the
+    plurality-cluster share (completeness_histogram over unique_map
+    joined to ground truth, NULL dedupe_id = filter-excluded records).
+    Floors: most identities resolve nearly whole, and split identities
+    (< 0.5) stay rare."""
+    from pgdedupe_spark.operators.survivorship import completeness_histogram
+
+    df, truth = source
+    res = run_pipeline(df, _config(), training_pairs())
+    truth_df = spark.createDataFrame(
+        list(truth.items()), "entry_id long, person long"
+    )
+    # LEFT join from the full source: records the filter excluded keep a
+    # NULL dedupe_id and count as their own group (notebook semantics)
+    entries = df.select("entry_id").join(
+        res.unique_map, "entry_id", "left"
+    ).join(truth_df, "entry_id")
+    hist = completeness_histogram(entries, "person", "dedupe_id", bins=10)
+    rows = {r["bucket"]: r for r in hist.collect()}
+    n_total = sum(r["n_identities"] for r in rows.values())
+    assert n_total == len(set(truth.values()))  # every identity counted once
+    frac_sum = sum(r["frac_identities"] for r in rows.values())
+    assert abs(frac_sum - 1.0) < 1e-9
+    high = sum(r["n_identities"] for b, r in rows.items() if b >= 8) / n_total
+    split = sum(r["n_identities"] for b, r in rows.items() if b <= 4) / n_total
+    assert high >= 0.7, f"identities >=80% complete: {high:.3f} < 0.7"
+    assert split <= 0.1, f"split identities (<50%): {split:.3f} > 0.1"
