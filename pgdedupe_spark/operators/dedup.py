@@ -434,6 +434,72 @@ def minhash_signature_array(
     return F.aggregate(F.col(shingle_col), init, xstep)
 
 
+def _minhash_shingles_and_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    portable: bool,
+    persist: bool = True,
+):
+    """(sh, buckets): the per-doc shingle frame and the exploded
+    (_id, _band, _bkey) banded-bucket frame — the shared computation
+    behind the in-memory pair join (:func:`minhash_lsh_pairs`) AND the
+    persisted index (:func:`write_minhash_index` /
+    :func:`minhash_index_append`). One definition site is what makes
+    append ≡ rebuild structural: the hash functions are stateless
+    (seeded xxhash64 / Carter-Wegman md5 folds — nothing trained), so
+    the same expressions over the same rows give the same buckets
+    whether a row arrives in the initial build or an append.
+
+    ``persist=True`` installs the two materialization barriers the
+    in-memory join needs (see the inline notes); index writers pass
+    False — the parquet write IS their barrier."""
+    rows_per_band = num_hashes // bands
+    sh = (
+        _fan_out(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+    )
+    if persist:
+        sh = _persist(sh)
+    # persist the signature frame (tiny: id + k longs) BEFORE deriving
+    # band keys: projection collapse would otherwise inline the whole
+    # one-pass aggregate into every element_at reference below — 2 refs ×
+    # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
+    # the fold runs once). Both hash families use the same fold shape.
+    sig = sh.select(
+        "_id",
+        minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+    )
+    if persist:
+        sig = _persist(sig)
+    mh = [
+        [F.element_at("_mhs", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        for b in range(bands)
+    ]
+    if portable:
+        band_keys = F.array(
+            *[portable_hash60(F.lit(str(b)), *mh[b]) for b in range(bands)]
+        )
+    else:
+        band_keys = F.array(
+            *[F.xxhash64(F.lit(b), *mh[b]) for b in range(bands)]
+        )
+    # persist: the self-join reads `buckets` once per branch, and without
+    # a materialization barrier each branch would re-evaluate the k
+    # minhash passes — the single most expensive expression in the plan
+    # (measured ~2x end-to-end at sf0.1). Same rule as the SimHash join.
+    buckets = sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey"))
+    if persist:
+        buckets = _persist(buckets)
+    return sh, buckets
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -454,43 +520,8 @@ def minhash_lsh_pairs(
     key) through :func:`portable_hash60` so a DuckDB oracle reproduces
     the exact candidate set — the driver-checkable twin; xxhash64
     stays the default perf path."""
-    rows_per_band = num_hashes // bands
-    sh = _persist(
-        _fan_out(df, id_col)
-        .select(
-            F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
-        )
-        .filter(F.size("_sh") > 0)
-    )
-    # persist the signature frame (tiny: id + k longs) BEFORE deriving
-    # band keys: projection collapse would otherwise inline the whole
-    # one-pass aggregate into every element_at reference below — 2 refs ×
-    # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
-    # the fold runs once). Both hash families use the same fold shape.
-    sig = _persist(
-        sh.select(
-            "_id",
-            minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
-        )
-    )
-    mh = [
-        [F.element_at("_mhs", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-        for b in range(bands)
-    ]
-    if portable:
-        band_keys = F.array(
-            *[portable_hash60(F.lit(str(b)), *mh[b]) for b in range(bands)]
-        )
-    else:
-        band_keys = F.array(
-            *[F.xxhash64(F.lit(b), *mh[b]) for b in range(bands)]
-        )
-    # persist: the self-join below reads `buckets` once per branch, and
-    # without a materialization barrier each branch would re-evaluate the
-    # k minhash passes — the single most expensive expression in the plan
-    # (measured ~2x end-to-end at sf0.1). Same rule as the SimHash join.
-    buckets = _persist(
-        sig.select("_id", F.posexplode(band_keys).alias("_band", "_bkey"))
+    sh, buckets = _minhash_shingles_and_buckets(
+        df, id_col, text_col, n, num_hashes, bands, portable
     )
     a = buckets.alias("a")
     b_ = buckets.alias("b")
@@ -787,4 +818,157 @@ def incremental_exact_flags(
             F.col("corpus_id").isNotNull().alias("is_dup"),
             "corpus_id",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash-LSH index: the near-dup tier of write-once/append-many
+# index maintenance (VERDICT r8 #10 — the similarity.index_append story
+# extended to the shingle/minhash family). MinHash's hash functions are
+# stateless (seeded xxhash64 / Carter-Wegman md5 folds — nothing trained),
+# so unlike IVF/PQ appends there is no drift trade-off: an appended batch
+# lands in EXACTLY the buckets a full rebuild would give it, bit-for-bit
+# (pinned in tests/test_lsh_index.py). Standing signatures are NEVER
+# recomputed — each recurring-crawl increment pays one scan of the batch.
+# ---------------------------------------------------------------------------
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n: int = 5,
+    num_hashes: int = 128,
+    bands: int = 32,
+    portable: bool = False,
+) -> None:
+    """Materialize the banded-bucket layout:
+
+    ``/buckets``  (id, _bkey) under ``_band=<b>`` parquet partitions — the
+                  join side of every candidate query; band partitioning
+                  keeps each band's self-join scan to 1/bands of the
+                  index and lets a band-sampling precision probe read
+                  only the bands it probes.
+    ``/shingles`` (id, _sh) — the verify side (exact Jaccard on
+                  candidates), so serving never re-shingles the corpus.
+    ``/meta``     the writer's (id_col, text_col, n, num_hashes, bands,
+                  portable): self-describing, appends recompute NOTHING
+                  from data, only re-derive the stateless hash exprs."""
+    sh, buckets = _minhash_shingles_and_buckets(
+        docs, id_col, text_col, n, num_hashes, bands, portable, persist=False
+    )
+    (
+        buckets.withColumnRenamed("_id", id_col)
+        .repartition("_band")
+        .write.partitionBy("_band")
+        .mode("overwrite")
+        .parquet(path + "/buckets")
+    )
+    sh.withColumnRenamed("_id", id_col).write.mode("overwrite").parquet(
+        path + "/shingles"
+    )
+    docs.sparkSession.createDataFrame(
+        [(id_col, text_col, int(n), int(num_hashes), int(bands), bool(portable))],
+        "id_col string, text_col string, n int, num_hashes int, bands int, portable boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
+    """Append a batch to a :func:`write_minhash_index` layout WITHOUT
+    recomputing standing signatures: one scan of the batch through the
+    writer's recorded parameters, ``mode("append")`` into the same
+    partition directories. Ids must be new (caller's contract, same as
+    similarity.index_append). append ≡ rebuild bit-for-bit — stateless
+    hashes, pinned in tests/test_lsh_index.py."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    sh, buckets = _minhash_shingles_and_buckets(
+        new_docs,
+        str(meta.id_col),
+        str(meta.text_col),
+        int(meta.n),
+        int(meta.num_hashes),
+        int(meta.bands),
+        bool(meta.portable),
+        persist=False,
+    )
+    (
+        buckets.withColumnRenamed("_id", str(meta.id_col))
+        .repartition("_band")
+        .write.partitionBy("_band")
+        .mode("append")
+        .parquet(path + "/buckets")
+    )
+    sh.withColumnRenamed("_id", str(meta.id_col)).write.mode("append").parquet(
+        path + "/shingles"
+    )
+
+
+def minhash_pairs_from_index(
+    spark,
+    path: str,
+    threshold: float = 0.6,
+    verify: bool = True,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate/verified near-dup pairs served from the persisted layout
+    — zero signature computation at query time (the buckets ARE the
+    signatures' banded projection; verify reads the persisted shingle
+    arrays).
+
+    ``probe=None``: all pairs — the bucket self-join, identical output
+    to :func:`minhash_lsh_pairs` over the same corpus (pinned).
+    ``probe=<frame with the id column>``: incremental query — only pairs
+    with at least one side in ``probe`` (the just-appended batch), the
+    recurring-crawl shape: each increment costs |batch| bucket rows
+    joined against the standing index, normalized to (id1 < id2) so
+    batch-internal pairs emit once."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    id_col = str(meta.id_col)
+    buckets = spark.read.parquet(path + "/buckets")
+    a = buckets.withColumnRenamed(id_col, "_ida").alias("a")
+    if probe is None:
+        b = buckets.withColumnRenamed(id_col, "_idb").alias("b")
+        cands = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._bkey") == F.col("b._bkey"))
+                & (F.col("_ida") < F.col("_idb")),
+            )
+            .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))
+            .distinct()
+        )
+    else:
+        pb = buckets.join(
+            probe.select(F.col(id_col)).distinct(), id_col, "semi"
+        ).withColumnRenamed(id_col, "_idb").alias("b")
+        cands = (
+            a.join(
+                pb,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._bkey") == F.col("b._bkey"))
+                & (F.col("_ida") != F.col("_idb")),
+            )
+            .select(
+                F.least("_ida", "_idb").alias("id1"),
+                F.greatest("_ida", "_idb").alias("id2"),
+            )
+            .distinct()
+        )
+    if not verify:
+        return cands
+    sh = spark.read.parquet(path + "/shingles")
+    t1 = sh.select(F.col(id_col).alias("id1"), F.col("_sh").alias("_sh1"))
+    t2 = sh.select(F.col(id_col).alias("id2"), F.col("_sh").alias("_sh2"))
+    return (
+        cands.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.size("_sh1") + F.size("_sh2") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
     )
