@@ -452,9 +452,65 @@ def _native_audio_features(payload: bytes) -> np.ndarray:
     return _audio_feature_vector(x, rate)
 
 
+def _avi_mjpeg_decode(payload: bytes) -> tuple[np.ndarray, float]:
+    """RIFF AVI holding an MJPEG video stream → (n_frames × H × W uint8
+    LUMA planes, fps) — the real-world crawl-thumbnail container (r9
+    stretch, VERDICT r8 #9). A minimal RIFF walker collects ``avih``
+    (µs/frame → fps) and every ``..dc``/``..db`` chunk under ``movi``;
+    each frame payload is a complete JPEG decoded by the SAME
+    :func:`_jpeg_decode` the image tier uses (baseline, restart markers,
+    progressive — all of it), then reduced to luma (channel 0 for
+    grayscale; ITU-R BT.601 weights for RGB, matching the JFIF forward
+    transform). All frames must agree on dimensions; raises ValueError
+    on anything else."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    fps_holder = [0.0]
+    frame_chunks: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cc = b[pos : pos + 4]
+            size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            data0 = pos + 8
+            if data0 + size > len(b):
+                raise ValueError("truncated AVI chunk")
+            if cc == b"LIST":
+                walk(data0 + 4, data0 + size)
+            elif cc == b"avih":
+                usec = int.from_bytes(b[data0 : data0 + 4], "little")
+                fps_holder[0] = 1e6 / usec if usec else 0.0
+            elif cc[2:4] in (b"dc", b"db") and size > 0:
+                frame_chunks.append(b[data0 : data0 + size])
+            pos = data0 + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(b))
+    if not frame_chunks:
+        raise ValueError("AVI holds no video frame chunks")
+    lumas = []
+    for fb in frame_chunks:
+        arr, _w, _h = _jpeg_decode(fb)  # raises on non-JPEG frame data
+        if arr.shape[2] == 1:
+            luma = arr[:, :, 0]
+        else:
+            f = arr.astype(np.float64)
+            luma = np.clip(
+                np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]),
+                0,
+                255,
+            ).astype(np.uint8)
+        if lumas and luma.shape != lumas[0].shape:
+            raise ValueError("AVI frames disagree on dimensions")
+        lumas.append(luma)
+    return np.stack(lumas), fps_holder[0]
+
+
 def native_video_decode(payload: bytes) -> tuple[np.ndarray, float]:
-    """Pure-numpy decode of YUV4MPEG2 (.y4m) — the video member of the
-    dependency-free native tier (image: PPM/PGM/BMP, audio: RIFF/WAV).
+    """Pure-numpy decode of the native video tier: YUV4MPEG2 (.y4m) and
+    MJPEG-in-AVI (r9; frames decode through the image tier's
+    :func:`_jpeg_decode` — see :func:`_avi_mjpeg_decode`). Image/audio
+    siblings: PPM/PGM/BMP/PNG/GIF/JPEG, RIFF/WAV/G.711.
 
     Y4M is the uncompressed interchange container every ffmpeg pipeline
     can emit (`ffmpeg -i in.mp4 out.y4m`): an ASCII stream header
@@ -463,8 +519,10 @@ def native_video_decode(payload: bytes) -> tuple[np.ndarray, float]:
     plane geometry; returns (n_frames × H × W uint8 LUMA planes, fps).
     Chroma planes are skipped over, not interpreted — luma carries the
     features. Raises ValueError on anything else — mode='native'
-    declares the payloads ARE this container."""
+    declares the payloads ARE one of these containers."""
     b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return _avi_mjpeg_decode(b)
     nl = b.find(b"\n")
     if not b.startswith(b"YUV4MPEG2") or nl < 0:
         raise ValueError(f"unsupported video container for native decode: {b[:9]!r}")

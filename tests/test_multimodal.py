@@ -1643,3 +1643,117 @@ def test_image_dhash_partition_independent_and_fake_mode(spark):
     got = {r["media_id"]: r["dhash"] for r in image_dhash(junk, mode="fake").collect()}
     again = {r["media_id"]: r["dhash"] for r in image_dhash(junk, mode="fake").collect()}
     assert got == again and got[2] == 0
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI (r9 stretch, VERDICT r8 #9): the video tier's second real
+# container — frames reuse the JPEG decoder, so pixels are pinned against
+# the per-frame image path, not re-derived.
+# ---------------------------------------------------------------------------
+
+
+def _avi_bytes(jpeg_frames, w, h, fps=10):
+    """Minimal well-formed AVI wrapping pre-encoded JPEG frames as an
+    MJPG 'vids' stream: RIFF(AVI  LIST(hdrl avih LIST(strl strh strf))
+    LIST(movi 00dc…))."""
+    import struct
+
+    def chunk(cc, data):
+        return cc + len(data).to_bytes(4, "little") + data + (b"\x00" if len(data) & 1 else b"")
+
+    def lst(kind, payload):
+        return chunk(b"LIST", kind + payload)
+
+    usec = int(round(1_000_000 / fps))
+    n = len(jpeg_frames)
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, 0, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_native_avi_mjpeg_matches_jpeg_path_grayscale():
+    """AVI frame pixels must equal the per-frame JPEG image-path decode
+    exactly — same decoder, zero re-derivation — and fps must come from
+    avih."""
+    from pgdedupe_spark.operators.multimodal import (
+        native_image_decode,
+        native_video_decode,
+    )
+
+    imgs = [_jpeg_test_image(16, 24, color=False, seed=s) for s in (1, 2, 3)]
+    jpegs = [_jpeg_bytes(im)[0] for im in imgs]
+    avi = _avi_bytes(jpegs, 24, 16, fps=10)
+    frames, fps = native_video_decode(avi)
+    assert fps == 10.0
+    assert frames.shape == (3, 16, 24)
+    for i, jp in enumerate(jpegs):
+        arr, w, h = native_image_decode(jp)
+        assert (frames[i] == arr[:, :, 0]).all()
+
+
+def test_native_avi_mjpeg_color_luma_is_bt601():
+    import numpy as np
+
+    from pgdedupe_spark.operators.multimodal import (
+        native_image_decode,
+        native_video_decode,
+    )
+
+    img = _jpeg_test_image(16, 16, color=True, seed=7)
+    jp = _jpeg_bytes(img)[0]
+    frames, _ = native_video_decode(_avi_bytes([jp], 16, 16))
+    arr, _, _ = native_image_decode(jp)
+    f = arr.astype(np.float64)
+    want = np.clip(
+        np.round(0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]), 0, 255
+    ).astype(np.uint8)
+    assert (frames[0] == want).all()
+
+
+def test_native_avi_mjpeg_through_sample_frames(spark):
+    """sample_frames mode='native' over AVI payloads: fan-out and the
+    sampled luma bytes match the decode (the same contract the Y4M tier
+    pins)."""
+    from pgdedupe_spark.operators.multimodal import native_video_decode, sample_frames
+
+    imgs = [_jpeg_test_image(16, 16, color=False, seed=s) for s in range(5)]
+    jpegs = [_jpeg_bytes(im)[0] for im in imgs]
+    avi = _avi_bytes(jpegs, 16, 16, fps=5)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi))], "media_id long, modality string, payload binary"
+    )
+    out = sample_frames(media, n_frames=3, mode="native").collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 1, 2]
+    frames, _ = native_video_decode(avi)
+    import numpy as np
+
+    picks = np.linspace(0, 4, 3).astype(int)  # 5 frames, 3 samples
+    by_idx = {r.frame_idx: bytes(r.payload) for r in out}
+    for i, fi in enumerate(picks):
+        assert by_idx[i] == frames[fi].tobytes()
+
+
+def test_native_avi_mjpeg_rejections():
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.multimodal import native_video_decode
+
+    # non-JPEG frame data inside an otherwise valid AVI
+    bad = _avi_bytes([b"not a jpeg"], 8, 8)
+    with _pytest.raises(ValueError, match="JPEG|SOI"):
+        native_video_decode(bad)
+    # frame dimension mismatch
+    a = _jpeg_bytes(_jpeg_test_image(16, 16, color=False))[0]
+    b = _jpeg_bytes(_jpeg_test_image(8, 8, color=False, seed=5))[0]
+    with _pytest.raises(ValueError, match="dimensions"):
+        native_video_decode(_avi_bytes([a, b], 16, 16))
+    # AVI with no movi frames
+    with _pytest.raises(ValueError, match="no video frame"):
+        native_video_decode(_avi_bytes([], 8, 8))
