@@ -125,6 +125,7 @@ def lsh_cosine_topk(
     query_filter: str = "vec_id < 10",
     n_tables: int = 1,
     n_flip_probes: int = 0,
+    plane_scale: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``n_tables`` independent hyperplane tables (E2LSH-style), optionally
@@ -150,7 +151,7 @@ def lsh_cosine_topk(
     an equi-join on the corpus. At 100 TB the bucketed frame is the thing
     you'd persist partitioned by (table, bucket) — see
     :func:`write_lsh_index` / :func:`lsh_topk_from_index`."""
-    table_planes = _table_planes(dim, n_planes, n_tables, seed)
+    table_planes = _table_planes(dim, n_planes, n_tables, seed, plane_scale)
     bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
 
     q = bucketed.filter(F.expr(query_filter)).select(
@@ -167,11 +168,26 @@ def lsh_cosine_topk(
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
 
 
-def _table_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> list[np.ndarray]:
-    return [
+def _table_planes(
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    plane_scale: int | None = None,
+) -> list[np.ndarray]:
+    """``plane_scale`` rounds each Gaussian plane to integers at that
+    scale (sign patterns are essentially unchanged — a component flips a
+    bucket bit only when the whole projection sits within the rounding
+    error of zero). Integer planes over integer-quantized vectors make
+    every projection EXACT, which is what lets a DuckDB oracle reproduce
+    the buckets bit-for-bit (the ann_lsh hash-oracle twins)."""
+    planes = [
         hyperplanes(dim, n_planes, seed if t == 0 else seed + 7919 * t)
         for t in range(max(1, n_tables))
     ]
+    if plane_scale:
+        planes = [np.rint(p * plane_scale) for p in planes]
+    return planes
 
 
 def _bucketize(
@@ -241,6 +257,7 @@ def write_lsh_index(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    plane_scale: int | None = None,
 ) -> None:
     """Materialize the LSH layout on disk: write-once, query-many.
 
@@ -255,7 +272,7 @@ def write_lsh_index(
     the identical hyperplanes AND resolve the index's own column name
     without trusting the caller — the index is self-describing."""
     spark = embeddings.sparkSession
-    table_planes = _table_planes(dim, n_planes, n_tables, seed)
+    table_planes = _table_planes(dim, n_planes, n_tables, seed, plane_scale)
     bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
     (
         bucketed.repartition("table", "bucket")
@@ -263,9 +280,12 @@ def write_lsh_index(
         .mode("overwrite")
         .parquet(path + "/buckets")
     )
-    meta = [(int(n_planes), int(n_tables), int(dim), int(seed), id_col, vec_col)]
+    meta = [(int(n_planes), int(n_tables), int(dim), int(seed), id_col, vec_col,
+             int(plane_scale) if plane_scale else None)]
     spark.createDataFrame(
-        meta, "n_planes int, n_tables int, dim int, seed int, id_col string, vec_col string"
+        meta,
+        "n_planes int, n_tables int, dim int, seed int, id_col string, "
+        "vec_col string, plane_scale int",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
 
 
@@ -289,7 +309,8 @@ def lsh_topk_from_index(
     That scan-pruning is the whole point of persisting the index: work is
     O(probed buckets), not O(corpus), before the exact re-rank."""
     m = spark.read.parquet(index_path + "/meta").collect()[0]
-    table_planes = _table_planes(m.dim, m.n_planes, m.n_tables, m.seed)
+    scale = m["plane_scale"] if "plane_scale" in m.__fields__ else None
+    table_planes = _table_planes(m.dim, m.n_planes, m.n_tables, m.seed, scale)
 
     q = (
         _bucketize(embeddings.filter(F.expr(query_filter)), id_col, vec_col, table_planes)
@@ -520,14 +541,22 @@ def ivf_cosine_topk(
     seed: int = 42,
     refine_iters: int = 0,
     query_filter: str = "vec_id < 10",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` nearest cells per query,
     exact cosine re-rank inside. ``n_probe == n_centroids`` degrades to the
     exact brute force (pinned by test), which is the knob's whole point:
-    recall vs cells-scanned, per query, at runtime."""
-    indexed, centroids = ivf_index(
-        embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
-    )
+    recall vs cells-scanned, per query, at runtime.
+
+    ``centroids`` overrides the seeded-sample quantizer with a caller-
+    supplied layout (e.g. the pinned integer set backing the hash-oracle
+    twin — see :func:`pinned_pq_layout`)."""
+    if centroids is not None:
+        indexed = _assign_cells(embeddings, vec_col, centroids)
+    else:
+        indexed, centroids = ivf_index(
+            embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
+        )
     indexed = indexed.persist()
 
     q = indexed.filter(F.expr(query_filter)).select(
@@ -592,6 +621,7 @@ def write_ivf_index(
     n_centroids: int = 16,
     seed: int = 42,
     refine_iters: int = 0,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Materialize the IVF layout on disk: write-once, query-many — the
     partitioned twin of :func:`write_lsh_index`.
@@ -604,10 +634,15 @@ def write_ivf_index(
     probe ranking from the persisted centroids, not from re-running the
     sampler. A one-row ``/meta`` parquet additionally records the writer's
     (id_col, vec_col, n_centroids, seed) so readers resolve the index's
-    own id column name without trusting the caller."""
-    indexed, centroids = ivf_index(
-        embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
-    )
+    own id column name without trusting the caller. ``centroids``
+    overrides the seeded-sample training (the pinned hash-oracle
+    layout)."""
+    if centroids is not None:
+        indexed = _assign_cells(embeddings, vec_col, centroids)
+    else:
+        indexed, centroids = ivf_index(
+            embeddings, id_col, vec_col, n_centroids, seed, refine_iters=refine_iters
+        )
     (
         indexed.select(F.col(id_col), "cell")
         .repartition("cell")

@@ -1819,17 +1819,168 @@ def ann_cosine_topk(spark, sf_dir):
     return cosine_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=5)
 
 
-@query("ann_lsh_topk")  # approximate (bucketed) — rows-only
+# ---------------------------------------------------------------------------
+# r9: the whole approximate-ANN family under FULL hash oracles (the pattern
+# proven on ann_pq_serve): 10^4-quantized vectors + integer-valued layouts
+# (pinned trained centroids for IVF, integer-rounded Gaussian planes for
+# LSH) make every bucket id / cell assignment / cosine an exact-integer-
+# derived value both engines compute bit-identically. The generators below
+# build the DuckDB twins from the SAME constants the Spark plans bake in.
+# ---------------------------------------------------------------------------
+
+_ANN_QUANT = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
+)
+_ANN_K = 5
+
+
+def _quantized_embeddings(spark, sf_dir):
+    """embeddings with the vector 10^4-quantized to integer-valued
+    doubles — the Spark twin of ``_ANN_QUANT`` (same floor(x*s+0.5))."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("double"),
+        ).alias("embedding"),
+    )
+
+
+def _ann_ilist(vals) -> str:
+    return "[" + ",".join(str(int(v)) for v in vals) + "]"
+
+
+def _ann_exact_tail(k: int) -> str:
+    """Exact-cosine re-rank of a ``cand(query_id, neighbor_id)`` CTE over
+    the quantized q/c CTEs — identical arithmetic to ann_cosine_topk."""
+    sim = (
+        "CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)"
+        " / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))"
+        " * sqrt(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE)))"
+    )
+    return f"""
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id, {sim} AS sim,
+             row_number() OVER (PARTITION BY cand.query_id
+                                ORDER BY {sim} DESC, cand.neighbor_id) AS rank
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN c ON c.neighbor_id = cand.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+def _ivf_topk_oracle(n_probe: int) -> str:
+    """DuckDB twin of the pinned-centroid IVF serve: argmax-cosine cell
+    assignment (first-wins, matching _assign_cells' strict-> fold), raw-
+    dot probe ranking (matching _rank_cells), exact cosine inside probed
+    cells. Identical for ann_ivf_topk and ann_ivf_serve (serve == topk
+    when parameters match; pinned in tests/test_serve.py)."""
+    import math
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    _, centroids = pinned_pq_layout(64, 16, 32, 16)
+    cos_exprs = []
+    probe_structs = []
+    for cid, cvec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos_exprs.append(
+            f"(CAST(list_dot_product(cv, {_ann_ilist(cvec)}) AS DOUBLE)"
+            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
+        )
+        probe_structs.append(
+            f"{{'cid': {cid}, 'cs': list_dot_product(qv, {_ann_ilist(cvec)})}}"
+        )
+    cl = "[" + ",".join(cos_exprs) + "]"
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {_ANN_QUANT} AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {_ANN_QUANT} AS qv FROM embeddings WHERE vec_id < 10
+    ), cells AS (
+      SELECT neighbor_id, list_position({cl}, list_max({cl})) - 1 AS cell FROM c
+    ), pr AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, u.cid AS cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY u.cs DESC, u.cid) AS prn
+        FROM (SELECT query_id, unnest([{",".join(probe_structs)}]) AS u FROM q)
+      ) WHERE prn <= {n_probe}
+    ), cand AS (
+      SELECT pr.query_id, cells.neighbor_id
+      FROM pr JOIN cells ON cells.cell = pr.cell
+      WHERE pr.query_id <> cells.neighbor_id
+    ){_ann_exact_tail(_ANN_K)}"""
+
+
+def _lsh_topk_oracle(
+    n_planes: int, n_tables: int, n_flip_probes: int, plane_scale: int, seed: int = 42
+) -> str:
+    """DuckDB twin of integer-plane multi-table multi-probe LSH: per-table
+    sign-pattern buckets over the quantized vectors (exact integer
+    projections), Hamming-1 probe widening via xor, DISTINCT candidate
+    union, exact cosine re-rank."""
+    from pgdedupe_spark.operators.similarity import _table_planes
+
+    planes = _table_planes(64, n_planes, n_tables, seed, plane_scale)
+
+    def bucket_expr(vcol: str, p) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, {_ann_ilist(row)}) > 0"
+            f" THEN {1 << b} ELSE 0 END)"
+            for b, row in enumerate(p)
+        ) + ")"
+
+    c_structs = ",".join(
+        f"{{'t': {t}, 'bk': {bucket_expr('cv', p)}}}" for t, p in enumerate(planes)
+    )
+    q_structs = ",".join(
+        f"{{'t': {t}, 'bk': {bucket_expr('qv', p)}}}" for t, p in enumerate(planes)
+    )
+    flips = ",".join(
+        f"xor(bucket, {1 << b})" for b in range(min(n_flip_probes, n_planes))
+    )
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {_ANN_QUANT} AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {_ANN_QUANT} AS qv FROM embeddings WHERE vec_id < 10
+    ), cb AS (
+      SELECT neighbor_id, u.t AS tbl, u.bk AS bucket
+      FROM (SELECT neighbor_id, unnest([{c_structs}]) AS u FROM c)
+    ), qb AS (
+      SELECT query_id, u.t AS tbl, u.bk AS bucket
+      FROM (SELECT query_id, unnest([{q_structs}]) AS u FROM q)
+    ), qp AS (
+      SELECT query_id, tbl, unnest([bucket, {flips}]) AS bucket FROM qb
+    ), cand AS (
+      SELECT DISTINCT qp.query_id, cb.neighbor_id
+      FROM qp JOIN cb ON qp.tbl = cb.tbl AND qp.bucket = cb.bucket
+      WHERE qp.query_id <> cb.neighbor_id
+    ){_ann_exact_tail(_ANN_K)}"""
+
+
+@query("ann_lsh_topk", oracle=_lsh_topk_oracle(4, 8, 4, 1000))
 def ann_lsh_topk(spark, sf_dir):
     """Multi-table multi-probe LSH top-k. 8 tables × 4 planes + 4
-    Hamming-1 probes: measured recall 1.0 vs ann_cosine_topk at sf0.001
-    (single-table 6-plane was 0.04 on these near-orthogonal embeddings —
-    tables/probes are the recall dial; tests/test_recall.py pins ≥ 0.9)."""
+    Hamming-1 probes: measured recall 1.0 (sf0.001) / 0.98 (sf0.01) vs
+    ann_cosine_topk (single-table 6-plane was 0.04 on these
+    near-orthogonal embeddings — tables/probes are the recall dial;
+    tests/test_recall.py pins ≥ 0.9).
+
+    r9: FULL hash oracle — the Gaussian planes round to integers
+    (plane_scale=1000; signs essentially unchanged, recall measured
+    identical) over 10^4-quantized vectors, so every projection/bucket/
+    cosine is exact-integer-derived and DuckDB reproduces the candidate
+    union and ranking bit-for-bit."""
     from pgdedupe_spark.operators.similarity import lsh_cosine_topk
 
     return lsh_cosine_topk(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        k=5, n_planes=4, n_tables=8, n_flip_probes=4,
+        _quantized_embeddings(spark, sf_dir), "vec_id", "embedding",
+        k=5, n_planes=4, n_tables=8, n_flip_probes=4, plane_scale=1000,
     )
 
 
@@ -2224,19 +2375,25 @@ def skew_salted_join(spark, sf_dir):
     )
 
 
-@query("ann_ivf_topk")  # approximate (cell-probed) — rows-only
+@query("ann_ivf_topk", oracle=_ivf_topk_oracle(14))
 def ann_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (seeded-sample coarse quantizer, n_probe cells
-    probed per query; n_probe == n_centroids is pinned equal to the exact
-    brute force in tests/test_extensions.py). n_probe=12/16: measured
-    recall 0.96 vs ann_cosine_topk at sf0.001 (4/16 was 0.56 — the
-    synthetic embeddings are near-orthogonal, so cell pruning is the
-    recall dial; tests/test_recall.py pins ≥ 0.9)."""
-    from pgdedupe_spark.operators.similarity import ivf_cosine_topk
+    """IVF approximate top-k (n_probe == n_centroids degrades to the
+    exact brute force — pinned in tests/test_extensions.py; cell pruning
+    is the recall dial on these near-orthogonal embeddings).
 
+    r9: FULL hash oracle — the coarse quantizer is the PINNED integer
+    centroid set (similarity.pinned_pq_layout, trained once on the
+    quantized sf0.01 embeddings) over 10^4-quantized vectors, so cell
+    assignment, probe ranking, and the exact in-cell cosine are all
+    integer-derived and DuckDB replays them bit-for-bit at any sf.
+    14/16 probes hold recall at 0.94 on the layout's home corpus
+    (0.88 cross-corpus; both floored in tests/test_recall.py)."""
+    from pgdedupe_spark.operators.similarity import ivf_cosine_topk, pinned_pq_layout
+
+    _, cents = pinned_pq_layout(64, 16, 32, 16)
     return ivf_cosine_topk(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        k=5, n_centroids=16, n_probe=12,
+        _quantized_embeddings(spark, sf_dir), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=14, centroids=cents,
     )
 
 
@@ -3108,38 +3265,51 @@ def _serve_index_path(sf_dir: str, kind: str) -> str:
     return os.path.join(tempfile.gettempdir(), "pgdedupe_spark_serve", f"{kind}_{sf_tag}")
 
 
-@query("ann_lsh_serve")  # approximate serving path — rows-only
+@query("ann_lsh_serve", oracle=_lsh_topk_oracle(4, 8, 4, 1000))
 def ann_lsh_serve(spark, sf_dir):
     """Persisted-LSH serving: write the table=/bucket= id-only index once
     (operators/similarity.py write_lsh_index), then answer top-k through
     lsh_topk_from_index — probe (table, bucket) pairs become STATIC
     PartitionFilters on the index scan, so serving work is O(probed
     buckets), not O(corpus). Same planes/probes as ann_lsh_topk, so the
-    result equals the in-memory path (pinned in tests/test_serve.py)."""
+    result equals the in-memory path (pinned in tests/test_serve.py) —
+    and therefore shares its r9 FULL hash oracle (integer planes over
+    quantized vectors; plane_scale persists in /meta so readers
+    regenerate the identical integer planes)."""
     from pgdedupe_spark.operators.similarity import lsh_topk_from_index, write_lsh_index
 
-    emb = _t(spark, sf_dir, "embeddings")
+    qemb = _quantized_embeddings(spark, sf_dir)
     path = _serve_index_path(sf_dir, "lsh")
-    write_lsh_index(emb, "vec_id", "embedding", path, n_planes=4, n_tables=8, dim=64)
+    write_lsh_index(
+        qemb, "vec_id", "embedding", path,
+        n_planes=4, n_tables=8, dim=64, plane_scale=1000,
+    )
     return lsh_topk_from_index(
-        spark, path, emb, "vec_id", "embedding", k=5, n_flip_probes=4
+        spark, path, qemb, "vec_id", "embedding", k=5, n_flip_probes=4
     )
 
 
-@query("ann_ivf_serve")  # approximate serving path — rows-only
+@query("ann_ivf_serve", oracle=_ivf_topk_oracle(14))
 def ann_ivf_serve(spark, sf_dir):
     """Persisted-IVF serving: write the cell= id-only index + centroid
     sidecar once (operators/similarity.py write_ivf_index), then answer
     top-k through ivf_topk_from_index — probed cell ids become static
     partition filters, so only probed cell= directories are opened. Same
-    quantizer/probes as ann_ivf_topk ⇒ identical result (pinned)."""
-    from pgdedupe_spark.operators.similarity import ivf_topk_from_index, write_ivf_index
+    quantizer/probes as ann_ivf_topk ⇒ identical result (pinned) — and
+    therefore shares its r9 FULL hash oracle (pinned integer centroids
+    over quantized vectors, persisted losslessly in the sidecar)."""
+    from pgdedupe_spark.operators.similarity import (
+        ivf_topk_from_index,
+        pinned_pq_layout,
+        write_ivf_index,
+    )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = pinned_pq_layout(64, 16, 32, 16)
+    qemb = _quantized_embeddings(spark, sf_dir)
     path = _serve_index_path(sf_dir, "ivf")
-    write_ivf_index(emb, "vec_id", "embedding", path, n_centroids=16)
+    write_ivf_index(qemb, "vec_id", "embedding", path, n_centroids=16, centroids=cents)
     return ivf_topk_from_index(
-        spark, path, emb, "vec_id", "embedding", k=5, n_probe=12
+        spark, path, qemb, "vec_id", "embedding", k=5, n_probe=14
     )
 
 
@@ -3525,14 +3695,7 @@ def ann_pq_serve(spark, sf_dir):
         write_pq_index,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
-    qemb = emb.select(
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * 10000 + 0.5).cast("double"),
-        ).alias("embedding"),
-    )
+    qemb = _quantized_embeddings(spark, sf_dir)
     books, centroids = pinned_pq_layout(64, 16, 32, 16)
     path = _serve_index_path(sf_dir, "pq")
     write_pq_index(
