@@ -3524,7 +3524,10 @@ def ann_pq_topk(spark, sf_dir):
     budget + wide refine) and the full-refine==exact degeneration are
     pinned in tests/test_pq.py. The codes-only scan is the 100 TB story:
     raw vectors are touched twice per query batch (query rows +
-    shortlist), never per candidate."""
+    shortlist), never per candidate. Rows-only BY DESIGN: this row keeps
+    the TRAINED-codebook quality path in the rotation; its hash-oracle
+    sibling is ann_pq_serve (r9 pinned integer layout, full DuckDB
+    twin)."""
     from pgdedupe_spark.operators.similarity import pq_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -468,3 +468,123 @@ def trending_topk(windows: DataFrame, k: int = 3) -> DataFrame:
         windows.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+):
+    """Streaming NEAR-duplicate detection — the MinHash-LSH sibling of
+    :func:`incremental_dedup_stream` (r9; completes the incremental
+    story the persisted minhash index opened in
+    ``dedup.minhash_index_append``): every arriving document is checked
+    against the corpus-so-far for Jaccard ≥ ``threshold`` near-dups,
+    while the standing signature state grows by exactly one batch scan
+    per microbatch. Returns a ``foreachBatch`` function.
+
+    State under ``store_dir`` — epoch-partitioned parquet layers, every
+    write a dynamic overwrite of THIS epoch's partition so at-least-once
+    replays rewrite identical data (idempotence pinned):
+
+    * ``buckets/epoch=N``  — the batch's (id, _band, _bkey) rows, the
+      banded-bucket projection of its minhash signatures;
+    * ``shingles/epoch=N`` — the batch's (id, _sh) arrays (verify side);
+    * ``pairs/epoch=N``    — output: verified near-dup pairs with at
+      least one side in this batch, (id1 < id2)-normalized.
+
+    Because ids arrive once and each batch probes {standing ∪ itself},
+    every near-dup pair is emitted in EXACTLY one epoch (the later
+    member's) — the union of the pairs layers over a whole stream equals
+    the batch operator ``dedup.minhash_lsh_pairs`` over the full corpus,
+    bit-for-bit (pinned in tests/test_streaming.py). MinHash's hashes
+    are stateless, so the standing buckets never need recomputation or
+    retraining — the same append ≡ rebuild property the persisted index
+    pins. At 100 TB: per batch one scan of the batch (signatures), one
+    bucket equi-join against standing state keyed by (_band, _bkey), and
+    a candidates-only verify join — never a corpus rescan."""
+    from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+    from pgdedupe_spark.operators.dedup import _minhash_shingles_and_buckets
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        sh, buckets = _minhash_shingles_and_buckets(
+            batch_df, id_col, text_col, n, num_hashes, bands,
+            portable=False, persist=False,
+        )
+        # freeze: the streaming source frame is only valid in-batch, and
+        # one signature computation feeds the probe join AND two writes
+        sh = sh.localCheckpoint()
+        buckets = buckets.localCheckpoint()
+
+        def read_layer(name: str, schema: str):
+            from pyspark.errors import AnalysisException
+
+            try:
+                return spark.read.schema(schema).parquet(f"{store_dir}/{name}")
+            except AnalysisException as exc:
+                if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                    return spark.createDataFrame([], schema)
+                raise
+
+        prior = F.col("epoch") < F.lit(epoch_id)  # replay guard
+        standing_b = read_layer(
+            "buckets", f"{id_col} {id_type}, _band int, _bkey long, epoch long"
+        ).filter(prior)
+        standing_sh = read_layer(
+            "shingles", f"{id_col} {id_type}, _sh array<string>, epoch long"
+        ).filter(prior)
+
+        all_b = standing_b.select(F.col(id_col).alias("_idb"), "_band", "_bkey").unionByName(
+            buckets.select(F.col("_id").alias("_idb"), "_band", "_bkey")
+        )
+        cands = (
+            buckets.select(F.col("_id").alias("_ida"), "_band", "_bkey")
+            .join(all_b, ["_band", "_bkey"])
+            .filter(F.col("_ida") != F.col("_idb"))
+            .select(
+                F.least("_ida", "_idb").alias("id1"),
+                F.greatest("_ida", "_idb").alias("id2"),
+            )
+            .distinct()
+        )
+        all_sh = standing_sh.select(F.col(id_col).alias("_id"), "_sh").unionByName(
+            sh.select("_id", "_sh")
+        )
+        t1 = all_sh.select(F.col("_id").alias("id1"), F.col("_sh").alias("_sh1"))
+        t2 = all_sh.select(F.col("_id").alias("id2"), F.col("_sh").alias("_sh2"))
+        pairs = (
+            cands.join(t1, "id1")
+            .join(t2, "id2")
+            .withColumn("_common", F.size(F.array_intersect("_sh1", "_sh2")))
+            .withColumn(
+                "jaccard",
+                F.col("_common")
+                / (F.size("_sh1") + F.size("_sh2") - F.col("_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id1", "id2", "jaccard")
+        )
+        pairs.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/pairs")
+        buckets.withColumnRenamed("_id", id_col).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/buckets")
+        sh.withColumnRenamed("_id", id_col).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/shingles")
+        _free_local_checkpoint(sh)
+        _free_local_checkpoint(buckets)
+
+    return process_batch

@@ -616,3 +616,81 @@ def test_sliding_rollup_parity_and_topk(spark, batch_events):
     per_win = {r["win_start"]: r["rk"] for r in top.collect() if r["rk"] == 3}
     assert per_win, "expected at least one full top-3 window"
     assert top.filter(F.col("rk") > 3).count() == 0
+
+
+def test_near_dup_stream_matches_batch_minhash(spark, tmp_path):
+    """Streaming MinHash-LSH near-dup (near_dup_stream, r9): the union of
+    the per-epoch pairs layers over a 3-batch stream must equal the batch
+    operator over the full corpus bit-for-bit (stateless hashes — the
+    same append == rebuild property the persisted index pins), with every
+    pair emitted in exactly one epoch (its later member's)."""
+    from pgdedupe_spark.operators.dedup import minhash_lsh_pairs
+    from pgdedupe_spark.streaming.ops import near_dup_stream
+
+    def body(seed: int) -> str:
+        return " ".join(f"w{(seed * 31 + k * 7) % 1009}" for k in range(30))
+
+    batches = [
+        [(0, body(0)), (1, body(1)), (2, body(0) + " xtra")],      # (0,2) in-batch
+        [(10, body(1) + " xtra"), (11, body(11))],                  # (1,10) cross
+        [(20, body(0) + " yy"), (21, body(11) + " xtra")],          # (0,20),(2,20),(11,21)
+    ]
+    store = str(tmp_path / "neardup")
+    fn = near_dup_stream(None, store, "doc_id", "text", num_hashes=32, bands=8)
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, "doc_id long, text string"), i)
+
+    streamed = {
+        (r.id1, r.id2, r.jaccard)
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    }
+    corpus = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    batch = {
+        (r.id1, r.id2, r.jaccard)
+        for r in minhash_lsh_pairs(
+            corpus, "doc_id", "text", num_hashes=32, bands=8
+        ).collect()
+    }
+    assert streamed == batch and streamed
+    # every pair lands in exactly one epoch — no cross-epoch duplicates
+    rows = spark.read.parquet(f"{store}/pairs").collect()
+    assert len(rows) == len({(r.id1, r.id2) for r in rows})
+    # cross-batch pair surfaced in the later member's epoch
+    by_pair = {(r.id1, r.id2): r.epoch for r in rows}
+    assert by_pair[(1, 10)] == 1
+    assert by_pair[(0, 2)] == 0
+
+
+def test_near_dup_stream_replay_is_idempotent(spark, tmp_path):
+    from pgdedupe_spark.streaming.ops import near_dup_stream
+
+    def body(seed: int) -> str:
+        return " ".join(f"w{(seed * 31 + k * 7) % 1009}" for k in range(30))
+
+    store = str(tmp_path / "neardup")
+    fn = near_dup_stream(None, store, "doc_id", "text", num_hashes=32, bands=8)
+    b0 = spark.createDataFrame([(0, body(0)), (1, body(1))], "doc_id long, text string")
+    b1 = spark.createDataFrame([(10, body(0) + " xtra")], "doc_id long, text string")
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        return {
+            layer: sorted(
+                tuple(r) for r in spark.read.parquet(f"{store}/{layer}").collect()
+            )
+            for layer in ("pairs", "buckets", "shingles")
+        }
+
+    before = snapshot()
+    fn(b1, 1)  # at-least-once replay
+    assert snapshot() == before
+    # replay did not corrupt a subsequent batch's view of the state
+    fn(spark.createDataFrame([(20, body(0) + " zz")], "doc_id long, text string"), 2)
+    pairs = {
+        (r.id1, r.id2)
+        for r in spark.read.parquet(f"{store}/pairs").collect()
+    }
+    assert (0, 10) in pairs and (0, 20) in pairs and (10, 20) in pairs
