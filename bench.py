@@ -95,6 +95,8 @@ HEADLINE = [
     "pairs_skew_probe",
     # r9: notebook completeness analytic (VERDICT r8 #7)
     "er_completeness",
+    # r9: learned quality-filter stage (pinned-weight driver row)
+    "text_quality_model",
     # r5 fourth batch: prefix-sum packing family + Q13 outer-join shape
     "pack_sequences",
     "corpus_token_budget",

@@ -442,3 +442,118 @@ def html_to_text(df: DataFrame, html_col: str, out_col: str = "text_extracted") 
         x = F.replace(x, F.lit(ent), F.lit(rep))
     x = F.trim(F.regexp_replace(x, r"\s+", " "))
     return df.withColumn(out_col, x)
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (r9): the GPT-3/CCNet-style learned quality
+# classifier — a logistic regression over cheap text features separates
+# reference-quality documents from crawl garbage, and the corpus is scored
+# and filtered by the model rather than hand-tuned thresholds. Training is
+# driver-side on a bounded labeled sample (the D4 asymmetry: fitting is
+# tiny, scoring is the 100 TB scan); scoring reuses the JVM sigmoid
+# expression, so the hot path has zero Python.
+# ---------------------------------------------------------------------------
+
+#: fixed feature layout — keep in sync with the oracle SQL (registry) and
+#: any saved model (ml/persistence.py stores weights positionally)
+QUALITY_FEATURES = (
+    "len_sat",        # n_tokens / (n_tokens + 100): saturating length
+    "stopword_ratio",  # en stopword hits / (n_tokens + 1)
+    "punct_ratio",     # punct chars / (n_chars + 1)
+    "avg_tok_len12",   # (total token chars / max(n_tokens,1)) / 12
+    "digit_ratio",     # digit chars / (n_chars + 1)
+    "upper_ratio",     # uppercase chars / (n_chars + 1)
+)
+
+
+def quality_feature_expr(text_col: str) -> Column:
+    """array<double> of :data:`QUALITY_FEATURES` — every feature is one
+    exact-integer count divided once, so each value is a single
+    correctly-rounded IEEE division and a DuckDB oracle reproduces the
+    whole vector bit-for-bit (no log/exp inside the features; the
+    sigmoid's exp lives at the scoring boundary where the DECIMAL(18,6)
+    rounding convention absorbs libm-vs-JVM last-ulp differences —
+    the d4_pair_scores device)."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_chars = F.length(t).cast("bigint")
+    tok_chars = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit("[0-9]"), 0)).cast("bigint")
+    n_upper = F.size(F.regexp_extract_all(t, F.lit("[A-Z]"), 0)).cast("bigint")
+    d = lambda a, b: a.cast("double") / b.cast("double")  # noqa: E731
+    return F.array(
+        d(n_tok, n_tok + F.lit(100)),
+        d(stopword_hits(t, "en"), n_tok + F.lit(1)),
+        d(punct_count(t), n_chars + F.lit(1)),
+        d(tok_chars, F.greatest(n_tok, F.lit(1))) / F.lit(12.0),
+        d(n_digit, n_chars + F.lit(1)),
+        d(n_upper, n_chars + F.lit(1)),
+    )
+
+
+def fit_quality_classifier(
+    good: DataFrame,
+    bad: DataFrame,
+    text_col: str,
+    sample: int = 2000,
+    seed: int = 42,
+    **hyper,
+):
+    """Fit the quality LR on bounded hash-ranked samples of labeled
+    good/bad documents (driver-side numpy — the labeled set is small by
+    construction; see operators/scoring.py for why). Returns the fitted
+    classifier; persist/reload it with ``ml.persistence.save_model``-style
+    weights or score directly via :func:`quality_model_scores`."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.scoring import LogisticRegressionClassifier
+
+    def collect_feats(df: DataFrame) -> list[list[float]]:
+        rows = (
+            df.select(
+                quality_feature_expr(text_col).alias("_f"),
+                F.xxhash64(F.lit(seed), F.col(text_col)).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(int(sample))
+            .collect()
+        )
+        return [[float(v) for v in r._f] for r in rows]
+
+    xg, xb = collect_feats(good), collect_feats(bad)
+    if not xg or not xb:
+        raise ValueError("need non-empty good AND bad labeled sets")
+    X = np.array(xg + xb)
+    y = np.array([1.0] * len(xg) + [0.0] * len(xb))
+    return LogisticRegressionClassifier(**hyper).fit(X, y)
+
+
+def quality_model_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    clf,
+    threshold: float | None = None,
+) -> DataFrame:
+    """(id, quality_score) for every document — sigmoid(w·features + b)
+    as one JVM expression over :func:`quality_feature_expr` (whole-stage
+    codegen, zero Python, one scan). ``threshold`` keeps only rows at or
+    above it (the filter deployment shape); scores pass the
+    DECIMAL(18,6) boundary BEFORE the threshold compare so the filter
+    decision is engine-reproducible."""
+    from pgdedupe_spark.operators.scoring import score_expr
+
+    scored = df.select(
+        F.col(id_col),
+        quality_feature_expr(text_col).alias("_f"),
+    ).select(
+        id_col,
+        score_expr(clf.weights, clf.bias, "_f")
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("quality_score"),
+    )
+    if threshold is not None:
+        scored = scored.filter(F.col("quality_score") >= float(threshold))
+    return scored

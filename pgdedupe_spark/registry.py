@@ -4790,6 +4790,9 @@ PYTEST_ONLY = frozenset(
         # r8 #7): a trivial second-level reagg of events_hourly_rollup
         # (which stays in the rotation), green r5-r8; oracle retained
         "events_daily_from_hourly",
+        # born pytest-only in r9 (window full), full hash oracle via
+        # tests/test_oracle.py: the learned quality-filter stage
+        "text_quality_model",
         # demoted in r8 to make window room for the portable-hash dedup
         # twins (VERDICT r7 #4): trivial scalar shapes green since r1-r5
         "j3_singleton_coalesce",
@@ -6107,3 +6110,72 @@ def er_completeness(spark, sf_dir):
         .alias("dedupe_id"),
     )
     return completeness_histogram(entries, "uuid", "dedupe_id", bins=10)
+
+
+# ===========================================================================
+# r9: model-based quality filtering — the GPT-3/CCNet-style learned quality
+# classifier as a first-class curation stage (text.fit_quality_classifier /
+# quality_model_scores). The driver row uses PINNED weights (the
+# d4_pair_scores convention — engine-reproducible arithmetic; the FITTED
+# path is pinned in tests/test_extensions.py), features are exact-integer
+# ratios (single correctly-rounded divisions — no log/exp until the
+# sigmoid), and the score passes the DECIMAL(18,6) boundary BEFORE the
+# threshold compare so the filter decision hashes identically. Born
+# PYTEST_ONLY (window full); full DuckDB coverage via tests/test_oracle.py.
+# ===========================================================================
+
+
+@query(
+    "text_quality_model",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok,
+             CAST(len(text) AS BIGINT) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+             CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(n_tok AS DOUBLE) / CAST(n_tok + 100 AS DOUBLE) AS f_len,
+             CAST(len(list_filter(toks, t2 -> t2 IN ({_SW_EN}))) AS DOUBLE)
+               / CAST(n_tok + 1 AS DOUBLE) AS f_sw,
+             CAST(n_punct AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE) AS f_punct,
+             (CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS DOUBLE)
+               / CAST(greatest(n_tok, 1) AS DOUBLE)) / 12.0 AS f_atl,
+             CAST(n_digit AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE) AS f_digit,
+             CAST(n_upper AS DOUBLE) / CAST(n_chars + 1 AS DOUBLE) AS f_upper
+      FROM t
+    ), s AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-((0.0 + 3.0*f_len + 10.0*f_sw + -4.0*f_punct
+                                 + -1.5*f_atl + -3.0*f_digit + -2.0*f_upper)
+                                + -0.8))) AS raw
+      FROM f
+    )
+    SELECT doc_id, CAST(CAST(raw AS DECIMAL(18,6)) AS DOUBLE) AS quality_score
+    FROM s
+    WHERE CAST(CAST(raw AS DECIMAL(18,6)) AS DOUBLE) >= 0.5
+    """,
+)
+def text_quality_model(spark, sf_dir):
+    """Learned quality filter over `documents` with pinned LR weights:
+    sigmoid over the fixed exact-ratio feature layout
+    (text.QUALITY_FEATURES), kept at quality_score >= 0.5 — the
+    model-based sibling of the rule-based text_quality_stats gate.
+    Scoring is one codegen projection per row (no joins, no Python);
+    the FITTED deployment (fit_quality_classifier on labeled good/bad
+    corpora) is pinned in tests/test_extensions.py."""
+    import numpy as np
+
+    from pgdedupe_spark.operators.text import quality_model_scores
+
+    class _Pinned:
+        weights = np.array([3.0, 10.0, -4.0, -1.5, -3.0, -2.0])
+        bias = -0.8
+
+    return quality_model_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", _Pinned(), threshold=0.5
+    )

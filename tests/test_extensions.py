@@ -407,3 +407,62 @@ def test_html_to_text_zero_shuffle_plan(spark):
     plan = html_to_text(df, "h")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_quality_model_fit_separates_and_scores_jvm_side(spark):
+    """Model-based quality filtering (r9): fit_quality_classifier on
+    planted good (English-like, stopword-rich) vs bad (digit/punct spam)
+    corpora must separate a holdout cleanly, and quality_model_scores
+    must score corpus rows as a pure codegen projection (no Python, no
+    joins)."""
+    from pgdedupe_spark.operators.text import (
+        fit_quality_classifier,
+        quality_model_scores,
+    )
+
+    good_rows = [
+        (i, f"the quality of the text is that it is written for a reader and "
+            f"it has the structure of a sentence number {i}")
+        for i in range(40)
+    ]
+    bad_rows = [
+        (1000 + i, ("x9$#@ " * 3 + f"{i * 7919} 00 11 22 33 !!! ### $$$ ") * 2)
+        for i in range(40)
+    ]
+    good = spark.createDataFrame(good_rows, "doc_id long, text string")
+    bad = spark.createDataFrame(bad_rows, "doc_id long, text string")
+    clf = fit_quality_classifier(good, bad, "text", sample=30)
+
+    # holdout rows the fit never saw (sample=30 of 40 per side)
+    scored = quality_model_scores(
+        good.unionByName(bad), "doc_id", "text", clf
+    ).collect()
+    by_id = {r.doc_id: r.quality_score for r in scored}
+    good_ok = sum(1 for i, _ in good_rows if by_id[i] > 0.5)
+    bad_ok = sum(1 for i, _ in bad_rows if by_id[i] < 0.5)
+    assert good_ok >= 38, f"good docs misclassified: {40 - good_ok}"
+    assert bad_ok >= 38, f"bad docs misclassified: {40 - bad_ok}"
+
+    # threshold deployment keeps only the good side
+    kept = quality_model_scores(
+        good.unionByName(bad), "doc_id", "text", clf, threshold=0.5
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert len(ids & {r[0] for r in good_rows}) >= 38
+    assert len(ids & {r[0] for r in bad_rows}) <= 2
+
+    # hot path: projection only — no Python eval, no join, no exchange
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    for bad_node in ("BatchEvalPython", "ArrowEvalPython", "Join", "Exchange"):
+        assert bad_node not in plan, f"{bad_node} in scoring plan"
+
+
+def test_quality_model_fit_requires_both_sides(spark):
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.text import fit_quality_classifier
+
+    docs = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    empty = docs.filter("doc_id < 0")
+    with _pytest.raises(ValueError, match="non-empty"):
+        fit_quality_classifier(docs, empty, "text")
