@@ -193,8 +193,21 @@ LEGACY24 = [
 
 # The fixed-work JVM canary time on the machine the cross-round bench
 # history was earned on (r7/r8 committed runs). value_legacy24_normalized
-# = value_legacy24 × (this / measured jvm_codegen_sec).
+# = value_legacy24 × (this / measured jvm_codegen_sec) when the canary
+# shift exceeds the noise band (see the guard note at the emit site).
 _REF_CANARY_JVM_SEC = 0.273
+_CANARY_NOISE_BAND = 0.15
+
+
+def _normalized_legacy24(warm: dict, canary: dict):
+    c = canary.get("jvm_codegen_sec")
+    raw = sum(warm[n] for n in LEGACY24 if n in warm)
+    if not c:
+        return None
+    ratio = _REF_CANARY_JVM_SEC / c
+    if abs(ratio - 1.0) <= _CANARY_NOISE_BAND:
+        return round(raw, 3)  # same-machine noise band: raw is the estimator
+    return round(raw * ratio, 3)
 
 
 def main() -> None:
@@ -319,15 +332,15 @@ def main() -> None:
         # was entirely canary drift: 0.402 vs 0.273 on identical code).
         # REF = the r7/r8 builder-machine canary the cross-round numbers
         # were earned on. Round-over-round comparisons diff THIS number.
-        "value_legacy24_normalized": (
-            round(
-                sum(warm[n] for n in LEGACY24 if n in warm)
-                * (_REF_CANARY_JVM_SEC / canary["jvm_codegen_sec"]),
-                3,
-            )
-            if canary.get("jvm_codegen_sec")
-            else None
-        ),
+        # Guard (measured r9): the canary itself is ±9% noisy run-to-run
+        # on ONE machine while min-of-warm legacy24 is ±3% — normalizing
+        # by a small canary delta AMPLIFIES noise (three same-machine r9
+        # runs: raw 15.1/16.0/15.6 s but naively-normalized
+        # 15.8/14.8/17.1 s). So the correction applies only when the
+        # canary shift is big enough to be real machine drift (>15% —
+        # the r8 cross-machine case was +47%); within that band the raw
+        # number IS the better estimator and is reported unchanged.
+        "value_legacy24_normalized": _normalized_legacy24(warm, canary),
         # deliberately-heavy scale probes, subtotaled separately so the
         # headline totals stop absorbing probe growth round-over-round
         # (VERDICT r6): value - value_probes is the comparable remainder
