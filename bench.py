@@ -196,7 +196,10 @@ LEGACY24 = [
 # = value_legacy24 × (this / measured jvm_codegen_sec) when the canary
 # shift exceeds the noise band (see the guard note at the emit site).
 _REF_CANARY_JVM_SEC = 0.273
-_CANARY_NOISE_BAND = 0.15
+# measured same-machine canary spread across 5 r9 runs: 0.229-0.295
+# (±13% around the median) — the band must sit clear of that while still
+# catching genuine cross-machine drift (r8's case was +47%)
+_CANARY_NOISE_BAND = 0.25
 
 
 def _normalized_legacy24(warm: dict, canary: dict):
@@ -337,9 +340,10 @@ def main() -> None:
         # by a small canary delta AMPLIFIES noise (three same-machine r9
         # runs: raw 15.1/16.0/15.6 s but naively-normalized
         # 15.8/14.8/17.1 s). So the correction applies only when the
-        # canary shift is big enough to be real machine drift (>15% —
-        # the r8 cross-machine case was +47%); within that band the raw
-        # number IS the better estimator and is reported unchanged.
+        # canary shift is big enough to be real machine drift (>25%;
+        # same-machine canary spread measured ±13%, the r8 cross-machine
+        # case was +47%); within the band the raw number IS the better
+        # estimator and is reported unchanged.
         "value_legacy24_normalized": _normalized_legacy24(warm, canary),
         # deliberately-heavy scale probes, subtotaled separately so the
         # headline totals stop absorbing probe growth round-over-round
