@@ -90,6 +90,7 @@ def save_model(
                 "type": f.type,
                 "categories": f.categories,
                 "has_missing": f.has_missing,
+                "metric": f.metric,
             }
             for f in config.fields
         ],
@@ -123,6 +124,7 @@ def load_model(path: str) -> SavedModel:
             type=f["type"],
             categories=f.get("categories", []),
             has_missing=bool(f.get("has_missing", False)),
+            metric=f.get("metric", "levenshtein"),
         )
         for f in doc["fields"]
     ]

@@ -17,7 +17,7 @@ import numpy as np
 
 from pgdedupe_spark.config import DedupeConfig
 from pgdedupe_spark.operators.features import FieldDef
-from pgdedupe_spark.operators.scoring import CLASSIFIERS
+from pgdedupe_spark.operators.scoring import get_classifier
 
 
 def read_training(path: str) -> dict[str, list[tuple[dict, dict]]]:
@@ -74,6 +74,14 @@ def _py_features(rec1: dict, rec2: dict, fields: list[FieldDef],
             sim = 0.5 if missing else float(a == b)
             primary[fd.field] = sim
             feats.append(sim)
+        elif fd.metric == "affine_gap":
+            # same Gotoh DP the scoring plan's Arrow UDF runs — training
+            # and scoring must see the same feature space (D1 fidelity)
+            from pgdedupe_spark.operators.features import affine_gap_sim_scalar
+
+            sim = affine_gap_sim_scalar(a, b)
+            primary[fd.field] = sim
+            feats.append(sim)
         else:
             if missing:
                 sim = 0.5
@@ -99,7 +107,8 @@ def fit_classifier(config: DedupeConfig, training: dict[str, list[tuple[dict, di
     for a, b in training.get("distinct", []):
         X.append(_py_features(a, b, config.fields, config.interactions))
         y.append(0.0)
-    clf = CLASSIFIERS[config.classifier](**config.hyperparameters)
+    # registry name or reference-style dotted import path (run.py:133-136)
+    clf = get_classifier(config.classifier)(**config.hyperparameters)
     return clf.fit(np.array(X), np.array(y))
 
 
@@ -110,8 +119,13 @@ def create_model_definition(config: DedupeConfig, training: dict) -> dict:
         "classifier": config.classifier,
         "hyperparameters": config.hyperparameters,
         "fields": [
+            # metric participates in the hash only when non-default: the
+            # reference hashes the raw config field dicts (utils.py:31-44),
+            # which carry a metric key only if the user wrote one — and
+            # default-config hashes stay stable across this extension.
             {"field": f.field, "type": f.type, "categories": f.categories,
-             "has_missing": f.has_missing}
+             "has_missing": f.has_missing,
+             **({"metric": f.metric} if f.metric != "levenshtein" else {})}
             for f in config.fields
         ],
         "filter_condition": config.filter_condition,

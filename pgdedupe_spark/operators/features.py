@@ -44,53 +44,62 @@ class FieldDef:
     metric: str = "levenshtein"  # levenshtein (JVM) | affine_gap (Arrow UDF)
 
 
+_MISMATCH, _OPEN, _EXTEND = 1.0, 1.0, 0.5
+
+
+def affine_gap_distance(s: str, t: str) -> float:
+    """Gotoh affine-gap edit distance — scalar rolling-row DP (person-record
+    fields are short strings). Module-level so the driver-side training
+    replica (``ml/training._py_features``) computes the SAME metric the
+    scoring plan does when a field opts into ``metric='affine_gap'``."""
+    la, lb = len(s), len(t)
+    if la == 0 and lb == 0:
+        return 0.0
+    if la == 0 or lb == 0:
+        return _OPEN + _EXTEND * (max(la, lb) - 1)
+    INF = 1e18
+    M = [[INF] * (lb + 1) for _ in range(2)]
+    X = [[INF] * (lb + 1) for _ in range(2)]
+    Y = [[INF] * (lb + 1) for _ in range(2)]
+    M[0][0] = 0.0
+    for j in range(1, lb + 1):
+        Y[0][j] = _OPEN + _EXTEND * (j - 1)
+    for i in range(1, la + 1):
+        c, p = i % 2, (i - 1) % 2
+        M[c][0] = Y[c][0] = INF
+        X[c][0] = _OPEN + _EXTEND * (i - 1)
+        for j in range(1, lb + 1):
+            sub = 0.0 if s[i - 1] == t[j - 1] else _MISMATCH
+            M[c][j] = sub + min(M[p][j - 1], X[p][j - 1], Y[p][j - 1])
+            X[c][j] = min(M[p][j] + _OPEN, X[p][j] + _EXTEND, Y[p][j] + _OPEN)
+            Y[c][j] = min(M[c][j - 1] + _OPEN, X[c][j - 1] + _OPEN, Y[c][j - 1] + _EXTEND)
+    last = la % 2
+    return min(M[last][lb], X[last][lb], Y[last][lb])
+
+
+def affine_gap_sim_scalar(s: str | None, t: str | None) -> float:
+    """Normalized affine-gap similarity in [0,1]; 0.5 neutral on missing
+    (same contract as :func:`string_similarity`)."""
+    if s is None or t is None:
+        return 0.5
+    worst = _OPEN + _EXTEND * (max(len(s), len(t)) - 1) if max(len(s), len(t)) else 1.0
+    return max(0.0, 1.0 - affine_gap_distance(s, t) / max(worst, 1e-12))
+
+
 def affine_gap_similarity():
     """D1 exact-fidelity option: affine-gap edit similarity (Gotoh DP —
     opening a gap costs more than extending one, so 'Jon'/'Jonathan' is
     nearer than the same edits scattered). The reference's dedupe library
     uses this family for every String field. Arrow-batched pandas UDF
-    (numpy row DP, one Python call per batch); the default JVM levenshtein
-    is the scale path — this is opt-in per field via metric='affine_gap'."""
+    (one Python call per batch); the default JVM levenshtein is the scale
+    path — this is opt-in per field via metric='affine_gap'."""
     from pyspark.sql.functions import pandas_udf
-
-    MISMATCH, OPEN, EXTEND = 1.0, 1.0, 0.5
-
-    # scalar rolling-row DP — person-record fields are short strings
-    def dist(s: str, t: str) -> float:
-        la, lb = len(s), len(t)
-        if la == 0 and lb == 0:
-            return 0.0
-        if la == 0 or lb == 0:
-            return OPEN + EXTEND * (max(la, lb) - 1)
-        INF = 1e18
-        M = [[INF] * (lb + 1) for _ in range(2)]
-        X = [[INF] * (lb + 1) for _ in range(2)]
-        Y = [[INF] * (lb + 1) for _ in range(2)]
-        M[0][0] = 0.0
-        for j in range(1, lb + 1):
-            Y[0][j] = OPEN + EXTEND * (j - 1)
-        for i in range(1, la + 1):
-            c, p = i % 2, (i - 1) % 2
-            M[c][0] = Y[c][0] = INF
-            X[c][0] = OPEN + EXTEND * (i - 1)
-            for j in range(1, lb + 1):
-                sub = 0.0 if s[i - 1] == t[j - 1] else MISMATCH
-                M[c][j] = sub + min(M[p][j - 1], X[p][j - 1], Y[p][j - 1])
-                X[c][j] = min(M[p][j] + OPEN, X[p][j] + EXTEND, Y[p][j] + OPEN)
-                Y[c][j] = min(M[c][j - 1] + OPEN, X[c][j - 1] + OPEN, Y[c][j - 1] + EXTEND)
-        last = la % 2
-        return min(M[last][lb], X[last][lb], Y[last][lb])
 
     @pandas_udf("double")
     def _sim(a: pd.Series, b: pd.Series) -> pd.Series:
         out = np.empty(len(a))
         for i, (s, t) in enumerate(zip(a, b)):
-            if s is None or t is None:
-                out[i] = 0.5  # neutral-on-missing, same as string_similarity
-                continue
-            worst = OPEN + EXTEND * (max(len(s), len(t)) - 1) if max(len(s), len(t)) else 1.0
-            d = dist(s, t)
-            out[i] = max(0.0, 1.0 - d / max(worst, 1e-12))
+            out[i] = affine_gap_sim_scalar(s, t)
         return pd.Series(out)
 
     return _sim

@@ -107,6 +107,36 @@ CLASSIFIERS = {
 }
 
 
+def get_classifier(name: str) -> type:
+    """Resolve a classifier by registry name OR dotted import path.
+
+    The reference dynamically imports any ``classifier: module.ClassName``
+    config string (``pgdedupe/run.py:133-136``: split on the last dot,
+    ``__import__`` the module, ``getattr`` the class) — so a user's own
+    classifier plugs in from YAML with no code change here. Registry names
+    win on collision; the class only needs the duck-typed surface the
+    pipeline consumes: ``fit(X, y)`` + ``weights``/``bias`` (scoring stays
+    the JVM sigmoid expression regardless of who fitted it)."""
+    if name in CLASSIFIERS:
+        return CLASSIFIERS[name]
+    if "." in name:
+        import importlib
+
+        mod_name, _, cls_name = name.rpartition(".")
+        try:
+            mod = importlib.import_module(mod_name)
+            return getattr(mod, cls_name)
+        except (ImportError, AttributeError) as e:
+            raise KeyError(
+                f"classifier {name!r}: not a registry name and dotted-path "
+                f"import failed ({e}); registry has {sorted(CLASSIFIERS)}"
+            ) from e
+    raise KeyError(
+        f"unknown classifier {name!r}; registry has {sorted(CLASSIFIERS)} "
+        "(or pass a dotted import path like 'mypkg.MyClassifier')"
+    )
+
+
 def score_expr(weights: np.ndarray, bias: float, features_col: str = "features") -> Column:
     """sigmoid(w·features + b) as a single JVM expression (codegen-friendly)."""
     w = F.array(*[F.lit(float(x)) for x in weights])

