@@ -31,74 +31,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks exactly the first 50 queries per round, so the dict
 # below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
-# tests/test_entry_contract.py). Round 9 executes the wholesale
-# tail↔priority swap promised in r8 (VERDICT r8 #2): _PRIORITY below is
-# the r8 _TAIL (the r7 window, all 50 green in CORRECTNESS_r07) — led by
-# the seven driver-eligible queries that have NEVER had a driver row.
+# tests/test_entry_contract.py). Round 10 executes the wholesale
+# tail↔priority swap promised in r9 (VERDICT r9 #3): _PRIORITY below is
+# the r9 _TAIL (the r8 window, all 50 green in CORRECTNESS_r08, with both
+# former rows-only rows since converted to full hash oracles) — led by
+# er_completeness, the one driver-eligible query without a driver row.
+# With ann_pq_serve + multimodal_audio_native now full-hash, this window
+# carries ZERO rows-only rows: CORRECTNESS_r10 should be 50/50 hash.
 _PRIORITY = [
-    # -- first driver rows in r9 (VERDICT r8 #2) — lead with these --
-    "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle (first row r9)
-    "er_golden_record",  # survivorship golden record (first row r9)
-    "er_blocking_metrics",  # blocking quality scorecard (first row r9)
-    "ml_kmeans_exact",  # exact-integer Lloyd's k-means (first row r9)
-    "ml_contrastive_negatives",  # deterministic negative sampling (first row r9)
-    "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite (first row r9)
-    "text_html_extract",  # HTML->text crawl extraction (first row r9)
-    # -- r7 window rotated back in (no driver row since r7) --
-    "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
-    "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
-    "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
-    "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
-    "a1_exact_collapse",
-    "pipeline_entity_map",
-    "d5_learned_rules",
-    "ann_lsh_serve",
-    "ann_ivf_serve",
-    "events_user_state",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q17_small_qty_revenue",
-    "j10_merge_upsert",
-    "j11_cdc_apply",
-    "stats_analyze",
-    "w3_rolling",
-    "events_retention",
-    "events_gapfill",
-    "ann_pq_topk",
-    "events_time_weighted",
-    "corpus_mix_weighted",
-    "f_array_ops",
-    "decontaminate_ngrams",
-    "text_repetition_signals",
-    "pii_redact_ids",
-    "corpus_quota_sample",
-    "dedup_near_clusters",
-    "text_duplicated_spans",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "dedup_ngram_jaccard",
-    "text_quality_stats",
-    "text_language_id",
-    "text_fingerprint",
-    "multimodal_binary_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "j6_update_join",
-    "g1_connected_components",
-]
-_TAIL = [
-    # r10 rotation: _TAIL below is the r8 window (all 50 green in
-    # CORRECTNESS_r08 — 48 hash + 2 rows-only, BOTH converted to full
-    # hash oracles in r9: ann_pq_serve via the pinned-integer IVFADC
-    # layout, multimodal_audio_native via a pinned-VALUES oracle) and
-    # becomes the r10 _PRIORITY on the next wholesale swap. The two lists partition
-    # the 100 driver-eligible queries in alternating rounds — keep it
-    # that way (new queries must displace into the other half, demote a
-    # saturated row to registry.PYTEST_ONLY, or be bench/pytest-only),
-    # or the "no query >2 rounds without a driver row" promise breaks.
+    # -- first driver row in r10 (VERDICT r8 #7 / r9 #3) --
+    "er_completeness",  # notebook cells 26-31 completeness analytics
+    # -- r8 window rotated back in (no driver row since r8) --
     "q2_min_balance_supplier",  # correlated-min supplier match
     "q6_forecast_revenue",  # single-table selective agg
     "q9_product_profit",  # 6-way profit snowflake
@@ -111,8 +54,8 @@ _TAIL = [
     "graph_pagerank",  # iterative op under an exact-integer hash oracle
     "j14_snapshot_diff",  # full-outer reconciliation, IS DISTINCT FROM
     "events_rolling_anomaly",  # window percentiles + robust z
-    "ann_pq_serve",
-    "multimodal_audio_native",
+    "ann_pq_serve",  # full hash since r9 (pinned-integer IVFADC layout)
+    "multimodal_audio_native",  # full hash since r9 (pinned-VALUES oracle)
     "pack_sequences",
     "corpus_token_budget",
     "q13_customer_distribution",
@@ -145,13 +88,76 @@ _TAIL = [
     "events_range_join",
     "events_hourly_rollup",
     "events_user_seq",
-    # r9: events_daily_from_hourly (saturated trivial reagg) demoted to
-    # PYTEST_ONLY; er_completeness (notebook cells 26-31, VERDICT r8 #7)
-    # takes its slot for a first driver row in r10
-    "er_completeness",
     "events_pivot",
     "stats_validate",
     "text_tfidf",
+]
+_TAIL = [
+    # r11 rotation: _TAIL below is the r9 window (all 50 green in
+    # CORRECTNESS_r09) and becomes the r11 _PRIORITY on the next wholesale
+    # swap — now ALSO all-hash: ann_pq_topk gained a full pinned-integer
+    # oracle in r10, and the two rows-only-by-construction rows
+    # (dedup_minhash_lsh / dedup_simhash) were demoted to PYTEST_ONLY
+    # (their portable-hash twins stay, one per window) in favor of four
+    # never-driver-checked composites: text_quality_model,
+    # hybrid_search_rrf, pipeline_corpus_curation, dedup_incremental_exact
+    # (VERDICT r9 #4/#10). The two lists partition the 100 driver-eligible
+    # queries in alternating rounds — keep it that way (new queries must
+    # displace into the other half, demote a saturated row to
+    # registry.PYTEST_ONLY, or be bench/pytest-only), or the "no query >2
+    # rounds without a driver row" promise breaks.
+    # -- first driver rows in r11 — lead with these --
+    "text_quality_model",  # learned LR quality filter, pinned weights (full hash)
+    "hybrid_search_rrf",  # BM25+dense reciprocal-rank fusion (full hash)
+    "pipeline_corpus_curation",  # composed curation pipeline (full hash)
+    "dedup_incremental_exact",  # Bloom-screened incremental dedup (full hash)
+    # -- r9 window rotated back in --
+    "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle
+    "er_golden_record",  # survivorship golden record
+    "er_blocking_metrics",  # blocking quality scorecard
+    "ml_kmeans_exact",  # exact-integer Lloyd's k-means
+    "ml_contrastive_negatives",  # deterministic negative sampling
+    "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite
+    "text_html_extract",  # HTML->text crawl extraction
+    "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
+    "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
+    "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
+    "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
+    "a1_exact_collapse",
+    "pipeline_entity_map",
+    "d5_learned_rules",
+    "ann_lsh_serve",
+    "ann_ivf_serve",
+    "events_user_state",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q17_small_qty_revenue",
+    "j10_merge_upsert",
+    "j11_cdc_apply",
+    "stats_analyze",
+    "w3_rolling",
+    "events_retention",
+    "events_gapfill",
+    "ann_pq_topk",  # full hash since r10 (pinned-integer PQ oracle)
+    "events_time_weighted",
+    "corpus_mix_weighted",
+    "f_array_ops",
+    "decontaminate_ngrams",
+    "text_repetition_signals",
+    "pii_redact_ids",
+    "corpus_quota_sample",
+    "dedup_near_clusters",
+    "text_duplicated_spans",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "dedup_ngram_jaccard",
+    "text_quality_stats",
+    "text_language_id",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "j6_update_join",
+    "g1_connected_components",
 ]
 
 

@@ -21,10 +21,20 @@ def test_ordering_covers_registry_exactly_once():
 
 def test_pytest_only_rows_stay_registered_with_oracles():
     """Demoted saturated rows (VERDICT r5 #3) must keep their DuckDB
-    oracle coverage — they left the driver window, not the test suite."""
+    oracle coverage — they left the driver window, not the test suite.
+    The ONLY exceptions are the engine-hash signature tiers in
+    PYTEST_ONLY_NO_ORACLE (rows-only by construction), each of which must
+    name a portable-hash twin that IS oracle-backed and driver-eligible,
+    so the algorithm family never loses its hash check."""
     for name in registry.PYTEST_ONLY:
         assert name in registry.QUERIES, name
-        assert name in registry.ORACLES, name
+        if name in registry.PYTEST_ONLY_NO_ORACLE:
+            twin = registry.PYTEST_ONLY_NO_ORACLE[name]
+            assert twin in registry.ORACLES, (name, twin)
+            assert twin in set(entry._PRIORITY) | set(entry._TAIL), (name, twin)
+        else:
+            assert name in registry.ORACLES, name
+    assert set(registry.PYTEST_ONLY_NO_ORACLE) <= registry.PYTEST_ONLY
     assert not (registry.PYTEST_ONLY & entry._BENCH_ONLY)
     assert not (registry.PYTEST_ONLY & set(entry._PRIORITY))
     assert not (registry.PYTEST_ONLY & set(entry._TAIL))
