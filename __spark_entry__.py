@@ -174,6 +174,8 @@ _BENCH_ONLY = {
     "ann_pq_stress",
     "pagerank_scale_probe",
     "pairs_skew_probe",
+    "tpch_sf1_probe",
+    "pipeline_scale_probe",
 }
 
 

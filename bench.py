@@ -147,6 +147,11 @@ HEADLINE = [
     "pagerank_scale_probe",
     # r6: IVFADC at 100k vectors — codes-only scan measured where it matters
     "ann_pq_stress",
+    # r10: sf1.0 heavy tier (VERDICT r9 #7) — the relational core and the
+    # 7-stage ER pipeline against a 10×-scaled (≈sf1.0) dataset with exact
+    # ×10-invariant self-checks and a q5 join-strategy census in-band
+    "tpch_sf1_probe",
+    "pipeline_scale_probe",
 ]
 
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
@@ -159,6 +164,9 @@ HEAVY_PROBES = {
     # subprocess isolation doubles as conf hygiene: the skew probe scopes
     # AQE skew-join thresholds to its own session
     "pairs_skew_probe",
+    # r10 sf1.0 tier: 6M-row scaled runs age the JVM like the other probes
+    "tpch_sf1_probe",
+    "pipeline_scale_probe",
 }
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

@@ -280,6 +280,7 @@ def write_lsh_index(
         .mode("overwrite")
         .parquet(path + "/buckets")
     )
+    _drop_stream_overlay(embeddings.sparkSession, path, "buckets")
     meta = [(int(n_planes), int(n_tables), int(dim), int(seed), id_col, vec_col,
              int(plane_scale) if plane_scale else None)]
     spark.createDataFrame(
@@ -335,7 +336,7 @@ def lsh_topk_from_index(
     # caller's argument: the caller's id_col describes the query/base
     # frame, and a reader whose naming differs from the writer's would
     # otherwise hit an AnalysisException or a silently wrong join
-    idx = spark.read.parquet(index_path + "/buckets").filter(pred)
+    idx = _read_index_layer(spark, index_path, "buckets").filter(pred)
     cand = (
         q.join(idx.withColumnRenamed(str(m.id_col), "neighbor_id"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -650,6 +651,7 @@ def write_ivf_index(
         .mode("overwrite")
         .parquet(path + "/cells")
     )
+    _drop_stream_overlay(embeddings.sparkSession, path, "cells")
     spark = embeddings.sparkSession
     spark.createDataFrame(
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
@@ -698,7 +700,7 @@ def ivf_topk_from_index(
     # rename by the PERSISTED id column (see lsh_topk_from_index): the
     # caller's id_col names the query/base frame, not the index's layout
     idx = (
-        spark.read.parquet(index_path + "/cells")
+        _read_index_layer(spark, index_path, "cells")
         .filter(F.col("cell").isin(cells))
         .withColumnRenamed(idx_id_col, "neighbor_id")
     )
@@ -1058,6 +1060,7 @@ def write_pq_index(
         .parquet(path + "/codes")
     )
     release_encode_cache(codes)
+    _drop_stream_overlay(embeddings.sparkSession, path, "codes")
     spark = embeddings.sparkSession
     m_, ksub_, dsub = books.shape
     spark.createDataFrame(
@@ -1120,7 +1123,7 @@ def pq_topk_from_index(
 
     q_lut = _pq_query_lut(probes, books)  # carries `cell` through
     codes = (
-        spark.read.parquet(index_path + "/codes")
+        _read_index_layer(spark, index_path, "codes")
         .filter(F.col("cell").isin(cells))
         .withColumnRenamed(idx_id_col, "neighbor_id")
     )
@@ -1155,6 +1158,24 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
     with ``partition_by`` matching the layout — e.g. ``["cell"]`` — when
     small files accumulate; plain compaction would flatten the partition
     directories the probe pruning depends on)."""
+    layer, rows, parts = _index_batch_rows(spark, index_path, new_embeddings)
+    (
+        rows.repartition(*parts)
+        .write.partitionBy(*parts)
+        .mode("append")
+        .parquet(f"{index_path}/{layer}")
+    )
+    release_encode_cache(rows)
+
+
+def _index_batch_rows(
+    spark, index_path: str, new_embeddings: DataFrame
+) -> tuple[str, DataFrame, list[str]]:
+    """The shared transform behind :func:`index_append` and the streaming
+    maintenance op: run a new batch through EXACTLY the expressions the
+    index writer used (planes regenerated from meta / persisted centroids
+    / persisted codebooks) and return ``(layer_name, rows,
+    partition_cols)`` ready to write into the layout."""
     meta = spark.read.parquet(index_path + "/meta").collect()[0]
     fields = set(meta.asDict())
     id_col, vec_col = str(meta.id_col), str(meta.vec_col)
@@ -1163,13 +1184,7 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
     if "n_planes" in fields:  # LSH layout
         planes = _table_planes(int(meta.dim), int(meta.n_planes), int(meta.n_tables), int(meta.seed))
         bucketed = _bucketize(batch, id_col, vec_col, planes)
-        (
-            bucketed.repartition("table", "bucket")
-            .write.partitionBy("table", "bucket")
-            .mode("append")
-            .parquet(index_path + "/buckets")
-        )
-        return
+        return "buckets", bucketed, ["table", "bucket"]
 
     centroids = [
         (int(r.cid), [float(x) for x in r.cv])
@@ -1185,23 +1200,63 @@ def index_append(spark, index_path: str, new_embeddings: DataFrame) -> None:
         for r in brows:
             books[int(r.j), int(r.c)] = [float(x) for x in r.cv]
         codes = pq_encode(assigned, id_col, vec_col, books, keep=("cell",))
-        (
-            codes.repartition("cell")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(index_path + "/codes")
-        )
-        release_encode_cache(codes)
-        return
+        return "codes", codes, ["cell"]
 
     # plain IVF layout
+    return "cells", assigned.select(F.col(id_col), "cell"), ["cell"]
+
+
+def index_append_epoch(
+    spark, index_path: str, new_embeddings: DataFrame, epoch_id: int
+) -> None:
+    """Epoch-idempotent :func:`index_append` for streaming maintenance:
+    the batch's rows land in the ``{layer}_stream`` OVERLAY, partitioned
+    by (epoch, *layout columns) and written as a dynamic partition
+    overwrite — an at-least-once replay of the same epoch rewrites its
+    own partitions with identical data instead of double-appending (the
+    failure mode plain ``mode("append")`` has under replays; same design
+    as :func:`streaming.ops.near_dup_stream`'s layers). Serving reads
+    base + overlay through :func:`_read_index_layer`; the layout columns
+    stay PARTITION columns inside each epoch, so probe pruning holds on
+    the overlay too (epoch dirs of non-probed cells are never opened)."""
+    layer, rows, parts = _index_batch_rows(spark, index_path, new_embeddings)
     (
-        assigned.select(F.col(id_col), "cell")
-        .repartition("cell")
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(index_path + "/cells")
+        rows.withColumn("epoch", F.lit(int(epoch_id)))
+        .repartition(*parts)
+        .write.partitionBy("epoch", *parts)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(f"{index_path}/{layer}_stream")
     )
+    release_encode_cache(rows)
+
+
+def _drop_stream_overlay(spark, path: str, layer: str) -> None:
+    """Delete a ``{layer}_stream`` overlay directory. Called by every
+    index (re)writer: a rebuilt base index supersedes all streamed
+    epochs — leaving a stale overlay behind would silently re-serve
+    rows encoded against the OLD layout (wrong cells/codes)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{layer}_stream")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _read_index_layer(spark, index_path: str, layer: str) -> DataFrame:
+    """Read an index data layer plus its streaming overlay (if any
+    epochs were appended by :func:`index_append_epoch`). Callers' probe
+    filters are on layout columns that are partition columns in BOTH
+    roots, and Catalyst pushes filters through the union, so partition
+    pruning is preserved on each side."""
+    base = spark.read.parquet(f"{index_path}/{layer}")
+    try:
+        overlay = spark.read.parquet(f"{index_path}/{layer}_stream").drop("epoch")
+    except Exception as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return base
+        raise
+    return base.unionByName(overlay.select(*base.columns))
 
 
 def embedding_dedup_pairs(
