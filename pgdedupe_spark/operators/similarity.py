@@ -1250,12 +1250,15 @@ def _read_index_layer(spark, index_path: str, layer: str) -> DataFrame:
     roots, and Catalyst pushes filters through the union, so partition
     pruning is preserved on each side."""
     base = spark.read.parquet(f"{index_path}/{layer}")
-    try:
-        overlay = spark.read.parquet(f"{index_path}/{layer}_stream").drop("epoch")
-    except Exception as exc:
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return base
-        raise
+    # existence check via the FS API, not a try/except read: a thrown
+    # AnalysisException also reaches Spark's ExecutionListenerBus and logs
+    # a scary (harmless) ERROR line per query on indexes with no overlay
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/{layer}_stream")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return base
+    overlay = spark.read.parquet(f"{index_path}/{layer}_stream").drop("epoch")
     return base.unionByName(overlay.select(*base.columns))
 
 
