@@ -1231,6 +1231,55 @@ def index_append_epoch(
     release_encode_cache(rows)
 
 
+def index_compact(spark, index_path: str) -> None:
+    """Fold streamed epochs into the base data layer — the maintenance
+    step that closes the streaming-index lifecycle (write → stream epochs
+    via :func:`index_append_epoch` → compact → stream again): the
+    base ∪ overlay view is rewritten as ONE partition-pruned base layer
+    (epoch directories disappear; per-epoch small files coalesce), and
+    the overlay is dropped. Serving output is unchanged — the merged
+    frame IS what `_read_index_layer` was already serving (pinned in
+    tests/test_ann_stream.py). No-op when no overlay exists.
+
+    OFFLINE maintenance, like :func:`sources.io.compact_table` (run it
+    when no writer/reader races the rename): the swap sequence is
+    write-to-side-dir → base→__old → side→base → drop overlay+__old, so
+    a crash mid-swap leaves either the old state intact or a
+    ``{layer}__old`` directory to recover from — never data loss, but
+    a reader in the rename window can see a missing base."""
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    fields = set(meta.asDict())
+    if "n_planes" in fields:
+        layer, parts = "buckets", ["table", "bucket"]
+    elif "m" in fields:
+        layer, parts = "codes", ["cell"]
+    else:
+        layer, parts = "cells", ["cell"]
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    overlay = P(f"{index_path}/{layer}_stream")
+    fs = overlay.getFileSystem(hconf)
+    if not fs.exists(overlay):
+        return
+
+    merged = _read_index_layer(spark, index_path, layer)
+    side = f"{index_path}/{layer}__compacting"
+    (
+        merged.repartition(*parts)
+        .write.partitionBy(*parts)
+        .mode("overwrite")
+        .parquet(side)
+    )
+    base, old = P(f"{index_path}/{layer}"), P(f"{index_path}/{layer}__old")
+    fs.delete(old, True)
+    fs.rename(base, old)
+    fs.rename(P(side), base)
+    fs.delete(overlay, True)
+    fs.delete(old, True)
+
+
 def _drop_stream_overlay(spark, path: str, layer: str) -> None:
     """Delete a ``{layer}_stream`` overlay directory. Called by every
     index (re)writer: a rebuilt base index supersedes all streamed

@@ -129,3 +129,37 @@ def test_overlay_scan_stays_partition_pruned(spark, sf_dir, tmp_path):
     # probe-set partition filters (the filter pushes through the union)
     assert len(idx_scans) >= 2, f"expected base+overlay scans:\n{plan}"
     assert all("PartitionFilters: [(" in ln for ln in idx_scans), idx_scans
+
+
+def test_index_compact_folds_overlay_and_preserves_serving(spark, sf_dir, tmp_path):
+    """index_compact closes the lifecycle: base ∪ overlay rewrites into
+    one partitioned base layer, the overlay disappears, serving output
+    is bit-identical before/after, and a second compact is a no-op."""
+    from pgdedupe_spark.operators.similarity import index_compact
+
+    emb, base, b1, b2 = _splits(spark, sf_dir)
+    path = str(tmp_path / "pq_compact")
+    write_pq_index(
+        base, "vec_id", "embedding", path, dim=64, m=8, ksub=16, n_centroids=8
+    )
+    fn = ann_index_maintenance_stream(path)
+    fn(b1, 1)
+    fn(b2, 2)
+
+    before = _rows(pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=8))
+    n_rows_before = spark.read.parquet(path + "/codes").count() + spark.read.parquet(
+        path + "/codes_stream"
+    ).count()
+
+    index_compact(spark, path)
+    assert not os.path.exists(path + "/codes_stream")
+    assert not os.path.exists(path + "/codes__compacting")
+    assert not os.path.exists(path + "/codes__old")
+    assert spark.read.parquet(path + "/codes").count() == n_rows_before
+    after = _rows(pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=8))
+    assert after == before
+    # cell= partition dirs survive (pruned serving still works on them)
+    assert any(d.startswith("cell=") for d in os.listdir(path + "/codes"))
+
+    index_compact(spark, path)  # no overlay: no-op
+    assert _rows(pq_topk_from_index(spark, path, emb, "vec_id", "embedding", k=5, n_probe=8)) == before
