@@ -305,6 +305,17 @@ def main() -> None:
                 d = json.loads(res.stdout.strip().splitlines()[-1])
                 cold[name] = d["cold"]
                 warm[name] = d["warm"]
+                # heavy probes get the warm≤cold sanity FLAG but no
+                # automatic re-run (a probe re-measure costs minutes);
+                # a flagged probe number means machine noise polluted
+                # the single warm pass — re-run standalone before
+                # believing it as a regression (SCALE.md r10 drift note)
+                if d["warm"] > d["cold"] * 1.2:
+                    sanity[name] = {
+                        "warm_gt_cold": d["warm"],
+                        "rerun_warm": None,
+                        "resolved": False,
+                    }
             except Exception as exc:  # noqa: BLE001 — record and move on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             continue
