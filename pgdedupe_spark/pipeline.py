@@ -61,6 +61,12 @@ class PipelineResult:
     unique_map: DataFrame     # dedupe_id per source key
     deduped_source: DataFrame  # source table + dedupe_id column
     classifier: object = None  # the fitted classifier (D10 save_model input)
+    # the candidate-pair block audit (no silent caps): a
+    # pyspark.sql.Observation whose .get — available after the first
+    # action on any downstream frame — reports entries_dropped /
+    # blocks_seen_max / entries_seen for the max_block_size guard.
+    # None when config.max_block_size is None.
+    block_audit: object = None
 
 
 def run_pipeline(
@@ -171,4 +177,5 @@ def run_pipeline(
         unique_map=unique_map2,
         deduped_source=deduped_source,
         classifier=clf,
+        block_audit=pairs._block_audit,
     )

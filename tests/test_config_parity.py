@@ -101,3 +101,22 @@ def test_yaml_roundtrip_affine_gap_plus_custom_classifier(spark):
         for a, b in zip(members, members[1:])
     ]
     assert same and sum(same) / len(same) >= 0.6
+
+
+def test_pipeline_surfaces_block_audit(spark):
+    """No silent caps end-to-end: run_pipeline exposes the candidate-pair
+    Observation, readable after any downstream action."""
+    rows, _truth, _ = generate_population(40, seed=5)
+    df = spark.createDataFrame(
+        rows,
+        "entry_id long, first_name string, last_name string, "
+        "ssn string, sex string, dob string",
+    )
+    d = _yaml_style_dict()
+    d["classifier"] = "logistic_regression"
+    d["hyperparameters"] = {}
+    res = run_pipeline(df, DedupeConfig.from_dict(d), training_pairs())
+    res.entity_map.count()  # any action materializes the metrics
+    audit = res.block_audit.get
+    assert set(audit) == {"entries_dropped", "blocks_seen_max", "entries_seen"}
+    assert audit["entries_seen"] > 0 and audit["entries_dropped"] == 0
