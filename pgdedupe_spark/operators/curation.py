@@ -790,3 +790,214 @@ def contrastive_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(anchor_col, item_col, "neg_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR's feature map: bag-of-hashed-word-{1,2}-gram counts,
+    ``(id, bucket, c)`` with ``bucket ∈ [0, num_buckets)``.
+
+    Word unigrams AND bigrams (the DSIR paper's feature space) hash into
+    ``num_buckets`` via the engine-portable md5 hash — the same
+    ``portable_hash60`` the dedup oracle family rides, so the whole DSIR
+    chain stays DuckDB-checkable. Counts, not distinct presence: importance
+    weights are a product over TOKEN occurrences, so a term repeated k
+    times contributes k·logratio.
+
+    Plan: per-row array expressions (codegen) → one explode → one hash
+    aggregate keyed (id, bucket) with map-side combine. No joins, no
+    Python. Docs with zero tokens emit zero rows (their log-weight is 0 —
+    an empty product); callers left-join back to the id universe.
+
+    Scale: output is at most tokens-per-doc rows pre-combine and
+    min(tokens, num_buckets) per doc post-combine; the aggregate is keyed
+    by (id, bucket) so it scales with the corpus, never with the bucket
+    dimension."""
+    from pgdedupe_spark.operators.dedup import portable_hash60, word_tokens
+
+    w = word_tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(w, bigrams)
+    return (
+        df.select(F.col(id_col), F.explode(feats).alias("_ng"))
+        .select(
+            F.col(id_col),
+            (portable_hash60(F.col("_ng")) % F.lit(num_buckets)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_logratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The DSIR "model": per hash bucket, the smoothed log importance ratio
+
+        logratio(b) = ln((ct_b + α) / (Tt + α·B)) − ln((cr_b + α) / (Tr + α·B))
+
+    where ct/cr are the bucket's token counts in the target/raw corpus and
+    Tt/Tr the corpus totals (Laplace smoothing α, B = num_buckets).
+    Output: ``(bucket, logratio DECIMAL(28,12))`` — ≤ B rows, broadcastable
+    by construction, the DSIR analog of the persisted ANN "model" tables.
+
+    The logratio quantizes to DECIMAL(28,12) via round(·, 12) BEFORE any
+    per-document summation so the downstream aggregate is exact decimal
+    arithmetic — partial-aggregation order can't flip a value hash, and a
+    libm last-ulp disagreement between engines is absorbed by the rounding
+    (the registry's d3_uncertain_pairs device).
+
+    Plan: two explode+agg passes (raw, target) → full outer join on bucket
+    (≤ B rows a side) → one-row totals crossJoin (broadcast). Everything
+    after the two corpus scans operates on the B-row dimension."""
+    rb = (
+        hashed_ngram_counts(raw, id_col, text_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("cr"))
+    )
+    tb = (
+        hashed_ngram_counts(target, id_col, text_col, num_buckets)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("ct"))
+    )
+    dim = (
+        rb.join(tb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+    )
+    totals = dim.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    ab = float(alpha) * float(num_buckets)
+    lr = (
+        F.log((F.col("ct") + F.lit(float(alpha))) / (F.col("tt") + F.lit(ab)))
+        - F.log((F.col("cr") + F.lit(float(alpha))) / (F.col("tr") + F.lit(ab)))
+    )
+    return (
+        dim.crossJoin(F.broadcast(totals))
+        .select("bucket", F.round(lr, 12).cast("decimal(28,12)").alias("logratio"))
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR log importance weight:
+
+        log w(x) = Σ_b c_x[b] · logratio(b)
+
+    — how much more likely the document's hashed-n-gram bag is under the
+    TARGET distribution than under the RAW corpus distribution. Upweights
+    documents that look like the target; the raw model is fit on ``df``
+    itself (the paper's setup: raw = the corpus being selected from).
+
+    Output: every ``df`` row's id with ``log_weight`` (double) and
+    ``n_feats`` (token-occurrence count; 0-token docs carry weight 0).
+
+    Plan: the B-row logratio table broadcast-joins the (id, bucket) counts
+    (explicit ``broadcast`` — it is ≤ num_buckets rows by construction),
+    then one hash aggregate keyed by id sums exact decimals; the final
+    left join restores featureless docs. No window, no Python, and the
+    only non-broadcast shuffles are the two corpus-keyed aggregates."""
+    model = dsir_logratio_table(df, target, id_col, text_col, num_buckets, alpha)
+    feats = hashed_ngram_counts(df, id_col, text_col, num_buckets)
+    # c casts to DECIMAL(9,0) so the product is DECIMAL(38,12) on BOTH
+    # engines: a bare long×decimal(28,12) would need precision 49, and
+    # Spark resolves that overflow by TRUNCATING SCALE to 6 — a silent
+    # 1e-6 loss the oracle catches (measured, r10)
+    per_doc = (
+        feats.join(F.broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("c").cast("decimal(9,0)") * F.col("logratio")).alias("_lw_dec"),
+            F.sum("c").alias("_nf"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_lw_dec").cast("double"), F.lit(0.0)).alias("log_weight"),
+            F.coalesce(F.col("_nf"), F.lit(0)).cast("bigint").alias("n_feats"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    k: int,
+    num_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: sample ``k`` documents without replacement with
+    probability ∝ exp(log_weight) via the Gumbel-top-k trick —
+
+        key(x) = log w(x) + Gumbel(u_x),   Gumbel(u) = −ln(−ln u)
+
+    with ``u_x ∈ (0,1)`` from the same seeded md5 hash-uniform as
+    weighted_sample/corpus_split (growth-stable: a document's key never
+    changes as the corpus grows). Gumbel-top-k on LOG weights is the
+    numerically safe twin of the A-ES ``ln(u)/w`` key weighted_sample
+    uses: DSIR log-weights span hundreds of nats, so exp(log_weight)
+    would over/underflow doubles where the Gumbel form never leaves
+    log-space. The key rounds through DECIMAL(38,12) so a libm last-ulp
+    difference can't flip the order; ties break on id.
+
+    Plan: weights (see dsir_weights) → orderBy+limit, which plans as
+    TakeOrderedAndProject (per-partition top-k + driver merge of k·P
+    rows — no single-partition window over the corpus); the rank window
+    then runs over k rows only.
+
+    Output: ``(id, log_weight, sample_rank)``, rank 1-based."""
+    w = dsir_weights(df, id_col, text_col, target, num_buckets, alpha)
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"dsir{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (u32 + F.lit(1)).cast("double") / F.lit(float(2**32 + 1))
+    gumbel = -F.log(-F.log(u))
+    keyed = w.withColumn(
+        "_g_key",
+        F.round(F.col("log_weight") + gumbel, 12).cast("decimal(38,12)"),
+    )
+    order = [F.col("_g_key").desc(), F.col(id_col)]
+    return (
+        keyed.orderBy(*order)
+        .limit(k)
+        .withColumn("sample_rank", F.row_number().over(Window.orderBy(*order)))
+        .select(id_col, "log_weight", "sample_rank")
+    )

@@ -4918,6 +4918,11 @@ PYTEST_ONLY = frozenset(
         # mix) — stratified is the least informative of the family.
         # Oracle retained in pytest.
         "sample_stratified",
+        # born pytest-only in r10 (window full), FULL hash oracles via
+        # tests/test_oracle.py: DSIR importance-resampling data selection
+        # (Xie et al. 2023) — per-doc log-weights + Gumbel-top-k draw
+        "curation_dsir_weights",
+        "curation_dsir_sample",
     }
 )
 
@@ -6465,4 +6470,127 @@ def text_quality_model(spark, sf_dir):
 
     return quality_model_scores(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _Pinned(), threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+# 2023): hashed-n-gram importance weights toward a target distribution,
+# then Gumbel-top-k resampling. The data-SELECTION stage that follows
+# dedup/quality filtering in an LLM pretraining pipeline (the quality
+# family filters bad docs; DSIR shifts the kept mass toward a target
+# domain). Target = the English slice; raw = the whole corpus — the
+# paper's setup with the corpus itself as the raw model.
+# ---------------------------------------------------------------------------
+
+# shared CTE chain: word {1,2}-gram bag → portable md5 bucket counts →
+# per-bucket smoothed log importance ratios (DECIMAL-quantized before the
+# per-doc sum so the aggregate is exact decimal arithmetic) → per-doc
+# log-weights. c casts through DECIMAL(9,0) because a bare
+# BIGINT×DECIMAL(28,12) product needs precision 49 and Spark resolves the
+# overflow by truncating scale to 6 (measured 1e-6 drift, r10).
+_DSIR = """
+    tok AS (
+      SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(w,
+               CASE WHEN len(w) >= 2
+                    THEN list_transform(generate_series(1, len(w)-1),
+                         i -> w[i] || ' ' || w[i+1])
+                    ELSE []::VARCHAR[] END)) AS ng
+      FROM tok
+    ),
+    fc AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(ng), 1, 15) AS BIGINT) % 4096 AS bucket,
+             count(*) AS c
+      FROM feats GROUP BY 1, 2, 3
+    ),
+    rb AS (SELECT bucket, sum(c) AS cr FROM fc GROUP BY 1),
+    tb AS (SELECT bucket, sum(c) AS ct FROM fc WHERE lang = 'en' GROUP BY 1),
+    dim AS (
+      SELECT coalesce(rb.bucket, tb.bucket) AS bucket,
+             coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+      FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket
+    ),
+    tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dim),
+    model AS (
+      SELECT bucket,
+             CAST(ROUND(ln((ct + 1.0) / (tt + 4096.0))
+                        - ln((cr + 1.0) / (tr + 4096.0)), 12)
+                  AS DECIMAL(28,12)) AS logratio
+      FROM dim, tot
+    ),
+    perdoc AS (
+      SELECT doc_id, sum(CAST(c AS DECIMAL(9,0)) * logratio) AS lw,
+             CAST(sum(c) AS BIGINT) AS nf
+      FROM fc JOIN model USING (bucket) GROUP BY 1
+    ),
+    wts AS (
+      SELECT d.doc_id,
+             coalesce(CAST(lw AS DOUBLE), 0.0) AS log_weight,
+             coalesce(nf, 0) AS n_feats
+      FROM documents d LEFT JOIN perdoc USING (doc_id)
+    )
+"""
+
+
+@query(
+    "curation_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR}
+    SELECT doc_id, log_weight, n_feats FROM wts
+    """,
+)
+def curation_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights for every document: how much more
+    likely the doc's hashed word-{{1,2}}-gram bag is under the target
+    (lang='en') distribution than under the raw corpus distribution
+    (curation.dsir_weights, new r10). The B-row logratio model
+    broadcast-joins the (doc, bucket) counts; the per-doc sum is exact
+    DECIMAL so partial-agg order can't flip the hash. Registered
+    PYTEST_ONLY from birth — window full; full DuckDB coverage via
+    tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, "doc_id", "text", docs.filter(F.col("lang") == "en"))
+
+
+@query(
+    "curation_dsir_sample",
+    oracle=f"""
+    WITH {_DSIR},
+    keyed AS (
+      SELECT doc_id, log_weight,
+             CAST(ROUND(log_weight + -ln(-ln(
+               CAST(CAST(concat('0x', substr(md5('dsir0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) + 1 AS DOUBLE) / 4294967297.0)), 12)
+                  AS DECIMAL(38,12)) AS gk
+      FROM wts
+    )
+    SELECT doc_id, log_weight, sample_rank FROM (
+      SELECT doc_id, log_weight,
+             CAST(row_number() OVER (ORDER BY gk DESC, doc_id) AS INT) AS sample_rank
+      FROM keyed
+    ) WHERE sample_rank <= 100
+    """,
+)
+def curation_dsir_sample(spark, sf_dir):
+    """DSIR selection: 100 documents drawn without replacement with
+    probability ∝ exp(log_weight) via deterministic Gumbel-top-k
+    (curation.dsir_sample, new r10) — log-space keys (DSIR weights span
+    hundreds of nats; the A-ES ln(u)/w key would need exp(log_weight)),
+    the same seeded md5 hash-uniform as weighted_sample, DECIMAL-rounded
+    ordering. Plans as TakeOrderedAndProject — no corpus-wide
+    single-partition window. Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_sample(
+        docs, "doc_id", "text", docs.filter(F.col("lang") == "en"), k=100
     )

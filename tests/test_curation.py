@@ -675,3 +675,67 @@ def test_pseudonymize_is_pure_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (new r10)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """Docs that share vocabulary with the target corpus must out-weigh
+    docs that don't: that is the whole DSIR contract."""
+    from pgdedupe_spark.operators.curation import dsir_weights
+
+    target = _docs(
+        spark,
+        [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+    )
+    raw = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps high"),   # target-like
+            (2, "quick brown dog and lazy fox"),     # target-like
+            (3, "zzz qqq xxx www vvv uuu"),          # alien vocabulary
+            (4, "mmm nnn ooo ppp rrr sss"),          # alien vocabulary
+        ],
+    )
+    w = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(raw, "doc_id", "text", target).collect()
+    }
+    assert len(w) == 4
+    assert min(w[1], w[2]) > max(w[3], w[4])
+
+
+def test_dsir_weights_empty_doc_is_zero(spark):
+    from pgdedupe_spark.operators.curation import dsir_weights
+
+    target = _docs(spark, [(100, "hello world")])
+    raw = _docs(spark, [(1, "hello world"), (2, ""), (3, "!!! ???")])
+    rows = {r.doc_id: r for r in dsir_weights(raw, "doc_id", "text", target).collect()}
+    assert rows[2].log_weight == 0.0 and rows[2].n_feats == 0
+    assert rows[3].log_weight == 0.0 and rows[3].n_feats == 0  # no [a-z0-9] tokens
+    assert rows[1].n_feats == 3  # hello, world, "hello world"
+
+
+def test_dsir_sample_shifts_mass_toward_target(spark, sf_dir):
+    """On the documents table with target = the English slice, the top-100
+    DSIR draw must be more English than the corpus base rate, ranks must
+    be 1..k exactly, and the draw must replay bit-identically (seeded
+    hash-uniform, no RNG)."""
+    from pgdedupe_spark.operators.curation import dsir_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("lang") == "en")
+    out = dsir_sample(docs, "doc_id", "text", tgt, k=100)
+    pdf = out.join(docs.select("doc_id", "lang"), "doc_id").toPandas()
+    assert sorted(pdf["sample_rank"]) == list(range(1, len(pdf) + 1))
+    n = docs.count()
+    base = tgt.count() / n
+    drawn = (pdf["lang"] == "en").mean()
+    assert drawn > base, (drawn, base)
+    replay = dsir_sample(docs, "doc_id", "text", tgt, k=100).toPandas()
+    a = pdf[["doc_id", "sample_rank"]].sort_values("sample_rank").values.tolist()
+    b = replay[["doc_id", "sample_rank"]].sort_values("sample_rank").values.tolist()
+    assert a == b
