@@ -557,3 +557,88 @@ def quality_model_scores(
     if threshold is not None:
         scored = scored.filter(F.col("quality_score") >= float(threshold))
     return scored
+
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, §A1.1 — the
+    heuristic gate MassiveText applies before any learned filter; also the
+    core of RefinedWeb/Dolma's rule tier). Per document, the seven rule
+    signals and the conjunctive ``keep`` verdict:
+
+    1. 50 ≤ word count ≤ 100,000
+    2. 3 ≤ mean word length ≤ 10
+    3. symbol-to-word ratio ≤ 0.1  (symbols: '#' and ellipsis '…'/'...')
+    4. < 90% of lines start with a bullet ('•', '-', '*')
+    5. ≤ 30% of lines end with an ellipsis
+    6. ≥ 80% of words contain at least one alphabetic character
+    7. at least 2 distinct hits among the 8 required English stop words
+
+    Everything is per-row array/string expressions inside codegen — no
+    joins, no aggregation, no Python; embarrassingly parallel at any
+    scale. Ratios divide exact per-row integers, so there is no
+    aggregation-order hazard; the mean word length quantizes through
+    DECIMAL only in the REGISTRY oracle twin (raw double here).
+
+    Zero-word documents fail rule 1 and use guarded denominators
+    elsewhere (greatest(n,1)) so no NULL/NaN escapes."""
+    t = F.coalesce(F.col(text_col), F.lit(""))  # size(split(NULL)) is NULL
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_wl = F.coalesce(
+        F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x)), F.lit(0)
+    )
+    mean_wl = sum_wl.cast("double") / nw1.cast("double")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ell = F.size(F.split(t, r"\.\.\.")) - 1 + (
+        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
+    )
+    symbol_ratio = (n_hash + n_ell).cast("double") / nw1.cast("double")
+    lines = F.split(t, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).rlike(r"^[•\-\*]"),
+        )
+    )
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
+        )
+    )
+    frac_bullet = bullet.cast("double") / n_lines.cast("double")
+    frac_ell = ell_end.cast("double") / n_lines.cast("double")
+    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    frac_alpha = alpha_words.cast("double") / nw1.cast("double")
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS]),
+            lambda wd: F.array_contains(lower_words, wd),
+        )
+    )
+    keep = (
+        (n_words >= 50) & (n_words <= 100_000)
+        & (mean_wl >= 3.0) & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (frac_bullet < 0.9)
+        & (frac_ell <= 0.3)
+        & (frac_alpha >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        frac_bullet.alias("frac_bullet_lines"),
+        frac_ell.alias("frac_ellipsis_lines"),
+        frac_alpha.alias("frac_alpha_words"),
+        stop_hits.cast("bigint").alias("n_required_hits"),
+        keep.cast("int").alias("keep"),
+    )

@@ -4923,6 +4923,9 @@ PYTEST_ONLY = frozenset(
         # (Xie et al. 2023) — per-doc log-weights + Gumbel-top-k draw
         "curation_dsir_weights",
         "curation_dsir_sample",
+        # born pytest-only in r10 (window full), FULL hash oracle: the
+        # Gopher rule-based quality gate (Rae et al. 2021 §A1.1)
+        "text_gopher_rules",
     }
 )
 
@@ -6594,3 +6597,67 @@ def curation_dsir_sample(spark, sf_dir):
     return dsir_sample(
         docs, "doc_id", "text", docs.filter(F.col("lang") == "en"), k=100
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS words,
+             string_split_regex(t, '\n') AS lines
+      FROM base
+    ), m AS (
+      SELECT doc_id, t, words, lines,
+             len(words) AS n_words,
+             greatest(len(words), 1) AS nw1,
+             coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS sum_wl,
+             greatest(len(lines), 1) AS n_lines
+      FROM w
+    ), r AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             CAST(sum_wl AS DOUBLE) / CAST(nw1 AS DOUBLE) AS mean_word_len,
+             CAST((len(t) - len(replace(t, '#', '')))
+                  + (len(string_split_regex(t, '\.\.\.')) - 1)
+                  + (len(t) - len(replace(t, '…', ''))) AS DOUBLE)
+               / CAST(nw1 AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[•\-\*]')))
+                  AS DOUBLE) / CAST(n_lines AS DOUBLE) AS frac_bullet_lines,
+             CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+                  AS DOUBLE) / CAST(n_lines AS DOUBLE) AS frac_ellipsis_lines,
+             CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / CAST(nw1 AS DOUBLE) AS frac_alpha_words,
+             CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                  wd -> list_contains(list_transform(words, x -> lower(x)), wd)))
+                  AS BIGINT) AS n_required_hits
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, frac_bullet_lines,
+           frac_ellipsis_lines, frac_alpha_words, n_required_hits,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                AND symbol_ratio <= 0.1
+                AND frac_bullet_lines < 0.9
+                AND frac_ellipsis_lines <= 0.3
+                AND frac_alpha_words >= 0.8
+                AND n_required_hits >= 2 AS INT) AS keep
+    FROM r
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1;
+    text.gopher_quality, new r10): the seven heuristic signals — word
+    count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, required-stop-word hits — and
+    the conjunctive keep verdict, per document. Pure per-row codegen
+    expressions (no joins, no aggregation, no Python); ratios divide
+    exact per-row integers so there is no agg-order hazard. The
+    rule-based sibling of text_quality_model's learned gate. Registered
+    PYTEST_ONLY from birth — window full; full DuckDB coverage via
+    tests/test_oracle.py."""
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    return gopher_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")

@@ -108,3 +108,48 @@ def test_rule_labels_are_injection_safe(spark):
     assert len(out) == 1
     assert out[0].column == "weird `col` 'name'"
     assert out[0].violations == 1  # the fixture's n=-3 row, correctly counted
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality gate (new r10)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_planted_cases(spark):
+    """Each rule trips on a crafted doc; a plain 60-word English paragraph
+    passes all seven."""
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    good = " ".join(
+        ["the quick brown fox jumps over and that have with lazy dogs"] * 5
+    )  # 60 words, mean len ~4, stopword-rich
+    short = "the cat sat"  # rule 1: < 50 words
+    symbols = " ".join(["word #tag"] * 30)  # rule 3: symbol ratio 0.5
+    bullets = "\n".join(["- item one two three"] * 10) + "\nthe of and"  # rule 4 ok (10/11 < 0.9)... keep False anyway via word count
+    nonalpha = " ".join(["12345 67890"] * 30)  # rule 6: no alpha words
+    no_stop = " ".join(["zebra lion puma cobra"] * 15)  # rule 7: 0 required hits
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nonalpha), (5, no_stop), (6, None)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1].keep == 1, out[1]
+    assert out[2].keep == 0 and out[2].n_words == 3
+    assert out[3].keep == 0 and out[3].symbol_ratio > 0.1
+    assert out[4].keep == 0 and out[4].frac_alpha_words == 0.0
+    assert out[5].keep == 0 and out[5].n_required_hits == 0
+    assert out[6].keep == 0 and out[6].n_words == 0  # NULL text guarded
+
+
+def test_gopher_rules_line_signals(spark):
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    body = " ".join(["the of and that have with be to common words here"] * 6)
+    bullet_doc = "\n".join(["- point"] * 19 + [body])  # 19/20 bullet lines
+    ell_doc = "\n".join(["trailing line..."] * 2 + [body] * 3)  # 2/5 > 0.3? no: 0.4 > 0.3
+    df = spark.createDataFrame(
+        [(1, bullet_doc), (2, ell_doc)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1].frac_bullet_lines == 0.95 and out[1].keep == 0
+    assert out[2].frac_ellipsis_lines == 0.4 and out[2].keep == 0
