@@ -1001,3 +1001,39 @@ def dsir_sample(
         .withColumn("sample_rank", F.row_number().over(Window.orderBy(*order)))
         .select(id_col, "log_weight", "sample_rank")
     )
+
+
+def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020, §2.2 — the
+    Common Crawl recipe T5 trained on, and the template RefinedWeb/Dolma
+    line filters descend from):
+
+    * keep only lines ending in terminal punctuation (. ! ? ");
+    * keep only lines with ≥ 5 words;
+    * drop the whole document if it mentions "lorem ipsum" or contains a
+      curly brace (code), or if fewer than 3 lines survive (the paper
+      drops <3-SENTENCE pages; lines are its sentence proxy, and ours).
+
+    Output per document: ``text_clean`` (surviving lines re-joined),
+    ``n_lines_total``, ``n_lines_kept``, ``keep_doc`` (int). Pure per-row
+    array/string expressions — no joins, no aggregation, no Python;
+    embarrassingly parallel at any scale. NULL text cleans to the empty
+    document (kept=0, dropped)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.rtrim(l).rlike(r'[.!?"]$')
+        & (F.size(F.filter(F.split(l, r"\s+"), lambda x: x != "")) >= 5),
+    )
+    lower = F.lower(t)
+    bad_doc = lower.contains("lorem ipsum") | lower.contains("{")
+    n_kept = F.size(kept)
+    keep = (~bad_doc) & (n_kept >= 3)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(lines).cast("bigint").alias("n_lines_total"),
+        n_kept.cast("bigint").alias("n_lines_kept"),
+        keep.cast("int").alias("keep_doc"),
+    )

@@ -4926,6 +4926,10 @@ PYTEST_ONLY = frozenset(
         # born pytest-only in r10 (window full), FULL hash oracle: the
         # Gopher rule-based quality gate (Rae et al. 2021 §A1.1)
         "text_gopher_rules",
+        # born pytest-only in r10 (window full), FULL hash oracle: the C4
+        # line-level cleaning pass (Raffel et al. 2020 §2.2) over
+        # synthesized crawl pages
+        "curation_c4_clean",
     }
 )
 
@@ -6661,3 +6665,66 @@ def text_gopher_rules(spark, sf_dir):
     from pgdedupe_spark.operators.text import gopher_quality
 
     return gopher_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "curation_c4_clean",
+    oracle=r"""
+    WITH srclines AS (
+      SELECT source, doc_id,
+             text || CASE WHEN doc_id % 3 = 1 THEN '' ELSE '.' END AS line
+      FROM documents
+    ), pages AS (
+      SELECT source AS page_id,
+             array_to_string(array_agg(line ORDER BY doc_id), chr(10)) AS t
+      FROM srclines GROUP BY source
+    ), l AS (
+      SELECT page_id, t, string_split_regex(t, '\n') AS lines FROM pages
+    ), k AS (
+      SELECT page_id, t, lines,
+             list_filter(lines, l2 -> regexp_matches(rtrim(l2), '[.!?"]$')
+               AND len(list_filter(string_split_regex(l2, '\s+'), x -> x <> '')) >= 5) AS kept
+      FROM l
+    )
+    SELECT page_id,
+           coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+           CAST(len(lines) AS BIGINT) AS n_lines_total,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST((NOT (contains(lower(t), 'lorem ipsum') OR contains(lower(t), '{')))
+                AND len(kept) >= 3 AS INT) AS keep_doc
+    FROM k
+    """,
+)
+def curation_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2; curation.c4_clean,
+    new r10): keep lines that end in terminal punctuation and carry ≥5
+    words, drop pages mentioning "lorem ipsum" / braces or with <3
+    surviving lines. The documents table is single-line, so the query
+    synthesizes crawl-shaped PAGES first — one line per document grouped
+    by source (deterministic doc_id order), every third line left
+    unterminated so the line filter provably bites — then cleans them.
+    The synthesis is one ordered array_agg per source; the cleaning
+    itself is pure per-row array expressions (no joins, no Python).
+    Registered PYTEST_ONLY from birth — window full; full DuckDB
+    coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import c4_clean
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 1, F.lit("")).otherwise(F.lit(".")),
+        ).alias("line"),
+    )
+    pages = lines.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    return c4_clean(pages.withColumnRenamed("source", "page_id"), "page_id", "text")

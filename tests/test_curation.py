@@ -739,3 +739,27 @@ def test_dsir_sample_shifts_mass_toward_target(spark, sf_dir):
     a = pdf[["doc_id", "sample_rank"]].sort_values("sample_rank").values.tolist()
     b = replay[["doc_id", "sample_rank"]].sort_values("sample_rank").values.tolist()
     assert a == b
+
+
+def test_c4_clean_planted_rules(spark):
+    """Each C4 rule trips: unterminated lines drop, short lines drop,
+    lorem-ipsum and brace pages drop wholesale, <3 surviving lines drop,
+    and a clean 3-line page passes with only its good lines kept."""
+    from pgdedupe_spark.operators.curation import c4_clean
+
+    good_line = "this is a perfectly normal sentence with many words."
+    pages = [
+        (1, "\n".join([good_line] * 3 + ["no terminal punctuation here", "tiny line."])),
+        (2, "\n".join([good_line] * 3) + "\nsome lorem ipsum filler."),
+        (3, "\n".join([good_line] * 3) + "\ncode { block }."),
+        (4, "\n".join([good_line] * 2)),  # only 2 survivors
+        (5, None),
+    ]
+    df = spark.createDataFrame(pages, "page_id long, text string")
+    out = {r.page_id: r for r in c4_clean(df, "page_id", "text").collect()}
+    assert out[1].keep_doc == 1 and out[1].n_lines_kept == 3
+    assert out[1].text_clean == "\n".join([good_line] * 3)  # bad lines stripped
+    assert out[2].keep_doc == 0  # lorem ipsum
+    assert out[3].keep_doc == 0  # curly brace
+    assert out[4].keep_doc == 0 and out[4].n_lines_kept == 2
+    assert out[5].keep_doc == 0 and out[5].n_lines_total == 1 and out[5].text_clean == ""
