@@ -140,6 +140,12 @@ HEADLINE = [
     "q15_top_supplier",
     "q_ranking_windows",
     "text_html_extract",
+    # r10: curation extension wave — DSIR importance-resampling selection
+    # (weights + Gumbel-top-k draw), the Gopher rule gate, C4 line cleaning
+    "curation_dsir_weights",
+    "curation_dsir_sample",
+    "text_gopher_rules",
+    "curation_c4_clean",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
