@@ -4930,6 +4930,10 @@ PYTEST_ONLY = frozenset(
         # line-level cleaning pass (Raffel et al. 2020 §2.2) over
         # synthesized crawl pages
         "curation_c4_clean",
+        # born pytest-only in r10 (window full), FULL hash oracle: the
+        # end-to-end LLM data-prep composite (Gopher gate → canonical
+        # dedup → DSIR selection) pinning the r10 wave's composition
+        "pipeline_llm_prep",
     }
 )
 
@@ -6728,3 +6732,135 @@ def curation_c4_clean(spark, sf_dir):
         ).alias("text")
     )
     return c4_clean(pages.withColumnRenamed("source", "page_id"), "page_id", "text")
+
+
+@query(
+    "pipeline_llm_prep",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE source = 'src0'
+), gsig AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
+           / CAST(greatest(len(words), 1) AS DOUBLE) AS mean_word_len,
+         CAST((len(t) - len(replace(t, '#', '')))
+              + (len(string_split_regex(t, '\.\.\.')) - 1)
+              + (len(t) - len(replace(t, '…', ''))) AS DOUBLE)
+           / CAST(greatest(len(words), 1) AS DOUBLE) AS symbol_ratio,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / CAST(greatest(len(words), 1) AS DOUBLE) AS frac_alpha_words
+  FROM (
+    SELECT doc_id, coalesce(text, '') AS t,
+           list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS words
+    FROM corpus
+  )
+), gate AS (
+  SELECT doc_id FROM gsig
+  WHERE n_words BETWEEN 50 AND 100000
+    AND mean_word_len BETWEEN 3.0 AND 10.0
+    AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8
+), gated AS (
+  SELECT c.* FROM corpus c JOIN gate USING (doc_id)
+), keepers AS (
+  SELECT max_by(doc_id, n_chars * 1000000000 + doc_id) AS doc_id
+  FROM (
+    SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm, doc_id, n_chars
+    FROM gated
+  ) GROUP BY norm
+), surv AS (
+  SELECT g2.* FROM gated g2 JOIN keepers USING (doc_id)
+), tok AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM surv
+), feats AS (
+  SELECT doc_id, lang,
+         unnest(list_concat(w,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(generate_series(1, len(w)-1), i -> w[i] || ' ' || w[i+1])
+                ELSE []::VARCHAR[] END)) AS ng
+  FROM tok
+), fc AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5(ng), 1, 15) AS BIGINT) % 4096 AS bucket,
+         count(*) AS c
+  FROM feats GROUP BY 1, 2, 3
+), rb AS (SELECT bucket, sum(c) AS cr FROM fc GROUP BY 1),
+tb AS (SELECT bucket, sum(c) AS ct FROM fc WHERE lang = 'en' GROUP BY 1),
+dim AS (
+  SELECT coalesce(rb.bucket, tb.bucket) AS bucket,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM rb FULL OUTER JOIN tb ON rb.bucket = tb.bucket
+), tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM dim),
+model AS (
+  SELECT bucket,
+         CAST(ROUND(ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0)), 12)
+              AS DECIMAL(28,12)) AS logratio
+  FROM dim, tot
+), perdoc AS (
+  SELECT doc_id, sum(CAST(c AS DECIMAL(9,0)) * logratio) AS lw FROM fc JOIN model USING (bucket) GROUP BY 1
+), wts AS (
+  SELECT s.doc_id, coalesce(CAST(lw AS DOUBLE), 0.0) AS log_weight
+  FROM surv s LEFT JOIN perdoc USING (doc_id)
+), keyed AS (
+  SELECT doc_id, log_weight,
+         CAST(ROUND(log_weight + -ln(-ln(
+           CAST(CAST(concat('0x', substr(md5('dsir0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS UBIGINT) + 1 AS DOUBLE) / 4294967297.0)), 12)
+              AS DECIMAL(38,12)) AS gk
+  FROM wts
+)
+SELECT doc_id, log_weight, sample_rank FROM (
+  SELECT doc_id, log_weight,
+         CAST(row_number() OVER (ORDER BY gk DESC, doc_id) AS INT) AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= 50
+""",
+)
+def pipeline_llm_prep(spark, sf_dir):
+    """End-to-end LLM training-data prep composite, one oracle-checked
+    query (new r10): crawl corpus (documents ∪ re-crawled src0 shard, the
+    dedup_canonical_pick scenario) → Gopher heuristic gate → canonical
+    exact-dedup keep (longest text wins, doc_id tie-break) → DSIR
+    importance selection of the 50 most target-like (lang='en')
+    survivors. The modern pretraining recipe — rule filter, dedup,
+    learned-distribution selection — composed from gopher_quality,
+    normalize_text + max_by, and dsir_sample, each independently
+    oracle-checked; this row pins the COMPOSITION. The Gopher
+    required-stop-words rule is waived at the gate: the synthetic corpus
+    has zero English function words by construction, so rule 7 would
+    empty every SF (its full contract is pinned in text_gopher_rules +
+    tests/test_quality.py). Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import dsir_sample
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    recrawl = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = docs.unionByName(recrawl)
+    g = gopher_quality(corpus, "doc_id", "text")
+    gate = g.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
+    ).select("doc_id")
+    gated = corpus.join(gate, "doc_id")
+    keepers = (
+        gated.select(normalize_text(F.col("text")).alias("norm"), "doc_id", "n_chars")
+        .groupBy("norm")
+        .agg(
+            F.max_by(
+                "doc_id", F.col("n_chars") * F.lit(1_000_000_000) + F.col("doc_id")
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    surv = gated.join(keepers, "doc_id")
+    return dsir_sample(
+        surv, "doc_id", "text", surv.filter(F.col("lang") == "en"), k=50
+    )
