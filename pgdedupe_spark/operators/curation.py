@@ -870,16 +870,29 @@ def dsir_logratio_table(
     Plan: two explode+agg passes (raw, target) → full outer join on bucket
     (≤ B rows a side) → one-row totals crossJoin (broadcast). Everything
     after the two corpus scans operates on the B-row dimension."""
-    rb = (
-        hashed_ngram_counts(raw, id_col, text_col, num_buckets)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("cr"))
+    rb = _bucket_totals(
+        hashed_ngram_counts(raw, id_col, text_col, num_buckets), "cr"
     )
-    tb = (
-        hashed_ngram_counts(target, id_col, text_col, num_buckets)
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("ct"))
+    tb = _bucket_totals(
+        hashed_ngram_counts(target, id_col, text_col, num_buckets), "ct"
     )
+    return _logratios_from_bucket_counts(rb, tb, num_buckets, alpha)
+
+
+def _bucket_totals(feats: DataFrame, out_col: str) -> DataFrame:
+    """(id, bucket, c) → (bucket, total). Second-level re-agg of the
+    per-doc counts rather than a direct explode→bucket agg: when the SAME
+    ``feats`` frame also feeds the per-doc weight join (dsir_weights),
+    both branches share the (id, bucket) Exchange subplan bit-for-bit, so
+    Spark's ReuseExchange collapses them and the corpus is scanned +
+    exploded ONCE instead of twice — the dominant cost at 100 TB. (The
+    sums are identical either way; this is purely a plan-shape choice.)"""
+    return feats.groupBy("bucket").agg(F.sum("c").alias(out_col))
+
+
+def _logratios_from_bucket_counts(
+    rb: DataFrame, tb: DataFrame, num_buckets: int, alpha: float
+) -> DataFrame:
     dim = (
         rb.join(tb, "bucket", "full_outer")
         .select(
@@ -920,13 +933,52 @@ def dsir_weights(
     Output: every ``df`` row's id with ``log_weight`` (double) and
     ``n_feats`` (token-occurrence count; 0-token docs carry weight 0).
 
-    Plan: the B-row logratio table broadcast-joins the (id, bucket) counts
-    (explicit ``broadcast`` — it is ≤ num_buckets rows by construction),
-    then one hash aggregate keyed by id sums exact decimals; the final
-    left join restores featureless docs. No window, no Python, and the
-    only non-broadcast shuffles are the two corpus-keyed aggregates."""
-    model = dsir_logratio_table(df, target, id_col, text_col, num_buckets, alpha)
+    Plan — fit once, score once (the paper's deployment shape, and the
+    repo's bounded-sidecar pattern: kmeans centroids, IVF/PQ codebooks):
+    the bucket-count dim table is MATERIALIZED in its own job and
+    collected (≤ ``num_buckets`` rows — bounded by construction,
+    corpus-size-independent), then rebuilt as a local frame whose ln/
+    round/DECIMAL projection is identical to the declarative
+    :func:`dsir_logratio_table`. Left fully in-plan, Catalyst duplicates
+    the whole rb/tb subtree under the totals crossJoin (dim is consumed
+    twice) and a join-pushed ``isnotnull`` defeats ReuseExchange on the
+    (id, bucket) Exchange — measured FIVE corpus explodes for one
+    weights pass (r10). Materializing the fit makes it exactly three:
+    raw fit, target fit, scoring — and the scoring job broadcast-joins a
+    local table. Then one hash aggregate keyed by id sums exact
+    decimals; the final left join restores featureless docs. No window,
+    no Python.
+    """
     feats = hashed_ngram_counts(df, id_col, text_col, num_buckets)
+    rb = _bucket_totals(feats, "cr")
+    tb = _bucket_totals(
+        hashed_ngram_counts(target, id_col, text_col, num_buckets), "ct"
+    )
+    dim_rows = (
+        rb.join(tb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .collect()  # bounded: ≤ num_buckets rows, whatever the corpus size
+    )
+    local_dim = df.sparkSession.createDataFrame(
+        [(r["bucket"], r["cr"], r["ct"]) for r in dim_rows],
+        "bucket long, cr long, ct long",
+    )
+    tr = sum(r["cr"] for r in dim_rows)
+    tt = sum(r["ct"] for r in dim_rows)
+    ab = float(alpha) * float(num_buckets)
+    # same expressions as dsir_logratio_table, with the scalar totals as
+    # literals — identical doubles, identical DECIMAL quantization
+    lr = (
+        F.log((F.col("ct") + F.lit(float(alpha))) / (F.lit(float(tt)) + F.lit(ab)))
+        - F.log((F.col("cr") + F.lit(float(alpha))) / (F.lit(float(tr)) + F.lit(ab)))
+    )
+    model = local_dim.select(
+        "bucket", F.round(lr, 12).cast("decimal(28,12)").alias("logratio")
+    )
     # c casts to DECIMAL(9,0) so the product is DECIMAL(38,12) on BOTH
     # engines: a bare long×decimal(28,12) would need precision 49, and
     # Spark resolves that overflow by TRUNCATING SCALE to 6 — a silent

@@ -763,3 +763,22 @@ def test_c4_clean_planted_rules(spark):
     assert out[3].keep_doc == 0  # curly brace
     assert out[4].keep_doc == 0 and out[4].n_lines_kept == 2
     assert out[5].keep_doc == 0 and out[5].n_lines_total == 1 and out[5].text_clean == ""
+
+
+def test_dsir_scoring_job_explodes_corpus_once(spark, sf_dir):
+    """The DSIR fit is materialized (bounded ≤num_buckets-row collect, its
+    own job); the SCORING plan must therefore contain exactly one corpus
+    explode and no recomputed model subtree — left in-plan, Catalyst
+    duplicates the rb/tb subtree under the totals crossJoin and a
+    join-pushed isnotnull defeats ReuseExchange (five explodes, measured
+    r10)."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_weights(docs, "doc_id", "text", docs.filter(F.col("lang") == "en"))
+    w.count()
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate explode") == 1, plan.count("Generate explode")
+    assert "PythonUDF" not in plan
