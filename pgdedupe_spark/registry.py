@@ -6832,8 +6832,14 @@ def pipeline_llm_prep(spark, sf_dir):
     required-stop-words rule is waived at the gate: the synthetic corpus
     has zero English function words by construction, so rule 7 would
     empty every SF (its full contract is pinned in text_gopher_rules +
-    tests/test_quality.py). Registered PYTEST_ONLY from birth — window
-    full; full DuckDB coverage via tests/test_oracle.py."""
+    tests/test_quality.py). Plan note: kept as ONE declarative query for
+    oracle checkability, the survivor subtree (corpus → gate join →
+    keepers join) is re-derived by each downstream consumer (PLANS.md
+    shows 16 scans of the 500-row table); a production run materializes
+    `surv` between stages — exactly the stage-boundary parquet handoff
+    the CLI pipeline does — making each stage's cost the single-pass
+    cost measured on its standalone row. Registered PYTEST_ONLY from
+    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
     from pgdedupe_spark.operators.curation import dsir_sample
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality
