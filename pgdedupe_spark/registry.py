@@ -4934,6 +4934,10 @@ PYTEST_ONLY = frozenset(
         # end-to-end LLM data-prep composite (Gopher gate → canonical
         # dedup → DSIR selection) pinning the r10 wave's composition
         "pipeline_llm_prep",
+        # born pytest-only in r10 (window full), FULL hash oracle:
+        # two-dataset record linkage via symmetric best match (the
+        # dedupe library's RecordLink mode)
+        "er_record_linkage",
     }
 )
 
@@ -6870,3 +6874,65 @@ def pipeline_llm_prep(spark, sf_dir):
     return dsir_sample(
         surv, "doc_id", "text", surv.filter(F.col("lang") == "en"), k=50
     )
+
+
+@query(
+    "er_record_linkage",
+    oracle="""
+    WITH right_side AS (
+      SELECT doc_id + 1000000 AS id_r,
+             upper(substr(text, 1, 1)) || substr(text, 2) AS text_r,
+             lang, source, n_chars
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), left_side AS (
+      SELECT doc_id AS id_l, text AS text_l, lang, source, n_chars FROM documents
+    ), cand AS (
+      SELECT id_l, id_r,
+             1.0 - CAST(levenshtein(substr(text_l, 1, 60), substr(text_r, 1, 60)) AS DOUBLE)
+                 / CAST(greatest(len(substr(text_l, 1, 60)), len(substr(text_r, 1, 60)), 1) AS DOUBLE)
+               AS score
+      FROM left_side JOIN right_side USING (lang, source, n_chars)
+    ), ranked AS (
+      SELECT id_l, id_r, score,
+             row_number() OVER (PARTITION BY id_l ORDER BY score DESC, id_r) AS rank_l,
+             row_number() OVER (PARTITION BY id_r ORDER BY score DESC, id_l) AS rank_r
+      FROM cand WHERE score >= 0.8
+    )
+    SELECT id_l, id_r, score FROM ranked WHERE rank_l = 1 AND rank_r = 1
+    """,
+)
+def er_record_linkage(spark, sf_dir):
+    """Two-dataset record linkage (the dedupe library's RecordLink mode;
+    linkage.best_match_links, new r10): link the documents table to a
+    perturbed re-crawl of its src0/src1 slice (first character
+    upper-cased — Levenshtein distance exactly 1) by blocking on
+    (lang, source, n_chars), scoring with a JVM Levenshtein prefix
+    similarity, and assigning one-to-one via symmetric best match. All
+    50 perturbed records link back to their originals at sf0.01 despite
+    same-block decoys; the oracle replays blocking, scoring, and both
+    rank windows verbatim. Registered PYTEST_ONLY from birth — window
+    full; full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.linkage import best_match_links
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.select(
+        F.col("doc_id").alias("id_l"), F.col("text").alias("text_l"),
+        "lang", "source", "n_chars",
+    )
+    right = docs.filter(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_r"),
+        F.concat(
+            F.upper(F.substring(F.col("text"), 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text_r"),
+        "lang", "source", "n_chars",
+    )
+    a = F.substring(F.col("text_l"), 1, 60)
+    b = F.substring(F.col("text_r"), 1, 60)
+    score = F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+    cand = left.join(right, ["lang", "source", "n_chars"]).select(
+        "id_l", "id_r", score.alias("score")
+    )
+    return best_match_links(cand, threshold=0.8)
