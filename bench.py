@@ -147,6 +147,7 @@ HEADLINE = [
     "text_gopher_rules",
     "curation_c4_clean",
     "pipeline_llm_prep",
+    "er_record_linkage",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
