@@ -782,3 +782,52 @@ def test_dsir_scoring_job_explodes_corpus_once(spark, sf_dir):
     plan = w._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate explode") == 1, plan.count("Generate explode")
     assert "PythonUDF" not in plan
+
+
+def test_dsir_declarative_model_equals_materialized_fit(spark, sf_dir):
+    """The public declarative dsir_logratio_table and the materialized
+    fit inside dsir_weights must produce bit-identical (bucket, logratio)
+    models — same counts, same literal-vs-column double arithmetic."""
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.curation import (
+        dsir_logratio_table,
+        hashed_ngram_counts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = docs.filter(F.col("lang") == "en")
+    decl = {
+        r["bucket"]: r["logratio"]
+        for r in dsir_logratio_table(docs, tgt, "doc_id", "text").collect()
+    }
+    # replicate the materialized path: collected dim -> literal totals
+    feats = hashed_ngram_counts(docs, "doc_id", "text")
+    tfeats = hashed_ngram_counts(tgt, "doc_id", "text")
+    rb = feats.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    tb = tfeats.groupBy("bucket").agg(F.sum("c").alias("ct"))
+    rows = (
+        rb.join(tb, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+        )
+        .collect()
+    )
+    tr = sum(r["cr"] for r in rows)
+    tt = sum(r["ct"] for r in rows)
+    local = spark.createDataFrame(
+        [(r["bucket"], r["cr"], r["ct"]) for r in rows], "bucket long, cr long, ct long"
+    )
+    lr = (
+        F.log((F.col("ct") + F.lit(1.0)) / (F.lit(float(tt)) + F.lit(4096.0)))
+        - F.log((F.col("cr") + F.lit(1.0)) / (F.lit(float(tr)) + F.lit(4096.0)))
+    )
+    mat = {
+        r["bucket"]: r["logratio"]
+        for r in local.select(
+            "bucket", F.round(lr, 12).cast("decimal(28,12)").alias("logratio")
+        ).collect()
+    }
+    assert decl == mat
