@@ -111,6 +111,16 @@ _TAIL = [
     "hybrid_search_rrf",  # BM25+dense reciprocal-rank fusion (full hash)
     "pipeline_corpus_curation",  # composed curation pipeline (full hash)
     "dedup_incremental_exact",  # Bloom-screened incremental dedup (full hash)
+    # -- r10-born composites promoted late-r10 (five saturated trivial
+    # rows — text_language_id / text_quality_stats / pii_redact_ids /
+    # corpus_quota_sample / f_array_ops — demoted to PYTEST_ONLY to make
+    # room; curation_dsir_weights stays pytest-only since dsir_sample and
+    # pipeline_llm_prep drive the same model through the window) --
+    "pipeline_llm_prep",  # Gopher gate → dedup → DSIR selection (full hash)
+    "er_record_linkage",  # two-dataset RecordLink, symmetric best match (full hash)
+    "text_gopher_rules",  # MassiveText §A1.1 heuristic gate (full hash)
+    "curation_dsir_sample",  # DSIR Gumbel-top-k selection (full hash)
+    "curation_c4_clean",  # C4 line-level cleaning (full hash)
     # -- r9 window rotated back in --
     "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle
     "er_golden_record",  # survivorship golden record
@@ -142,18 +152,13 @@ _TAIL = [
     "ann_pq_topk",  # full hash since r10 (pinned-integer PQ oracle)
     "events_time_weighted",
     "corpus_mix_weighted",
-    "f_array_ops",
     "decontaminate_ngrams",
     "text_repetition_signals",
-    "pii_redact_ids",
-    "corpus_quota_sample",
     "dedup_near_clusters",
     "text_duplicated_spans",
     "skew_salted_agg",
     "skew_salted_join",
     "dedup_ngram_jaccard",
-    "text_quality_stats",
-    "text_language_id",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "j6_update_join",

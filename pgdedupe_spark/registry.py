@@ -4918,26 +4918,27 @@ PYTEST_ONLY = frozenset(
         # mix) — stratified is the least informative of the family.
         # Oracle retained in pytest.
         "sample_stratified",
-        # born pytest-only in r10 (window full), FULL hash oracles via
-        # tests/test_oracle.py: DSIR importance-resampling data selection
-        # (Xie et al. 2023) — per-doc log-weights + Gumbel-top-k draw
+        # born pytest-only in r10 (window full), FULL hash oracle via
+        # tests/test_oracle.py: DSIR per-doc log-weights (Xie et al.
+        # 2023). Stays pytest-only when its siblings promote — the same
+        # logratio model + DECIMAL weight pipeline rides the driver via
+        # curation_dsir_sample and pipeline_llm_prep, which consume it
         "curation_dsir_weights",
-        "curation_dsir_sample",
-        # born pytest-only in r10 (window full), FULL hash oracle: the
-        # Gopher rule-based quality gate (Rae et al. 2021 §A1.1)
-        "text_gopher_rules",
-        # born pytest-only in r10 (window full), FULL hash oracle: the C4
-        # line-level cleaning pass (Raffel et al. 2020 §2.2) over
-        # synthesized crawl pages
-        "curation_c4_clean",
-        # born pytest-only in r10 (window full), FULL hash oracle: the
-        # end-to-end LLM data-prep composite (Gopher gate → canonical
-        # dedup → DSIR selection) pinning the r10 wave's composition
-        "pipeline_llm_prep",
-        # born pytest-only in r10 (window full), FULL hash oracle:
-        # two-dataset record linkage via symmetric best match (the
-        # dedupe library's RecordLink mode)
-        "er_record_linkage",
+        # demoted late-r10 to open r11-window slots for the five r10-born
+        # composites (curation_dsir_sample / text_gopher_rules /
+        # curation_c4_clean / pipeline_llm_prep / er_record_linkage):
+        # saturated trivial rows, green since r2-r5 with near-zero
+        # marginal information — language id and quality stats are strict
+        # sub-computations of the promoted Gopher/LLM-prep composites,
+        # pii_redact_ids and corpus_quota_sample are one-expression
+        # projections/filters, f_array_ops is a scalar-function suite
+        # (F1/F2/F3/F7) whose helpers every pipeline stage exercises. All
+        # keep full DuckDB oracle coverage via tests/test_oracle.py.
+        "text_language_id",
+        "text_quality_stats",
+        "pii_redact_ids",
+        "corpus_quota_sample",
+        "f_array_ops",
     }
 )
 
@@ -6601,8 +6602,8 @@ def curation_dsir_sample(spark, sf_dir):
     hundreds of nats; the A-ES ln(u)/w key would need exp(log_weight)),
     the same seeded md5 hash-uniform as weighted_sample, DECIMAL-rounded
     ordering. Plans as TakeOrderedAndProject — no corpus-wide
-    single-partition window. Registered PYTEST_ONLY from birth — window
-    full; full DuckDB coverage via tests/test_oracle.py."""
+    single-partition window. Born pytest-only (window full); promoted
+    into the r11 driver window later in r10."""
     from pgdedupe_spark.operators.curation import dsir_sample
 
     docs = _t(spark, sf_dir, "documents")
@@ -6667,9 +6668,9 @@ def text_gopher_rules(spark, sf_dir):
     the conjunctive keep verdict, per document. Pure per-row codegen
     expressions (no joins, no aggregation, no Python); ratios divide
     exact per-row integers so there is no agg-order hazard. The
-    rule-based sibling of text_quality_model's learned gate. Registered
-    PYTEST_ONLY from birth — window full; full DuckDB coverage via
-    tests/test_oracle.py."""
+    rule-based sibling of text_quality_model's learned gate. Born
+    pytest-only (window full); promoted into the r11 driver window later
+    in r10."""
     from pgdedupe_spark.operators.text import gopher_quality
 
     return gopher_quality(_t(spark, sf_dir, "documents"), "doc_id", "text")
@@ -6713,8 +6714,8 @@ def curation_c4_clean(spark, sf_dir):
     unterminated so the line filter provably bites — then cleans them.
     The synthesis is one ordered array_agg per source; the cleaning
     itself is pure per-row array expressions (no joins, no Python).
-    Registered PYTEST_ONLY from birth — window full; full DuckDB
-    coverage via tests/test_oracle.py."""
+    Born pytest-only (window full); promoted into the r11 driver window
+    later in r10."""
     from pgdedupe_spark.operators.curation import c4_clean
 
     docs = _t(spark, sf_dir, "documents")
@@ -6842,8 +6843,8 @@ def pipeline_llm_prep(spark, sf_dir):
     shows 16 scans of the 500-row table); a production run materializes
     `surv` between stages — exactly the stage-boundary parquet handoff
     the CLI pipeline does — making each stage's cost the single-pass
-    cost measured on its standalone row. Registered PYTEST_ONLY from
-    birth — window full; full DuckDB coverage via tests/test_oracle.py."""
+    cost measured on its standalone row. Born pytest-only (window full);
+    promoted into the r11 driver window later in r10."""
     from pgdedupe_spark.operators.curation import dsir_sample
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality
@@ -6910,8 +6911,8 @@ def er_record_linkage(spark, sf_dir):
     similarity, and assigning one-to-one via symmetric best match. All
     50 perturbed records link back to their originals at sf0.01 despite
     same-block decoys; the oracle replays blocking, scoring, and both
-    rank windows verbatim. Registered PYTEST_ONLY from birth — window
-    full; full DuckDB coverage via tests/test_oracle.py."""
+    rank windows verbatim. Born pytest-only (window full); promoted into
+    the r11 driver window later in r10."""
     from pgdedupe_spark.operators.linkage import best_match_links
 
     docs = _t(spark, sf_dir, "documents")
