@@ -153,7 +153,7 @@ _TAIL = [
     "events_time_weighted",
     "corpus_mix_weighted",
     "decontaminate_ngrams",
-    "text_repetition_signals",
+    "text_gopher_repetition",  # full A1.2 battery; subsumes repetition_signals
     "dedup_near_clusters",
     "text_duplicated_spans",
     "skew_salted_agg",

@@ -134,6 +134,325 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _nonempty_trimmed(arr: Column) -> Column:
+    """Trim each element and drop empties — the line/paragraph unit used
+    by the Gopher repetition rules (blank separators never count)."""
+    return F.filter(F.transform(arr, F.trim), lambda x: x != "")
+
+
+def _dup_run_stats(arr: Column) -> Column:
+    """Fold a string array into struct(total, chars, dup_n, dup_c): element
+    count, total char length, count of elements whose value occurs >= 2
+    times, and their char total. Runs over the SORTED array so duplicates
+    are adjacent — one O(L log L) row-local pass, no explode/shuffle."""
+    zero = F.lit(0).cast("long")
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        boundary_dup = ~same & (acc["run"] >= 2)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            (acc["total"] + 1).alias("total"),
+            (acc["chars"] + F.length(x)).alias("chars"),
+            (acc["dup_n"] + F.when(boundary_dup, acc["run"]).otherwise(zero)).alias(
+                "dup_n"
+            ),
+            (
+                acc["dup_c"]
+                + F.when(boundary_dup, acc["run"] * F.length(acc["prev"])).otherwise(
+                    zero
+                )
+            ).alias("dup_c"),
+        )
+
+    def finish(acc):
+        last_dup = acc["run"] >= 2
+        return F.struct(
+            acc["total"].alias("total"),
+            acc["chars"].alias("chars"),
+            (acc["dup_n"] + F.when(last_dup, acc["run"]).otherwise(zero)).alias(
+                "dup_n"
+            ),
+            (
+                acc["dup_c"]
+                + F.when(last_dup, acc["run"] * F.length(acc["prev"])).otherwise(zero)
+            ).alias("dup_c"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("total"),
+        zero.alias("chars"),
+        zero.alias("dup_n"),
+        zero.alias("dup_c"),
+    )
+    return F.aggregate(F.array_sort(arr), init, merge, finish)
+
+
+def _positional_ngrams(w: Column, n: int) -> Column:
+    """NON-distinct space-joined word n-grams in positional order (the
+    counting stream, unlike word_ngrams' distinct set)."""
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_cover(w: Column, n: int) -> Column:
+    """Char coverage (count * gram char length, spaces excluded) of the
+    most frequent word n-gram; ties on count break toward the larger
+    coverage, so the emitted number is max(count) then max(coverage) —
+    the conservative reading of Gopher's 'most frequently occurring
+    n-gram' rule and exactly what a GROUP BY twin computes. Sorted-array
+    fold: one O(m log m) row-local pass."""
+    zero = F.lit(0).cast("long")
+    pad = F.lit(n - 1).cast("long")
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        cnt = acc["run"]
+        cov = cnt * (F.length(acc["prev"]) - pad)
+        better = ~same & (
+            (cnt > acc["best_cnt"]) | ((cnt == acc["best_cnt"]) & (cov > acc["best_cov"]))
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(better, cnt).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, cov).otherwise(acc["best_cov"]).alias("best_cov"),
+        )
+
+    def finish(acc):
+        cnt = acc["run"]
+        cov = cnt * (F.length(acc["prev"]) - pad)
+        better = (cnt > acc["best_cnt"]) | (
+            (cnt == acc["best_cnt"]) & (cov > acc["best_cov"])
+        )
+        return F.when(better & (cnt > 0), cov).otherwise(acc["best_cov"])
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best_cnt"),
+        zero.alias("best_cov"),
+    )
+    return F.aggregate(F.array_sort(_positional_ngrams(w, n)), init, merge, finish)
+
+
+def _sorted_positional_grams(w: Column, n: int) -> Column:
+    """(gram, position) structs sorted by gram (then position) — duplicate
+    grams are adjacent after the sort. Evaluated ONCE per row as long as
+    the result is materialized as its own column (an attribute): Spark
+    never hoists loop-invariant subtrees out of higher-order-function
+    lambdas, so a lambda body that embeds this expression would re-sort
+    per ELEMENT (O(m^2 log m) per row — the bug this staging avoids)."""
+    m = F.size(w)
+    grams = F.when(
+        m >= n,
+        F.transform(
+            F.sequence(F.lit(1), m - (n - 1)),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(w, i, n)).alias("g"), i.alias("p")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,p:int>>"))
+    return F.array_sort(grams)
+
+
+def _dup_pos_mask(s: Column) -> Column:
+    """From the gram-sorted struct array (an ATTRIBUTE column — see
+    _sorted_positional_grams), a boolean mask in POSITIONAL order: entry
+    p-1 is true iff the gram starting at position p occurs >= 2 times.
+    Neighbor equality in the sorted array; F.get on a materialized array
+    is O(1) per element."""
+    flags = F.transform(
+        s,
+        lambda x, i: F.struct(
+            x["p"].alias("p"),
+            (
+                F.coalesce(F.get(s, i - 1)["g"] == x["g"], F.lit(False))
+                | F.coalesce(F.get(s, i + 1)["g"] == x["g"], F.lit(False))
+            ).alias("d"),
+        ),
+    )
+    return F.transform(F.array_sort(flags), lambda x: x["d"])
+
+
+def _dup_cover_chars(w: Column, dmask: Column, n: int) -> Column:
+    """Union char coverage of tokens inside any duplicated n-gram —
+    Gopher's duplicated-n-gram numerator, 'taking care not to count
+    characters in overlapping n-grams more than once' (position-set
+    union, not a sum over grams). Token j is covered iff some duplicated
+    gram starts in [j-n+1, j]: an n-way OR of the mask shifted by
+    0..n-1, built with zip_with whose inputs are evaluated once per row
+    (never inside a lambda body). O(m*n) per row, zero shuffle."""
+    false_lit = F.lit(False)
+
+    def shifted(k: int) -> Column:
+        parts = []
+        if k:
+            parts.append(F.array_repeat(false_lit, k))
+        parts.append(dmask)
+        if n - 1 - k:
+            parts.append(F.array_repeat(false_lit, n - 1 - k))
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+    covered = shifted(0)
+    for k in range(1, n):
+        covered = F.zip_with(
+            covered,
+            shifted(k),
+            lambda a, b: F.coalesce(a, false_lit) | F.coalesce(b, false_lit),
+        )
+    per_tok = F.zip_with(
+        w,
+        covered,
+        lambda tok, c: F.when(
+            F.coalesce(c, false_lit), F.length(tok).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    total = F.aggregate(per_tok, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.when(F.size(w) >= n, total).otherwise(F.lit(0).cast("long"))
+
+
+# Gopher (Rae et al. 2021, table A1) repetition thresholds: a document is
+# REMOVED when the fraction exceeds the bound. Integer cross-multiplied in
+# the keep flags so no float ever enters the contract.
+_GOPHER_TOP_PCT = {2: 20, 3: 18, 4: 16}  # top n-gram char fraction bound (%)
+_GOPHER_DUP_PCT = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}  # dup n-gram (%)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """The full Gopher repetition battery (Rae et al. 2021 §A1.1 table A1,
+    the within-document repetition half that `gopher_quality` — the
+    heuristic-signal half — does not cover): duplicate line / paragraph
+    fractions and their char fractions, top n-gram char fraction
+    (n=2,3,4) and duplicated n-gram union char fraction (n=5..10), plus
+    per-rule integer keep flags and the conjunctive `repetition_keep`.
+
+    Lines split on newline, paragraphs on blank lines (runs of >= 2
+    newlines), both trimmed with empties dropped; token chars count
+    [a-z0-9]+ word chars only (spaces excluded) in both numerators and
+    denominators. All outputs are exact integers; the keep flags
+    cross-multiply so the contract is float-free end to end.
+
+    Scale shape: every statistic is a row-local fold over sorted arrays
+    (duplicate runs adjacent after array_sort) — the whole operator is
+    ONE projection, no explode, no groupBy, no join, nothing leaves the
+    row. Per-row cost O(L log L + m log m + m*n); a 100 TB corpus pays
+    exactly one scan. The superseded `repetition_signals` kept the
+    explode+groupBy shape for its two bigram signals — this battery
+    subsumes it.
+    """
+    for n in top_ns:
+        if n not in _GOPHER_TOP_PCT:
+            raise ValueError(f"top n-gram threshold undefined for n={n}")
+    for n in dup_ns:
+        if n not in _GOPHER_DUP_PCT:
+            raise ValueError(f"dup n-gram threshold undefined for n={n}")
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    # S0: per-row fold stats + the token array, materialized once. Each
+    # later stage references the previous stage's columns as attributes —
+    # a non-cheap column referenced more than once survives
+    # CollapseProject, so nothing expensive ever lands inside a
+    # higher-order-function lambda body (where it would re-evaluate per
+    # element — see _sorted_positional_grams).
+    s0 = df.select(
+        F.col(id_col),
+        _dup_run_stats(_nonempty_trimmed(F.split(t, "\n"))).alias("_l"),
+        _dup_run_stats(_nonempty_trimmed(F.split(t, "\n{2,}"))).alias("_p"),
+        word_tokens(t).alias("_w"),
+    )
+    w = F.col("_w")
+    # S1: token totals, top-gram folds, and the gram-sorted struct arrays.
+    s1 = s0.select(
+        "*",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).alias(
+            "token_chars"
+        ),
+        *[_top_gram_cover(w, n).alias(f"top{n}_char_n") for n in top_ns],
+        *[_sorted_positional_grams(w, n).alias(f"_s{n}") for n in dup_ns],
+    )
+    # S2: positional duplicate masks from the sorted gram arrays.
+    s2 = s1.select(
+        "*", *[_dup_pos_mask(F.col(f"_s{n}")).alias(f"_m{n}") for n in dup_ns]
+    )
+    # S3: union char coverage per n.
+    s3 = s2.select(
+        "*",
+        *[
+            _dup_cover_chars(w, F.col(f"_m{n}"), n).alias(f"dup{n}_char_n")
+            for n in dup_ns
+        ],
+    )
+
+    out = s3.select(
+        id_col,
+        F.col("_l")["total"].alias("n_lines"),
+        F.col("_l")["dup_n"].alias("dup_line_n"),
+        F.col("_l")["chars"].alias("line_chars"),
+        F.col("_l")["dup_c"].alias("dup_line_char_n"),
+        F.col("_p")["total"].alias("n_paras"),
+        F.col("_p")["dup_n"].alias("dup_para_n"),
+        F.col("_p")["chars"].alias("para_chars"),
+        F.col("_p")["dup_c"].alias("dup_para_char_n"),
+        "n_tokens",
+        "token_chars",
+        *[f"top{n}_char_n" for n in top_ns],
+        *[f"dup{n}_char_n" for n in dup_ns],
+    )
+
+    flag_cols = [
+        (F.col("dup_line_n") * 10 <= F.col("n_lines") * 3).cast("int").alias(
+            "keep_dup_line"
+        ),
+        (F.col("dup_para_n") * 10 <= F.col("n_paras") * 3).cast("int").alias(
+            "keep_dup_para"
+        ),
+        (F.col("dup_line_char_n") * 5 <= F.col("line_chars")).cast("int").alias(
+            "keep_dup_line_char"
+        ),
+        (F.col("dup_para_char_n") * 5 <= F.col("para_chars")).cast("int").alias(
+            "keep_dup_para_char"
+        ),
+    ]
+    flag_cols += [
+        (F.col(f"top{n}_char_n") * 100 <= F.col("token_chars") * _GOPHER_TOP_PCT[n])
+        .cast("int")
+        .alias(f"keep_top{n}")
+        for n in top_ns
+    ]
+    flag_cols += [
+        (F.col(f"dup{n}_char_n") * 100 <= F.col("token_chars") * _GOPHER_DUP_PCT[n])
+        .cast("int")
+        .alias(f"keep_dup{n}")
+        for n in dup_ns
+    ]
+    out = out.select("*", *flag_cols)
+    keep_flags = (
+        ["keep_dup_line", "keep_dup_para", "keep_dup_line_char", "keep_dup_para_char"]
+        + [f"keep_top{n}" for n in top_ns]
+        + [f"keep_dup{n}" for n in dup_ns]
+    )
+    keep_expr = F.lit(1)
+    for name in keep_flags:
+        keep_expr = keep_expr * F.col(name)
+    return out.withColumn("repetition_keep", keep_expr.cast("int"))
+
+
 # Default PII-ish shape: runs of >= 6 digits (ids, SSN-like, phone-like).
 # Deliberately lookahead-free so the same pattern runs under Java regex
 # (Spark) and RE2 (DuckDB oracle).

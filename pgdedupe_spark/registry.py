@@ -4939,6 +4939,10 @@ PYTEST_ONLY = frozenset(
         "pii_redact_ids",
         "corpus_quota_sample",
         "f_array_ops",
+        # demoted late-r10: its two bigram signals are a strict subset of
+        # the full Gopher A1.2 battery (text_gopher_repetition), which
+        # takes its rotation slot. Oracle retained via tests/test_oracle.py.
+        "text_repetition_signals",
     }
 )
 
@@ -6737,6 +6741,208 @@ def curation_c4_clean(spark, sf_dir):
         ).alias("text")
     )
     return c4_clean(pages.withColumnRenamed("source", "page_id"), "page_id", "text")
+
+
+@query(
+    "text_gopher_repetition",
+    oracle=r"""
+    WITH pages0 AS (
+      SELECT source AS page_id, array_agg(text ORDER BY doc_id) AS arr
+      FROM documents GROUP BY source
+    ), pagesp AS (
+      SELECT page_id,
+             list_transform(generate_series(1, (len(arr)+2)//3),
+               k -> array_to_string(arr[(k-1)*3+1:(k-1)*3+3], chr(10))) AS paras
+      FROM pages0
+    ), pg AS (
+      SELECT page_id,
+             array_to_string(list_concat(paras, paras[1:1]),
+                             chr(10)||chr(10)) AS t
+      FROM pagesp
+    ),
+    ln AS (
+      SELECT page_id, trim(l) AS line
+      FROM (SELECT page_id, unnest(string_split_regex(t, '\n')) AS l FROM pg)
+      WHERE trim(l) <> ''
+    ),
+    lc AS (SELECT page_id, line, count(*) AS c FROM ln GROUP BY page_id, line),
+    lstat AS (
+      SELECT page_id,
+        CAST(sum(c) AS BIGINT) AS n_lines,
+        CAST(coalesce(sum(CASE WHEN c>=2 THEN c END), 0) AS BIGINT) AS dup_line_n,
+        CAST(sum(c*len(line)) AS BIGINT) AS line_chars,
+        CAST(coalesce(sum(CASE WHEN c>=2 THEN c*len(line) END), 0) AS BIGINT)
+          AS dup_line_char_n
+      FROM lc GROUP BY page_id
+    ),
+    pr AS (
+      SELECT page_id, trim(p) AS para
+      FROM (SELECT page_id, unnest(string_split_regex(t, '\n{2,}')) AS p FROM pg)
+      WHERE trim(p) <> ''
+    ),
+    pc AS (SELECT page_id, para, count(*) AS c FROM pr GROUP BY page_id, para),
+    pstat AS (
+      SELECT page_id,
+        CAST(sum(c) AS BIGINT) AS n_paras,
+        CAST(coalesce(sum(CASE WHEN c>=2 THEN c END), 0) AS BIGINT) AS dup_para_n,
+        CAST(sum(c*len(para)) AS BIGINT) AS para_chars,
+        CAST(coalesce(sum(CASE WHEN c>=2 THEN c*len(para) END), 0) AS BIGINT)
+          AS dup_para_char_n
+      FROM pc GROUP BY page_id
+    ),
+    tok AS (SELECT page_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS w FROM pg),
+    tstat AS (
+      SELECT page_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT)
+          AS token_chars
+      FROM tok
+    ),
+    g2 AS (
+      SELECT page_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM (SELECT page_id, w, unnest(generate_series(1, len(w)-1)) AS i
+            FROM tok WHERE len(w) >= 2)
+    ),
+    top2 AS (
+      SELECT page_id,
+        CAST(max(c * (len(g) - 1)) FILTER (WHERE c = mc) AS BIGINT) AS top2_char_n
+      FROM (SELECT page_id, g, c, max(c) OVER (PARTITION BY page_id) AS mc
+            FROM (SELECT page_id, g, count(*) AS c FROM g2 GROUP BY page_id, g))
+      GROUP BY page_id
+    ),
+    g3 AS (
+      SELECT page_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM (SELECT page_id, w, unnest(generate_series(1, len(w)-2)) AS i
+            FROM tok WHERE len(w) >= 3)
+    ),
+    top3 AS (
+      SELECT page_id,
+        CAST(max(c * (len(g) - 2)) FILTER (WHERE c = mc) AS BIGINT) AS top3_char_n
+      FROM (SELECT page_id, g, c, max(c) OVER (PARTITION BY page_id) AS mc
+            FROM (SELECT page_id, g, count(*) AS c FROM g3 GROUP BY page_id, g))
+      GROUP BY page_id
+    ),
+    g4 AS (
+      SELECT page_id, array_to_string(w[i:i+3], ' ') AS g
+      FROM (SELECT page_id, w, unnest(generate_series(1, len(w)-3)) AS i
+            FROM tok WHERE len(w) >= 4)
+    ),
+    top4 AS (
+      SELECT page_id,
+        CAST(max(c * (len(g) - 3)) FILTER (WHERE c = mc) AS BIGINT) AS top4_char_n
+      FROM (SELECT page_id, g, c, max(c) OVER (PARTITION BY page_id) AS mc
+            FROM (SELECT page_id, g, count(*) AS c FROM g4 GROUP BY page_id, g))
+      GROUP BY page_id
+    ),
+    g5p AS (
+      SELECT page_id, array_to_string(w[i:i+4], ' ') AS g, i
+      FROM (SELECT page_id, w, unnest(generate_series(1, len(w)-4)) AS i
+            FROM tok WHERE len(w) >= 5)
+    ),
+    d5cov AS (
+      SELECT DISTINCT page_id, j
+      FROM (SELECT page_id, unnest(generate_series(i, i+4)) AS j
+            FROM g5p
+            WHERE (page_id, g) IN (SELECT (page_id, g)
+                                   FROM g5p GROUP BY page_id, g HAVING count(*) >= 2))
+    ),
+    d5 AS (
+      SELECT c.page_id, CAST(sum(len(t.w[c.j])) AS BIGINT) AS dup5_char_n
+      FROM d5cov c JOIN tok t USING (page_id) GROUP BY c.page_id
+    ),
+    g10p AS (
+      SELECT page_id, array_to_string(w[i:i+9], ' ') AS g, i
+      FROM (SELECT page_id, w, unnest(generate_series(1, len(w)-9)) AS i
+            FROM tok WHERE len(w) >= 10)
+    ),
+    d10cov AS (
+      SELECT DISTINCT page_id, j
+      FROM (SELECT page_id, unnest(generate_series(i, i+9)) AS j
+            FROM g10p
+            WHERE (page_id, g) IN (SELECT (page_id, g)
+                                   FROM g10p GROUP BY page_id, g HAVING count(*) >= 2))
+    ),
+    d10 AS (
+      SELECT c.page_id, CAST(sum(len(t.w[c.j])) AS BIGINT) AS dup10_char_n
+      FROM d10cov c JOIN tok t USING (page_id) GROUP BY c.page_id
+    ),
+    base AS (
+      SELECT p.page_id,
+        coalesce(l.n_lines, 0) AS n_lines,
+        coalesce(l.dup_line_n, 0) AS dup_line_n,
+        coalesce(l.line_chars, 0) AS line_chars,
+        coalesce(l.dup_line_char_n, 0) AS dup_line_char_n,
+        coalesce(q.n_paras, 0) AS n_paras,
+        coalesce(q.dup_para_n, 0) AS dup_para_n,
+        coalesce(q.para_chars, 0) AS para_chars,
+        coalesce(q.dup_para_char_n, 0) AS dup_para_char_n,
+        coalesce(s.n_tokens, 0) AS n_tokens,
+        coalesce(s.token_chars, 0) AS token_chars,
+        coalesce(t2.top2_char_n, 0) AS top2_char_n,
+        coalesce(t3.top3_char_n, 0) AS top3_char_n,
+        coalesce(t4.top4_char_n, 0) AS top4_char_n,
+        coalesce(d5.dup5_char_n, 0) AS dup5_char_n,
+        coalesce(d10.dup10_char_n, 0) AS dup10_char_n
+      FROM pg p
+      LEFT JOIN lstat l USING (page_id)
+      LEFT JOIN pstat q USING (page_id)
+      LEFT JOIN tstat s USING (page_id)
+      LEFT JOIN top2 t2 USING (page_id)
+      LEFT JOIN top3 t3 USING (page_id)
+      LEFT JOIN top4 t4 USING (page_id)
+      LEFT JOIN d5 USING (page_id)
+      LEFT JOIN d10 USING (page_id)
+    )
+    SELECT *,
+      CAST(keep_dup_line * keep_dup_para * keep_dup_line_char
+           * keep_dup_para_char * keep_top2 * keep_top3 * keep_top4
+           * keep_dup5 * keep_dup10 AS INT) AS repetition_keep
+    FROM (
+      SELECT *,
+        CAST(dup_line_n * 10 <= n_lines * 3 AS INT) AS keep_dup_line,
+        CAST(dup_para_n * 10 <= n_paras * 3 AS INT) AS keep_dup_para,
+        CAST(dup_line_char_n * 5 <= line_chars AS INT) AS keep_dup_line_char,
+        CAST(dup_para_char_n * 5 <= para_chars AS INT) AS keep_dup_para_char,
+        CAST(top2_char_n * 100 <= token_chars * 20 AS INT) AS keep_top2,
+        CAST(top3_char_n * 100 <= token_chars * 18 AS INT) AS keep_top3,
+        CAST(top4_char_n * 100 <= token_chars * 16 AS INT) AS keep_top4,
+        CAST(dup5_char_n * 100 <= token_chars * 15 AS INT) AS keep_dup5,
+        CAST(dup10_char_n * 100 <= token_chars * 10 AS INT) AS keep_dup10
+      FROM base
+    )
+    """,
+)
+def text_gopher_repetition(spark, sf_dir):
+    """The full Gopher repetition battery (Rae et al. 2021 table A1 —
+    curation.gopher_repetition, new late-r10): duplicate line/paragraph
+    fractions and char fractions, top n-gram char fraction (n=2,3,4) and
+    duplicated-n-gram UNION char coverage (n=5,10 here; 5..10 is the op
+    default), with per-rule integer keep flags. Runs over crawl-shaped
+    pages synthesized from the documents table (3-line paragraphs per
+    source, first paragraph repeated at the end so every rule provably
+    bites). The Spark side is ONE zero-shuffle projection — sorted-array
+    folds and higher-order functions, nothing leaves the row; the oracle
+    is a conventional unnest+GROUP BY twin, so the two engines derive the
+    same integers by structurally different plans. Subsumes
+    text_repetition_signals (now pytest-gated only) and takes its
+    rotation slot."""
+    from pgdedupe_spark.operators.curation import gopher_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    pages0 = docs.groupBy("source").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ).alias("arr")
+    )
+    paras = F.transform(
+        F.sequence(F.lit(1), ((F.size(F.col("arr")) + F.lit(2)) / 3).cast("int")),
+        lambda k: F.array_join(F.slice(F.col("arr"), (k - 1) * 3 + 1, 3), "\n"),
+    )
+    pg = pages0.select(
+        F.col("source").alias("page_id"),
+        F.array_join(F.concat(paras, F.slice(paras, 1, 1)), "\n\n").alias("text"),
+    )
+    return gopher_repetition(pg, "page_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10))
 
 
 @query(
