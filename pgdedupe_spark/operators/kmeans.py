@@ -39,40 +39,32 @@ def _quantize(vec_col: str, scale: int) -> Column:
     )
 
 
-def kmeans_exact(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 4,
-    iterations: int = 2,
-    dim: int | None = None,
-    scale: int = 10**6,
+def _assign_struct_expr(cents: list[list[int]]) -> Column:
+    """argmin over literal centroids as a (dist, cid) struct — entirely
+    codegen, zero joins. ``.getField("c")`` for the label alone,
+    ``.getField("d")`` for the exact-integer squared distance."""
+    cands = []
+    for cid, cvec in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
+        dist = F.aggregate(
+            F.zip_with("_iv", carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
+    return F.array_min(F.array(*cands))
+
+
+def fit_centroids(
+    iv: DataFrame,
+    k: int,
+    iterations: int,
+    dim: int,
     init: list[list[int]] | None = None,
-) -> DataFrame:
-    """Lloyd's k-means for ``iterations`` rounds over quantized vectors.
-    Returns ``(id_col, cluster)`` — the assignment under the FINAL
-    centroids (i.e. ``iterations`` update steps then one assignment).
-    Ties in the argmin break to the smallest cluster id.
-
-    ``dim`` defaults to the first row's vector length (one bounded
-    collect); pass it explicitly in pipelines that know their schema."""
-    iv = df.select(F.col(id_col).alias("_id"), _quantize(vec_col, scale).alias("_iv"))
-    if dim is None:
-        first = iv.select(F.size("_iv")).first()
-        if first is None:
-            # empty-input schema must match the non-empty path: keep the
-            # caller's id type instead of hardcoding long (ADVICE r8)
-            from pyspark.sql.types import IntegerType, StructField, StructType
-
-            schema = StructType(
-                [
-                    StructField(id_col, df.schema[id_col].dataType, True),
-                    StructField("cluster", IntegerType(), True),
-                ]
-            )
-            return df.sparkSession.createDataFrame([], schema)
-        dim = first[0]
-
+) -> list[list[int]]:
+    """The Lloyd's fit loop over a pre-quantized ``(_id, _iv)`` frame —
+    returns the FINAL integer centroids. Extracted so prototype scoring
+    shares the identical fit bit-for-bit with kmeans_exact."""
     if init is None:
         seed_rows = iv.orderBy("_id").limit(k).collect()
         if len(seed_rows) < k:
@@ -84,18 +76,7 @@ def kmeans_exact(
         centroids = [list(c) for c in init]
 
     def assign_expr(cents: list[list[int]]) -> Column:
-        """argmin over literal centroids: array_min of (dist, cid) structs —
-        entirely codegen, zero joins."""
-        cands = []
-        for cid, cvec in enumerate(cents):
-            carr = F.array(*[F.lit(int(v)).cast("long") for v in cvec])
-            dist = F.aggregate(
-                F.zip_with("_iv", carr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            cands.append(F.struct(dist.alias("d"), F.lit(cid).alias("c")))
-        return F.array_min(F.array(*cands)).getField("c")
+        return _assign_struct_expr(cents).getField("c")
 
     for _ in range(iterations):
         assigned = iv.withColumn("cluster", assign_expr(centroids))
@@ -122,6 +103,157 @@ def kmeans_exact(
                 )
         centroids = new_centroids
 
+    return centroids
+
+
+def _prep_quantized(
+    df: DataFrame, id_col: str, vec_col: str, scale: int
+) -> DataFrame:
+    return df.select(F.col(id_col).alias("_id"), _quantize(vec_col, scale).alias("_iv"))
+
+
+def _empty_like(df: DataFrame, id_col: str, extra_fields) -> DataFrame:
+    """Empty result preserving the caller's id type (ADVICE r8)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(id_col, df.schema[id_col].dataType, True), *extra_fields]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
+def kmeans_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int | None = None,
+    scale: int = 10**6,
+    init: list[list[int]] | None = None,
+) -> DataFrame:
+    """Lloyd's k-means for ``iterations`` rounds over quantized vectors.
+    Returns ``(id_col, cluster)`` — the assignment under the FINAL
+    centroids (i.e. ``iterations`` update steps then one assignment).
+    Ties in the argmin break to the smallest cluster id.
+
+    ``dim`` defaults to the first row's vector length (one bounded
+    collect); pass it explicitly in pipelines that know their schema."""
+    iv = _prep_quantized(df, id_col, vec_col, scale)
+    if dim is None:
+        first = iv.select(F.size("_iv")).first()
+        if first is None:
+            from pyspark.sql.types import IntegerType, StructField
+
+            return _empty_like(df, id_col, [StructField("cluster", IntegerType(), True)])
+        dim = first[0]
+
+    centroids = fit_centroids(iv, k, iterations, dim, init)
     return iv.select(
-        F.col("_id").alias(id_col), assign_expr(centroids).alias("cluster")
+        F.col("_id").alias(id_col),
+        _assign_struct_expr(centroids).getField("c").alias("cluster"),
+    )
+
+
+def prototype_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    dim: int | None = None,
+    scale: int = 10**6,
+    init: list[list[int]] | None = None,
+) -> DataFrame:
+    """SSL-prototypes difficulty metric (Sorscher et al. 2022, 'Beyond
+    neural scaling laws'): ``(id, cluster, proto_dist)`` where proto_dist
+    is the exact-integer squared distance to the FINAL centroid of the
+    assigned cluster — the example's distance from its prototype. Large
+    distance = hard/informative example; small = prototypical/redundant.
+    Shares the fit loop with kmeans_exact bit-for-bit; scoring is the
+    same zero-join codegen projection returning the struct's ``d`` field
+    alongside ``c``."""
+    iv = _prep_quantized(df, id_col, vec_col, scale)
+    if dim is None:
+        first = iv.select(F.size("_iv")).first()
+        if first is None:
+            from pyspark.sql.types import IntegerType, LongType, StructField
+
+            return _empty_like(
+                df,
+                id_col,
+                [
+                    StructField("cluster", IntegerType(), True),
+                    StructField("proto_dist", LongType(), True),
+                ],
+            )
+        dim = first[0]
+
+    centroids = fit_centroids(iv, k, iterations, dim, init)
+    best = _assign_struct_expr(centroids)
+    return iv.select(
+        F.col("_id").alias(id_col),
+        best.getField("c").alias("cluster"),
+        best.getField("d").alias("proto_dist"),
+    )
+
+
+def prototype_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iterations: int = 2,
+    keep_pct: int = 50,
+    dim: int | None = None,
+    scale: int = 10**6,
+    init: list[list[int]] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Prototype-based data pruning — the SSL-prototypes selection rule
+    (Sorscher et al. 2022) that D4 (Tirumala et al. 2023) composes with
+    SemDeDup (similarity.embedding_dedup_pairs is the sibling stage):
+    within each k-means cluster KEEP the ``keep_pct``% of examples
+    FARTHEST from their prototype (hard examples), pruning the
+    prototypical ones. Emits every input row with its score and an
+    integer ``kept`` flag so callers can filter or audit.
+
+    ``exact=True`` ranks within each cluster (dist DESC, id ASC — total
+    order) and keeps rank <= ceil(n * keep_pct / 100): deterministic,
+    oracle-replicable. The rank window partitions on the cluster id —
+    only k reducers are hot, so at 100 TB use ``exact=False``: the
+    per-cluster cutoff distance comes from a mergeable approx-percentile
+    sketch (bounded state), broadcast back (<= k rows), and the keep
+    test is a row-local filter — no Window, no k-way bottleneck; ties at
+    the cutoff are all kept (documented superset, error bounded by the
+    sketch accuracy)."""
+    scores = prototype_scores(df, id_col, vec_col, k, iterations, dim, scale, init)
+    if exact:
+        from pyspark.sql import Window
+
+        wn = Window.partitionBy("cluster").orderBy(
+            F.desc("proto_dist"), F.asc(id_col)
+        )
+        counts = scores.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
+        ranked = scores.withColumn("hard_rank", F.row_number().over(wn).cast("long"))
+        return (
+            ranked.join(F.broadcast(counts), "cluster")
+            .withColumn(
+                "kept",
+                (
+                    F.col("hard_rank")
+                    <= F.expr(f"(_n * {int(keep_pct)} + 99) div 100")
+                ).cast("int"),
+            )
+            .select(id_col, "cluster", "proto_dist", "hard_rank", "kept")
+        )
+    cuts = scores.groupBy("cluster").agg(
+        F.percentile_approx(
+            "proto_dist", F.lit(1.0 - keep_pct / 100.0), F.lit(10000)
+        ).alias("_cut")
+    )
+    return (
+        scores.join(F.broadcast(cuts), "cluster")
+        .withColumn("kept", (F.col("proto_dist") >= F.col("_cut")).cast("int"))
+        .select(id_col, "cluster", "proto_dist", "kept")
     )

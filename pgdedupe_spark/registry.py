@@ -1488,18 +1488,20 @@ def text_html_extract(spark, sf_dir):
     )
 
 
-def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+def _kmeans_cte_prefix(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's iterations as DuckDB CTEs — the exact-integer
-    twin of operators/kmeans.kmeans_exact (same floor-quantize, BIGINT
+    twin of operators/kmeans.fit_centroids (same floor-quantize, BIGINT
     squared distances, truncating // centroid updates, ties→smallest
-    cid, empty clusters keep the previous centroid)."""
+    cid, empty clusters keep the previous centroid). Ends at the ``asg``
+    CTE: the final (vec_id, cid, dist) assignment, shared by the
+    ml_kmeans_exact and ml_prototype_prune oracles."""
     sums = ", ".join(f"sum(v.iv[{d + 1}]) AS s{d}" for d in range(dim))
     newc = ", ".join(f"s.s{d} // s.n" for d in range(dim))
     sql = [f"""
     WITH v AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(floor(x * 1000000.0) AS BIGINT))
-               AS iv
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS iv
       FROM embeddings
     ), c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, iv
@@ -1530,13 +1532,44 @@ def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
              list_sum(list_transform(range(1, {dim + 1}),
                i -> (v.iv[i] - c.iv[i]) * (v.iv[i] - c.iv[i]))) AS dist
       FROM v CROSS JOIN {prev} c
-    )
-    SELECT vec_id, cid AS cluster FROM (
-      SELECT vec_id, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-      FROM df) WHERE rk = 1
-    """)
+    ), asg AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+        FROM df) WHERE rk = 1
+    )""")
     return "".join(sql)
+
+
+def _kmeans_oracle(k: int = 4, iterations: int = 2, dim: int = 64) -> str:
+    return (
+        _kmeans_cte_prefix(k, iterations, dim)
+        + " SELECT vec_id, cid AS cluster FROM asg"
+    )
+
+
+def _proto_oracle(
+    k: int = 4, iterations: int = 2, dim: int = 64, keep_pct: int = 40
+) -> str:
+    """Prototype-prune twin: the shared Lloyd's prefix, then per-cluster
+    counts + hardness rank (dist DESC, vec_id ASC) + the ceil-fraction
+    keep flag — mirroring kmeans.prototype_prune(exact=True)."""
+    return (
+        _kmeans_cte_prefix(k, iterations, dim)
+        + f"""
+    , cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY cid),
+    rk AS (
+      SELECT vec_id, cid, dist,
+             CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY dist DESC, vec_id) AS BIGINT) AS hard_rank
+      FROM asg
+    )
+    SELECT r.vec_id, r.cid AS cluster, CAST(r.dist AS BIGINT) AS proto_dist,
+           r.hard_rank,
+           CAST(r.hard_rank <= (c.n * {keep_pct} + 99) // 100 AS INT) AS kept
+    FROM rk r JOIN cnt c ON c.cid = r.cid
+    """
+    )
 
 
 @query("ml_kmeans_exact", oracle=_kmeans_oracle())
@@ -1556,6 +1589,27 @@ def ml_kmeans_exact(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return kmeans_exact(emb, "vec_id", "embedding", k=4, iterations=2, dim=64)
+
+
+@query("ml_prototype_prune", oracle=_proto_oracle())
+def ml_prototype_prune(spark, sf_dir):
+    """Prototype-based data pruning (kmeans.prototype_prune, new
+    late-r10) — the SSL-prototypes selection rule (Sorscher et al. 2022)
+    that D4 composes with SemDeDup: k-means over the embeddings table
+    (the same bit-exact fit as ml_kmeans_exact), score every vector by
+    exact-integer squared distance to its prototype, and KEEP the
+    hardest 40% per cluster (dist DESC, vec_id tie-break, ceil
+    fraction). Emits every row with cluster, proto_dist, hard_rank and
+    the kept flag. Scoring is the zero-join codegen projection; the
+    exact rank windows on k partitions (the oracle-checkable tier — at
+    100 TB the exact=False percentile-cutoff path drops the Window
+    entirely, pinned in tests/test_prototype.py)."""
+    from pgdedupe_spark.operators.kmeans import prototype_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb, "vec_id", "embedding", k=4, iterations=2, keep_pct=40, dim=64
+    )
 
 
 @query(
@@ -4943,6 +4997,11 @@ PYTEST_ONLY = frozenset(
         # the full Gopher A1.2 battery (text_gopher_repetition), which
         # takes its rotation slot. Oracle retained via tests/test_oracle.py.
         "text_repetition_signals",
+        # born pytest-only late-r10 (window full), FULL hash oracle via
+        # the shared unrolled-Lloyd's CTE prefix: SSL-prototypes data
+        # pruning (Sorscher et al. 2022) — per-cluster hardness rank +
+        # ceil-fraction keep over the bit-exact ml_kmeans_exact fit
+        "ml_prototype_prune",
     }
 )
 

@@ -1,0 +1,144 @@
+"""SSL-prototypes pruning (kmeans.prototype_scores / prototype_prune):
+planted-cluster recovery, ceil-fraction keep counts, exact==shared-fit
+with kmeans_exact, approx (percentile-cutoff) mode contracts, plan pins,
+empty input. Reference semantics: Sorscher et al. 2022 (SSL prototypes),
+Tirumala et al. 2023 (D4 composition)."""
+
+from __future__ import annotations
+
+import math
+
+from pgdedupe_spark.operators.kmeans import (
+    kmeans_exact,
+    prototype_prune,
+    prototype_scores,
+)
+
+DIM = 4
+
+
+def _planted(spark):
+    """Three tight clusters around distinct corners + one far outlier per
+    cluster. ids encode the cluster for easy assertions."""
+    rows = []
+    centers = [[0.0] * DIM, [1.0] * DIM, [-1.0] * DIM]
+    for c, ctr in enumerate(centers):
+        for i in range(10):
+            jitter = 0.001 * i
+            rows.append((c * 100 + i, [v + jitter for v in ctr]))
+        rows.append((c * 100 + 99, [v + 0.4 for v in ctr]))  # hard outlier
+    return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+
+def test_scores_share_fit_with_kmeans_exact(spark):
+    df = _planted(spark)
+    km = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_exact(df, "vec_id", "embedding", k=3, iterations=2, dim=DIM).collect()
+    }
+    sc = prototype_scores(df, "vec_id", "embedding", k=3, iterations=2, dim=DIM).collect()
+    assert {r["vec_id"]: r["cluster"] for r in sc} == km
+    # outliers are the farthest member of their cluster
+    by_cluster: dict[int, list] = {}
+    for r in sc:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    assert len(by_cluster) == 3
+    for members in by_cluster.values():
+        hardest = max(members, key=lambda r: (r["proto_dist"], r["vec_id"]))
+        assert hardest["vec_id"] % 100 == 99, members
+
+
+def test_exact_prune_keeps_ceil_fraction_of_hardest(spark):
+    df = _planted(spark)
+    out = prototype_prune(
+        df, "vec_id", "embedding", k=3, iterations=2, keep_pct=40, dim=DIM
+    ).collect()
+    assert len(out) == 33  # every input row is emitted
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        n = len(members)
+        keep_n = math.ceil(n * 40 / 100)
+        kept = [r for r in members if r["kept"] == 1]
+        assert len(kept) == keep_n, members
+        # kept = exactly the keep_n smallest hard_ranks, and every kept
+        # dist >= every dropped dist (modulo the id tie-break)
+        assert sorted(r["hard_rank"] for r in kept) == list(range(1, keep_n + 1))
+        min_kept = min(r["proto_dist"] for r in kept)
+        for r in members:
+            if r["kept"] == 0:
+                assert r["proto_dist"] <= min_kept
+        # the planted outlier always survives
+        assert any(r["vec_id"] % 100 == 99 for r in kept)
+
+
+def test_approx_mode_cutoff_contract(spark):
+    """approx path: kept iff dist >= the cluster's percentile cutoff — so
+    every kept dist dominates every dropped dist, the hardest example is
+    always kept, and the run is deterministic."""
+    df = _planted(spark)
+    out = prototype_prune(
+        df, "vec_id", "embedding", k=3, iterations=2, keep_pct=40, dim=DIM, exact=False
+    ).collect()
+    assert len(out) == 33
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        kept = [r for r in members if r["kept"] == 1]
+        dropped = [r for r in members if r["kept"] == 0]
+        assert kept, members
+        if dropped:
+            assert min(r["proto_dist"] for r in kept) >= max(
+                r["proto_dist"] for r in dropped
+            )
+        hardest = max(members, key=lambda r: r["proto_dist"])
+        assert hardest["kept"] == 1
+    again = prototype_prune(
+        df, "vec_id", "embedding", k=3, iterations=2, keep_pct=40, dim=DIM, exact=False
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_plan_pins(spark):
+    df = _planted(spark)
+    score_plan = (
+        prototype_scores(df, "vec_id", "embedding", k=3, iterations=1, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # scoring is a pure projection against centroid literals
+    assert "Join" not in score_plan, score_plan
+    assert "PythonUDF" not in score_plan
+    exact_plan = (
+        prototype_prune(df, "vec_id", "embedding", k=3, iterations=1, dim=DIM)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert exact_plan.count("Window") == 1, exact_plan
+    assert "BroadcastHashJoin" in exact_plan  # <= k count rows broadcast
+    assert "SortMergeJoin" not in exact_plan
+    approx_plan = (
+        prototype_prune(
+            df, "vec_id", "embedding", k=3, iterations=1, dim=DIM, exact=False
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in approx_plan, approx_plan
+    assert "BroadcastHashJoin" in approx_plan
+    assert "SortMergeJoin" not in approx_plan
+
+
+def test_empty_input_schemas(spark):
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    sc = prototype_scores(empty, "vec_id", "embedding", k=2, iterations=1)
+    assert [f.name for f in sc.schema] == ["vec_id", "cluster", "proto_dist"]
+    assert sc.count() == 0
+    km = kmeans_exact(empty, "vec_id", "embedding", k=2, iterations=1)
+    assert [f.name for f in km.schema] == ["vec_id", "cluster"]
+    assert km.count() == 0
