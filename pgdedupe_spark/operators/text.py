@@ -642,3 +642,120 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         stop_hits.cast("bigint").alias("n_required_hits"),
         keep.cast("int").alias("keep"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3): score every document under the corpus unigram LM and split
+    each language into terciles — 'head' is the third that looks most
+    like fluent text (highest mean log-probability / lowest perplexity),
+    'tail' the least; CCNet trains on head, samples middle, drops tail.
+
+    Hash-exact discipline (the DSIR device): the per-TERM log-probability
+    ``ln((c+1)/(T+V))`` rounds to DECIMAL(28,12) on the vocabulary
+    dimension BEFORE any per-document summation, so the doc aggregate is
+    exact decimal arithmetic (partial-agg order can't flip a value hash,
+    libm last-ulp disagreements are absorbed by the rounding). The mean
+    is ONE IEEE division of the exact decimal sum by the token count —
+    bit-identical in any engine — and buckets depend only on the
+    (mean DESC, id ASC) total order.
+
+    ``exact=True``: NTILE(3) per language (deterministic, oracle-
+    replicable; the window partitions on the language key, so only
+    #languages reducers are hot). At 100 TB pass ``exact=False``: the
+    two per-language cutoffs come from a mergeable approx-percentile
+    sketch, broadcast back (2 rows per language), and the bucket test is
+    a row-local comparison — no Window. Documents with zero tokens get
+    bucket 0 / tier 'empty' (no transitions to score).
+
+    Plan: one explode builds the token stream; the LM is a token-keyed
+    hash aggregate; totals are a broadcast 1-row crossJoin (all in-plan,
+    no driver collect); scoring joins the stream to the LM on the token
+    key (AQE broadcasts small vocabularies) and re-aggregates by doc."""
+    lang = F.col(lang_col) if lang_col else F.lit("all")
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        lang.alias("_lang"),
+        F.explode(tokens(F.col(text_col))).alias("_term"),
+    )
+    lm = toks.groupBy("_term").agg(F.count(F.lit(1)).alias("_c"))
+    totals = lm.agg(
+        F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
+    )
+    lp = F.round(
+        F.log(
+            (F.col("_c") + F.lit(1)).cast("double")
+            / (F.col("_t") + F.col("_v")).cast("double")
+        ),
+        12,
+    ).cast("decimal(28,12)")
+    lm_scored = lm.crossJoin(F.broadcast(totals)).select(
+        "_term", lp.alias("_lp")
+    )
+    per_doc = (
+        toks.join(lm_scored, "_term")
+        .groupBy("_doc", "_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_lp").alias("_sum_lp"),
+        )
+        .withColumn(
+            "mean_lp", F.col("_sum_lp").cast("double") / F.col("n_tokens")
+        )
+    )
+    base = df.select(F.col(id_col).alias("_doc"), lang.alias("_lang"))
+    scored = base.join(
+        per_doc.select("_doc", "n_tokens", "mean_lp"), "_doc", "left"
+    ).select(
+        "_doc",
+        "_lang",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        "mean_lp",
+    )
+    has = scored.filter(F.col("n_tokens") > 0)
+    if exact:
+        from pyspark.sql import Window
+
+        wn = Window.partitionBy("_lang").orderBy(
+            F.desc("mean_lp"), F.asc("_doc")
+        )
+        bucketed = has.withColumn("bucket", F.ntile(3).over(wn))
+    else:
+        cuts = has.groupBy("_lang").agg(
+            F.percentile_approx("mean_lp", F.lit(2.0 / 3.0), F.lit(10000)).alias("_c1"),
+            F.percentile_approx("mean_lp", F.lit(1.0 / 3.0), F.lit(10000)).alias("_c2"),
+        )
+        bucketed = has.join(F.broadcast(cuts), "_lang").withColumn(
+            "bucket",
+            F.when(F.col("mean_lp") >= F.col("_c1"), F.lit(1))
+            .when(F.col("mean_lp") >= F.col("_c2"), F.lit(2))
+            .otherwise(F.lit(3)),
+        )
+    empties = scored.filter(F.col("n_tokens") == 0).withColumn(
+        "bucket", F.lit(0)
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .when(F.col("bucket") == 3, F.lit("tail"))
+        .otherwise(F.lit("empty"))
+    )
+    cols = ["_doc", "_lang", "n_tokens", "mean_lp", "bucket"]
+    return (
+        bucketed.select(*cols)
+        .unionByName(empties.select(*cols))
+        .select(
+            F.col("_doc").alias(id_col),
+            F.col("_lang").alias("lang"),
+            "n_tokens",
+            "mean_lp",
+            F.col("bucket").cast("int").alias("bucket"),
+            tier.alias("tier"),
+        )
+    )

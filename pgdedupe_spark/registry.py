@@ -5002,6 +5002,10 @@ PYTEST_ONLY = frozenset(
         # pruning (Sorscher et al. 2022) — per-cluster hardness rank +
         # ceil-fraction keep over the bit-exact ml_kmeans_exact fit
         "ml_prototype_prune",
+        # born pytest-only late-r10 (window full), FULL hash oracle: CCNet
+        # head/middle/tail perplexity terciles (Wenzek et al. 2020) under
+        # the DSIR DECIMAL-log device
+        "text_ccnet_buckets",
     }
 )
 
@@ -7002,6 +7006,69 @@ def text_gopher_repetition(spark, sf_dir):
         F.array_join(F.concat(paras, F.slice(paras, 1, 1)), "\n\n").alias("text"),
     )
     return gopher_repetition(pg, "page_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10))
+
+
+@query(
+    "text_ccnet_buckets",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    lm AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+            FROM lm),
+    lms AS (
+      SELECT term,
+             CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)), 12)
+                  AS DECIMAL(28,12)) AS lp
+      FROM lm, tot
+    ),
+    pd AS (
+      SELECT tk.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(s.lp) AS sum_lp
+      FROM tok tk JOIN lms s USING (term)
+      GROUP BY tk.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(p.n_tokens, 0) AS n_tokens,
+             CAST(p.sum_lp AS DOUBLE) / p.n_tokens AS mean_lp
+      FROM documents d LEFT JOIN pd p USING (doc_id)
+    ),
+    has AS (
+      SELECT *, ntile(3) OVER (PARTITION BY lang
+                               ORDER BY mean_lp DESC, doc_id) AS bucket
+      FROM scored WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, n_tokens, mean_lp, CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM has
+    UNION ALL
+    SELECT doc_id, lang, n_tokens, CAST(NULL AS DOUBLE) AS mean_lp,
+           0 AS bucket, 'empty' AS tier
+    FROM scored WHERE n_tokens = 0
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3; text.ccnet_buckets, new late-r10): per-language terciles of the
+    corpus-unigram-LM mean log-probability — the data-selection stage
+    CCNet runs after dedup (train on head, sample middle, drop tail).
+    Hash-exact via the DSIR device: per-TERM logprob rounds to
+    DECIMAL(28,12) on the vocabulary dimension, the per-doc sum is exact
+    decimal, and the mean is one IEEE division — so the tercile order is
+    bit-identical in both engines. NTILE(3) per language with doc_id
+    tie-break; zero-token docs emit bucket 0 / 'empty'. Born pytest-only
+    (window full); full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    return ccnet_buckets(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
+    )
 
 
 @query(

@@ -153,3 +153,89 @@ def test_gopher_rules_line_signals(spark):
     out = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
     assert out[1].frac_bullet_lines == 0.95 and out[1].keep == 0
     assert out[2].frac_ellipsis_lines == 0.4 and out[2].keep == 0
+
+
+def _ccnet_corpus(spark):
+    """Fluent docs reuse the common vocabulary; garbled docs are made of
+    tokens that appear nowhere else (count 1 ⇒ minimal logprob). Mixed
+    docs sit between. Two languages to exercise the per-lang terciles."""
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    i = 0
+    for lang in ("en", "de"):
+        for _ in range(3):
+            rows.append((i, lang, common)); i += 1
+        for _ in range(3):
+            rows.append((i, lang, common + f" zz{i}q zz{i}w zz{i}e")); i += 1
+        for _ in range(3):
+            rows.append((i, lang, f"qq{i}a qq{i}b qq{i}c qq{i}d qq{i}e")); i += 1
+    rows.append((98, "en", ""))      # zero tokens
+    rows.append((99, "en", None))    # NULL text
+    return spark.createDataFrame(rows, "doc_id int, lang string, text string")
+
+
+def test_ccnet_buckets_orders_fluency_per_language(spark):
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    df = _ccnet_corpus(spark)
+    out = {r.doc_id: r for r in
+           ccnet_buckets(df, "doc_id", "text", lang_col="lang").collect()}
+    assert len(out) == 20
+    for lang_base in (0, 9):
+        # 3 fluent / 3 mixed / 3 garbled per language → clean terciles
+        for j in range(3):
+            assert out[lang_base + j].tier == "head", out[lang_base + j]
+        for j in range(3, 6):
+            assert out[lang_base + j].tier == "middle", out[lang_base + j]
+        for j in range(6, 9):
+            assert out[lang_base + j].tier == "tail", out[lang_base + j]
+    assert out[98].tier == "empty" and out[98].bucket == 0
+    assert out[99].tier == "empty" and out[99].n_tokens == 0
+    # scores are monotone with the buckets inside a language
+    en = [r for r in out.values() if r.lang == "en" and r.bucket > 0]
+    for a in en:
+        for b in en:
+            if a.bucket < b.bucket:
+                assert a.mean_lp >= b.mean_lp, (a, b)
+
+
+def test_ccnet_buckets_approx_mode_contract(spark):
+    """approx=False drops the Window; buckets stay monotone in score and
+    the run is deterministic."""
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    df = _ccnet_corpus(spark)
+    out = ccnet_buckets(df, "doc_id", "text", lang_col="lang", exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == 20
+    by_lang = {}
+    for r in rows:
+        if r.bucket > 0:
+            by_lang.setdefault(r.lang, []).append(r)
+    for members in by_lang.values():
+        # with heavily tied scores a cutoff can merge adjacent buckets
+        # (documented: cutoff ties keep the better bucket) — but buckets
+        # stay within range, the head is never empty, and scores are
+        # monotone across buckets
+        assert {r.bucket for r in members} <= {1, 2, 3}
+        assert any(r.bucket == 1 for r in members)
+        for a in members:
+            for b in members:
+                if a.bucket < b.bucket:
+                    assert a.mean_lp >= b.mean_lp
+    again = ccnet_buckets(df, "doc_id", "text", lang_col="lang", exact=False).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_ccnet_buckets_exact_plan_single_window(spark):
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    df = _ccnet_corpus(spark)
+    plan = (
+        ccnet_buckets(df, "doc_id", "text", lang_col="lang")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1, plan
+    assert "PythonUDF" not in plan
