@@ -1408,3 +1408,90 @@ def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_kept.cast("bigint").alias("n_lines_kept"),
         keep.cast("int").alias("keep_doc"),
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    tau: float = 2.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-scaled mixture quotas (the mT5/Llama multilingual-mix
+    recipe, Xue et al. 2021 §3.1): group g receives a share of the ``k``
+    sample budget proportional to ``n_g^(1/tau)`` — tau=1 keeps natural
+    proportions, tau→∞ approaches uniform, the standard knob for keeping
+    low-resource groups from vanishing.
+
+    Exact-integer contract: the tempered weight quantizes to BIGINT via
+    ``floor(pow(n, 1/tau)·scale + 0.5)`` (one double pow per GROUP, the
+    ANN-quantize device — a last-ulp libm disagreement would need to land
+    exactly on a .5 boundary), and the budget splits by LARGEST-REMAINDER
+    apportionment in pure integer arithmetic: base = (k·w) div W,
+    remainder rank (rem DESC, group ASC) distributes the leftover — so
+    quotas sum to exactly k and hash bit-for-bit in any engine.
+
+    Plan: one group count, then everything operates on the G-row group
+    dimension (two broadcast 1-row crossJoins for the totals and one
+    unpartitioned window over G rows — G is the number of groups, tiny by
+    construction). Output: (group, n_rows, w_scaled, quota)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = F.floor(
+        F.pow(F.col("n_rows").cast("double"), F.lit(1.0 / tau)) * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("long")
+    dim = counts.withColumn("w_scaled", w)
+    tot = dim.agg(F.sum("w_scaled").alias("_wsum"))
+    based = (
+        dim.crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.expr(f"({int(k)} * w_scaled) div _wsum"))
+        .withColumn("_rem", (F.lit(int(k)) * F.col("w_scaled")) % F.col("_wsum"))
+    )
+    leftover = based.agg((F.lit(int(k)) - F.sum("_base")).alias("_left"))
+    wn = Window.orderBy(F.desc("_rem"), F.asc(group_col))
+    return (
+        based.crossJoin(F.broadcast(leftover))
+        .withColumn("_rk", F.row_number().over(wn))
+        .select(
+            group_col,
+            "n_rows",
+            "w_scaled",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    tau: float = 2.0,
+    salt: str = "temp",
+    scale: int = 10**6,
+) -> DataFrame:
+    """Draw the temperature-mixed sample: per-group quotas from
+    :func:`temperature_quotas`, members chosen by the engine-portable
+    md5(salt‖id) order (quota_sample's device — deterministic,
+    reproducible, growth-stable within a group until its quota changes).
+    Exactly k rows come back (quotas apportion the full budget; a group
+    smaller than its quota underfills and is visible via the quota
+    column). The rank window shares quota_sample's shape and its 100 TB
+    note: pre-filter by a hash threshold when groups are huge relative to
+    their quota so the exact window only sorts survivors."""
+    quotas = temperature_quotas(df, group_col, k, tau, scale)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    wn = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    ranked = df.select(group_col, id_col).withColumn(
+        "sample_rank", F.row_number().over(wn).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), group_col)
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(group_col, id_col, "sample_rank", "quota")
+    )

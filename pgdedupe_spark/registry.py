@@ -5006,6 +5006,10 @@ PYTEST_ONLY = frozenset(
         # head/middle/tail perplexity terciles (Wenzek et al. 2020) under
         # the DSIR DECIMAL-log device
         "text_ccnet_buckets",
+        # born pytest-only late-r10 (window full), FULL hash oracle:
+        # temperature-scaled mixture sampling (mT5 tau-mix) via
+        # exact-integer largest-remainder apportionment
+        "corpus_temperature_mix",
     }
 )
 
@@ -7006,6 +7010,60 @@ def text_gopher_repetition(spark, sf_dir):
         F.array_join(F.concat(paras, F.slice(paras, 1, 1)), "\n\n").alias("text"),
     )
     return gopher_repetition(pg, "page_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10))
+
+
+@query(
+    "corpus_temperature_mix",
+    oracle=r"""
+    WITH cnt AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+      GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_rows,
+             CAST(floor(pow(CAST(n_rows AS DOUBLE), 0.5) * 1000000.0 + 0.5)
+                  AS BIGINT) AS w_scaled
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS wsum FROM w),
+    based AS (
+      SELECT source, n_rows, w_scaled,
+             (120 * w_scaled) // wsum AS base,
+             (120 * w_scaled) % wsum AS rem
+      FROM w, tot
+    ),
+    lo AS (SELECT 120 - sum(base) AS leftover FROM based),
+    q AS (
+      SELECT source, n_rows, w_scaled,
+             CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                               <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM based, lo
+    ),
+    r AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('temp' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS sample_rank
+      FROM documents
+    )
+    SELECT r.source, r.doc_id, r.sample_rank, q.quota
+    FROM r JOIN q USING (source)
+    WHERE r.sample_rank <= q.quota
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-scaled mixture sampling (curation.temperature_sample,
+    new late-r10; mT5/Llama recipe, tau=2): 120 documents apportioned
+    across sources ∝ sqrt(group size) by exact-integer largest-remainder
+    quotas, members drawn in the portable md5 order. Every value integer
+    or exact — the one double op (pow per GROUP) quantizes through the
+    ANN floor(x·1e6+0.5) device before any arithmetic. Born pytest-only
+    (window full); full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", k=120, tau=2.0
+    )
 
 
 @query(

@@ -831,3 +831,74 @@ def test_dsir_declarative_model_equals_materialized_fit(spark, sf_dir):
         ).collect()
     }
     assert decl == mat
+
+
+def test_temperature_quotas_largest_remainder_hand_check(spark):
+    """n=[4,4,1], k=5, tau=1: weights 4e6/4e6/1e6, bases [2,2,0],
+    remainders [2e6,2e6,5e6] → the leftover seat goes to the small group.
+    Quotas always sum to exactly k."""
+    from pgdedupe_spark.operators.curation import temperature_quotas
+
+    rows = [("a", i) for i in range(4)] + [("b", i) for i in range(4)] + [("c", 0)]
+    df = spark.createDataFrame(rows, "src string, doc_id int")
+    q = {r["src"]: r for r in temperature_quotas(df, "src", k=5, tau=1.0).collect()}
+    assert q["a"]["quota"] == 2 and q["b"]["quota"] == 2 and q["c"]["quota"] == 1
+    assert sum(r["quota"] for r in q.values()) == 5
+    assert q["a"]["w_scaled"] == 4_000_000 and q["c"]["w_scaled"] == 1_000_000
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    """[100,1,1] groups: tau=1 gives the big group nearly everything;
+    tau=2 shifts mass to the small groups; huge tau ≈ uniform."""
+    from pgdedupe_spark.operators.curation import temperature_quotas
+
+    rows = (
+        [("big", i) for i in range(100)]
+        + [("s1", i) for i in range(1)]
+        + [("s2", i) for i in range(1)]
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id int")
+
+    def quotas(tau):
+        return {
+            r["src"]: r["quota"]
+            for r in temperature_quotas(df, "src", k=30, tau=tau).collect()
+        }
+
+    q1, q2, qinf = quotas(1.0), quotas(2.0), quotas(100.0)
+    for q in (q1, q2, qinf):
+        assert sum(q.values()) == 30
+    assert q1["big"] > q2["big"] > qinf["big"]
+    assert q2["s1"] >= 1  # sqrt temper keeps low-resource groups alive
+    assert abs(qinf["big"] - qinf["s1"]) <= 1  # ~uniform at huge tau
+
+
+def test_temperature_sample_respects_quotas_and_determinism(spark):
+    from pgdedupe_spark.operators.curation import (
+        temperature_quotas,
+        temperature_sample,
+    )
+
+    rows = (
+        [("big", i) for i in range(60)]
+        + [("mid", i) for i in range(20)]
+        + [("tiny", i) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id int")
+    out = temperature_sample(df, "src", "doc_id", k=24, tau=2.0).collect()
+    quotas = {
+        r["src"]: r["quota"]
+        for r in temperature_quotas(df, "src", k=24, tau=2.0).collect()
+    }
+    sizes = {"big": 60, "mid": 20, "tiny": 2}
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r)
+    for src, members in by_src.items():
+        assert len(members) == min(quotas[src], sizes[src]), (src, quotas)
+        assert all(r["quota"] == quotas[src] for r in members)
+        assert sorted(r["sample_rank"] for r in members) == list(
+            range(1, len(members) + 1)
+        )
+    again = temperature_sample(df, "src", "doc_id", k=24, tau=2.0).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
