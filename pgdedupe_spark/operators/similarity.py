@@ -1403,3 +1403,98 @@ def embedding_near_dup_clusters(
             (F.col("id") == F.col("component")).alias("keep"),
         )
     )
+
+
+def _rank_cells_rowlocal(
+    q: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]], n_probe: int
+) -> DataFrame:
+    """(query_id, vec) → (query_id, vec, cell): the ``n_probe`` cells with
+    the largest raw centroid dot product, ranked ROW-LOCALLY — the scores
+    land in a literal-centroid struct array, array_sort on (-score, cid)
+    replays _rank_cells' (score DESC, cid ASC) order, and slice+explode
+    fans out exactly n_probe rows per query. No Window: _rank_cells'
+    per-query rank window is fine for a bounded query set but shuffles
+    queries×n_centroids rows when the query side is a full corpus — this
+    variant is what knn_join uses on its unbounded left. Same generated-
+    SQL literal discipline as _assign_cells (py4j cost at 64×64)."""
+    cent2d = _sql_array2d(np.array([vec for _, vec in centroids], dtype=np.float64))
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
+    scores = (
+        f"transform({cent2d}, (cc, i) -> named_struct("
+        f"'negs', -aggregate(zip_with(`{vec_col}`, cc, (x, y) -> x * y),"
+        f" 0D, (a, b) -> a + b), "
+        f"'cid', element_at({cids}, i + 1)))"
+    )
+    top = f"slice(array_sort({scores}), 1, {int(n_probe)})"
+    return (
+        q.selectExpr("*", f"explode({top}) AS _pc")
+        .withColumn("cell", F.col("_pc.cid"))
+        .drop("_pc")
+    )
+
+
+def knn_join(
+    left: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right: DataFrame,
+    right_id: str,
+    right_vec: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Two-table approximate kNN JOIN: for EVERY left row, the top-k
+    right rows by exact cosine among IVF-probed candidates — the RAG /
+    contrastive-pair mining primitive (query corpus × passage corpus)
+    that ivf_cosine_topk's bounded-query serve shape doesn't cover.
+
+    Both sides stay distributed: the coarse quantizer fits on the RIGHT
+    corpus (seeded hash-rank sample, or pass ``centroids`` for a pinned/
+    persisted layout), right rows get cells via the zero-shuffle argmax
+    fold (_assign_cells), the left probes its n_probe cells ROW-LOCALLY
+    (_rank_cells_rowlocal — no Window on the unbounded side), and the
+    candidate equi-join on ``cell`` carries the n_probe/n_centroids
+    recall dial. Final top-k ranks per query_id — unbounded distinct
+    keys, so the window partitions well.
+
+    100 TB notes: the cell join has at most n_centroids distinct keys —
+    write the right side once partitioned BY cell (write_ivf_index) so
+    probing prunes partitions, and lift n_centroids with corpus size
+    (cells ~ sqrt(N) keeps cell populations bounded); candidate volume
+    is left×n_probe×(N_right/n_centroids) — the output-volume knob is
+    n_probe, not AQE (a quadratic-output join key can't be split by
+    input-size skew handling; SCALE.md r9)."""
+    if centroids is None:
+        ranked = right.select(
+            F.col(right_vec).alias("_v"),
+            F.xxhash64(F.lit(seed), F.col(right_id)).alias("_h"),
+            F.col(right_id).alias("_id"),
+        )
+        rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
+        centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(rows)]
+
+    rc = _assign_cells(
+        right.select(F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")),
+        "_cv",
+        centroids,
+    )
+    q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    scored = probes.join(rc, "cell").withColumn(
+        "sim", dot / (nrm(F.col("_qv")) * nrm(F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -1970,6 +1970,50 @@ def _ivf_topk_oracle(n_probe: int) -> str:
     ){_ann_exact_tail(_ANN_K)}"""
 
 
+def _knn_join_oracle(n_probe: int, k: int) -> str:
+    """DuckDB twin of the two-table kNN join: pinned-centroid cell
+    assignment on the odd-id corpus, probe ranking for every even-id
+    query, exact cosine re-rank — the _ivf_topk_oracle recipe minus the
+    self-pair filter, over disjoint query/corpus halves."""
+    import math
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    _, centroids = pinned_pq_layout(64, 16, 32, 16)
+    cos_exprs = []
+    probe_structs = []
+    for cid, cvec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos_exprs.append(
+            f"(CAST(list_dot_product(cv, {_ann_ilist(cvec)}) AS DOUBLE)"
+            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
+        )
+        probe_structs.append(
+            f"{{'cid': {cid}, 'cs': list_dot_product(qv, {_ann_ilist(cvec)})}}"
+        )
+    cl = "[" + ",".join(cos_exprs) + "]"
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {_ANN_QUANT} AS cv FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), q AS (
+      SELECT vec_id AS query_id, {_ANN_QUANT} AS qv FROM embeddings
+      WHERE vec_id % 2 = 0
+    ), cells AS (
+      SELECT neighbor_id, list_position({cl}, list_max({cl})) - 1 AS cell FROM c
+    ), pr AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, u.cid AS cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY u.cs DESC, u.cid) AS prn
+        FROM (SELECT query_id, unnest([{",".join(probe_structs)}]) AS u FROM q)
+      ) WHERE prn <= {n_probe}
+    ), cand AS (
+      SELECT pr.query_id, cells.neighbor_id
+      FROM pr JOIN cells ON cells.cell = pr.cell
+    ){_ann_exact_tail(k)}"""
+
+
 def _lsh_topk_oracle(
     n_planes: int, n_tables: int, n_flip_probes: int, plane_scale: int, seed: int = 42
 ) -> str:
@@ -2447,6 +2491,30 @@ def ann_ivf_topk(spark, sf_dir):
     _, cents = pinned_pq_layout(64, 16, 32, 16)
     return ivf_cosine_topk(
         _quantized_embeddings(spark, sf_dir), "vec_id", "embedding",
+        k=5, n_centroids=16, n_probe=14, centroids=cents,
+    )
+
+
+@query("ann_knn_join", oracle=_knn_join_oracle(14, 5))
+def ann_knn_join(spark, sf_dir):
+    """Two-table approximate kNN join (similarity.knn_join, new late-r10)
+    — the RAG / contrastive-pair mining primitive: EVERY even-id vector
+    (the query corpus) gets its 5 nearest odd-id vectors (the passage
+    corpus) by exact cosine among IVF-probed candidates. Unlike
+    ann_ivf_topk's bounded-query serve shape, the left side is unbounded:
+    probe ranking is row-local (sorted literal-scores array, no Window on
+    the query side), the coarse quantizer is the PINNED integer centroid
+    set over 10^4-quantized vectors, so cells, probes, and cosines are
+    integer-derived and DuckDB replays the join bit-for-bit. 14/16
+    probes, k=5. Born pytest-only (window full); full DuckDB coverage
+    via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.similarity import knn_join, pinned_pq_layout
+
+    _, cents = pinned_pq_layout(64, 16, 32, 16)
+    emb = _quantized_embeddings(spark, sf_dir)
+    return knn_join(
+        emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+        emb.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding",
         k=5, n_centroids=16, n_probe=14, centroids=cents,
     )
 
@@ -5010,6 +5078,10 @@ PYTEST_ONLY = frozenset(
         # temperature-scaled mixture sampling (mT5 tau-mix) via
         # exact-integer largest-remainder apportionment
         "corpus_temperature_mix",
+        # born pytest-only late-r10 (window full), FULL hash oracle via
+        # the pinned IVF centroid layout: two-table kNN join (RAG pair
+        # mining) with row-local probe ranking on the unbounded side
+        "ann_knn_join",
     }
 )
 

@@ -407,3 +407,95 @@ def test_release_caches_frees_lsh_intermediates(spark):
     # idempotent, and results remain correct (recompute from source)
     assert dedup.release_caches() == 0
     assert pairs.count() >= 1
+
+
+def _knn_corpus(spark, n=120, dim=8, seed=3):
+    """Deterministic float corpus split into even (query) / odd (corpus)
+    halves."""
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 4) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    return rows, df
+
+
+def _brute_knn(rows, k):
+    """Exact cosine kNN join (even→odd) in Python."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    qs = [(i, v) for i, v in rows if i % 2 == 0]
+    cs = [(i, v) for i, v in rows if i % 2 == 1]
+    out = {}
+    for qi, qv in qs:
+        scored = sorted(((cos(qv, cv), -ci) for ci, cv in cs), reverse=True)
+        out[qi] = [-nid for _, nid in scored[:k]]
+    return out
+
+
+def test_knn_join_all_probes_is_exact(spark):
+    """n_probe == n_centroids scans every cell → the join degrades to the
+    exact brute force, neighbor-for-neighbor."""
+    from pgdedupe_spark.operators.similarity import knn_join
+
+    rows, df = _knn_corpus(spark)
+    left = df.filter("vec_id % 2 = 0")
+    right = df.filter("vec_id % 2 = 1")
+    got = knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=8,
+    ).collect()
+    exact = _brute_knn(rows, 5)
+    assert len({r["query_id"] for r in got}) == len(exact)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qi, members in by_q.items():
+        members.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in members] == [1, 2, 3, 4, 5]
+        assert [r["neighbor_id"] for r in members] == exact[qi], qi
+
+
+def test_knn_join_probed_recall_and_plan(spark):
+    """Partial probing keeps recall high on random vectors, the query side
+    carries no probe Window (row-local ranking), and the plan's single
+    Window is the final per-query top-k."""
+    from pgdedupe_spark.operators.similarity import knn_join
+
+    rows, df = _knn_corpus(spark)
+    left = df.filter("vec_id % 2 = 0")
+    right = df.filter("vec_id % 2 = 1")
+    out = knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=6,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one Window NODE (the final top-k; WindowGroupLimit is its
+    # pushed-down rank-limit companion, not a second window)
+    assert plan.count("Window [") == 1, plan
+    assert "PythonUDF" not in plan
+    got = out.collect()
+    exact = _brute_knn(rows, 5)
+    hits = total = 0
+    for r in got:
+        total += 0  # counted from exact below
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qi, nbrs in exact.items():
+        hits += len(set(nbrs) & by_q.get(qi, set()))
+        total += len(nbrs)
+    assert hits / total >= 0.9, hits / total
+    # every query id emits at most k contiguous ranks
+    counts = {}
+    for r in got:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert all(c <= 5 for c in counts.values())
