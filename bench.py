@@ -149,10 +149,13 @@ HEADLINE = [
     "pipeline_llm_prep",
     "er_record_linkage",
     # late-r10: the A1.2 repetition battery (zero-shuffle projection),
-    # SSL-prototypes pruning, CCNet perplexity terciles
+    # SSL-prototypes pruning, CCNet perplexity terciles, temperature
+    # mixing, and the two-table kNN join
     "text_gopher_repetition",
     "ml_prototype_prune",
     "text_ccnet_buckets",
+    "corpus_temperature_mix",
+    "ann_knn_join",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
