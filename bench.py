@@ -152,6 +152,7 @@ HEADLINE = [
     # SSL-prototypes pruning, CCNet perplexity terciles, temperature
     # mixing, and the two-table kNN join
     "text_gopher_repetition",
+    "text_gopher_full",
     "ml_prototype_prune",
     "text_ccnet_buckets",
     "corpus_temperature_mix",

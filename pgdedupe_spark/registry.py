@@ -5082,6 +5082,10 @@ PYTEST_ONLY = frozenset(
         # the pinned IVF centroid layout: two-table kNN join (RAG pair
         # mining) with row-local probe ranking on the unbounded side
         "ann_knn_join",
+        # born pytest-only late-r10 (window full), FULL hash oracle: the
+        # complete MassiveText filter — A1.1 heuristics AND the A1.2
+        # repetition battery conjoined per document
+        "text_gopher_full",
     }
 )
 
@@ -6755,9 +6759,7 @@ def curation_dsir_sample(spark, sf_dir):
     )
 
 
-@query(
-    "text_gopher_rules",
-    oracle=r"""
+_GOPHER_RULES_SQL = r"""
     WITH base AS (
       SELECT doc_id, coalesce(text, '') AS t FROM documents
     ), w AS (
@@ -6801,8 +6803,10 @@ def curation_dsir_sample(spark, sf_dir):
                 AND frac_alpha_words >= 0.8
                 AND n_required_hits >= 2 AS INT) AS keep
     FROM r
-    """,
-)
+    """
+
+
+@query("text_gopher_rules", oracle=_GOPHER_RULES_SQL)
 def text_gopher_rules(spark, sf_dir):
     """Gopher rule-based quality gate (Rae et al. 2021 §A1.1;
     text.gopher_quality, new r10): the seven heuristic signals — word
@@ -6882,10 +6886,7 @@ def curation_c4_clean(spark, sf_dir):
     return c4_clean(pages.withColumnRenamed("source", "page_id"), "page_id", "text")
 
 
-@query(
-    "text_gopher_repetition",
-    oracle=r"""
-    WITH pages0 AS (
+_GOPHER_PAGES_SQL = r"""pages0 AS (
       SELECT source AS page_id, array_agg(text ORDER BY doc_id) AS arr
       FROM documents GROUP BY source
     ), pagesp AS (
@@ -6898,7 +6899,22 @@ def curation_c4_clean(spark, sf_dir):
              array_to_string(list_concat(paras, paras[1:1]),
                              chr(10)||chr(10)) AS t
       FROM pagesp
-    ),
+    )"""
+
+_GOPHER_DOCS_SQL = r"""pg AS (
+      SELECT doc_id AS page_id, coalesce(text, '') AS t FROM documents
+    )"""
+
+
+def _gopher_repetition_oracle(pg_sql: str) -> str:
+    """The full A1.2 repetition-battery twin over any ``pg(page_id, t)``
+    CTE chain — conventional unnest+GROUP BY; shared by the page-level
+    row (text_gopher_repetition) and the per-document composite
+    (text_gopher_full)."""
+    return (
+        "\n    WITH "
+        + pg_sql
+        + r""",
     ln AS (
       SELECT page_id, trim(l) AS line
       FROM (SELECT page_id, unnest(string_split_regex(t, '\n')) AS l FROM pg)
@@ -7048,7 +7064,50 @@ def curation_c4_clean(spark, sf_dir):
         CAST(dup10_char_n * 100 <= token_chars * 10 AS INT) AS keep_dup10
       FROM base
     )
+    """
+    )
+
+
+@query(
+    "text_gopher_full",
+    oracle=f"""
+    WITH qual AS ({_GOPHER_RULES_SQL}),
+    rep AS ({_gopher_repetition_oracle(_GOPHER_DOCS_SQL)})
+    SELECT q.doc_id, q.n_words, CAST(q.keep AS INT) AS quality_keep,
+           r.token_chars, r.top2_char_n, r.dup5_char_n,
+           CAST(r.repetition_keep AS INT) AS repetition_keep,
+           CAST(q.keep * r.repetition_keep AS INT) AS keep
+    FROM qual q JOIN rep r ON r.page_id = q.doc_id
     """,
+)
+def text_gopher_full(spark, sf_dir):
+    """The COMPLETE MassiveText document filter (Rae et al. 2021 table
+    A1): the §A1.1 heuristic-signal gate (text_gopher_rules) AND the
+    §A1.2 repetition battery (text_gopher_repetition) conjoined per
+    document — keep = quality_keep × repetition_keep, with the salient
+    numerators alongside for auditability. Both halves are zero-shuffle
+    per-row projections, so the composite is one scan + one doc-keyed
+    join the optimizer collapses to a single stage pipeline. Born
+    pytest-only (window full); full DuckDB coverage via
+    tests/test_oracle.py, each half also independently oracle-checked."""
+    from pgdedupe_spark.operators.curation import gopher_repetition
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    q = gopher_quality(docs, "doc_id", "text").select(
+        "doc_id", "n_words", F.col("keep").alias("quality_keep")
+    )
+    r = gopher_repetition(
+        docs, "doc_id", "text", top_ns=(2, 3, 4), dup_ns=(5, 10)
+    ).select("doc_id", "token_chars", "top2_char_n", "dup5_char_n", "repetition_keep")
+    return q.join(r, "doc_id").withColumn(
+        "keep", (F.col("quality_keep") * F.col("repetition_keep")).cast("int")
+    )
+
+
+@query(
+    "text_gopher_repetition",
+    oracle=_gopher_repetition_oracle(_GOPHER_PAGES_SQL),
 )
 def text_gopher_repetition(spark, sf_dir):
     """The full Gopher repetition battery (Rae et al. 2021 table A1 —
