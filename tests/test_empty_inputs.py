@@ -145,3 +145,47 @@ def test_index_append_empty_batch_is_noop(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+def test_late_r10_ops_on_empty(spark):
+    """gopher_repetition / gopher_quality / ccnet_buckets / temperature /
+    knn_join all degrade to empty output with the right schema."""
+    from pgdedupe_spark.operators.curation import (
+        gopher_repetition,
+        temperature_quotas,
+        temperature_sample,
+    )
+    from pgdedupe_spark.operators.similarity import knn_join
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    docs = spark.createDataFrame([], "doc_id long, lang string, text string")
+    rep = gopher_repetition(docs, "doc_id", "text")
+    assert rep.count() == 0 and "repetition_keep" in rep.columns
+
+    cc = ccnet_buckets(docs, "doc_id", "text", lang_col="lang")
+    assert cc.count() == 0
+    assert [f.name for f in cc.schema] == [
+        "doc_id", "lang", "n_tokens", "mean_lp", "bucket", "tier",
+    ]
+
+    assert temperature_quotas(docs, "lang", k=10).count() == 0
+    assert temperature_sample(docs, "lang", "doc_id", k=10).count() == 0
+
+    vecs = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    some = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    # empty LEFT against a real right (centroids provided — fitting needs rows)
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    out = knn_join(
+        vecs, "vec_id", "embedding", some, "vec_id", "embedding",
+        k=3, n_centroids=2, n_probe=2, centroids=cents,
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["query_id", "neighbor_id", "sim", "rank"]
+    # empty RIGHT with pinned centroids: no candidates, empty result
+    out2 = knn_join(
+        some, "vec_id", "embedding", vecs, "vec_id", "embedding",
+        k=3, n_centroids=2, n_probe=2, centroids=cents,
+    )
+    assert out2.count() == 0
