@@ -181,6 +181,7 @@ _BENCH_ONLY = {
     "pairs_skew_probe",
     "tpch_sf1_probe",
     "pipeline_scale_probe",
+    "curation_scale_probe",
 }
 
 

@@ -169,6 +169,9 @@ HEADLINE = [
     # ×10-invariant self-checks and a q5 join-strategy census in-band
     "tpch_sf1_probe",
     "pipeline_scale_probe",
+    # late r10: 10×-documents curation tier (MassiveText full filter +
+    # CCNet terciles) with exact ×10 in-band self-checks
+    "curation_scale_probe",
 ]
 
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
@@ -184,6 +187,7 @@ HEAVY_PROBES = {
     # r10 sf1.0 tier: 6M-row scaled runs age the JVM like the other probes
     "tpch_sf1_probe",
     "pipeline_scale_probe",
+    "curation_scale_probe",
 }
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

@@ -5279,6 +5279,122 @@ def pipeline_scale_probe(spark, sf_dir):
     )
 
 
+def _scaled_docs_dir(spark, sf_dir: str, reps: int = 10, tag: str = "docs") -> str:
+    """Materialize a ``reps``× copy of the documents table under /tmp,
+    once per (sf, reps, tag): doc_id gets a per-replica 10M offset, text/
+    lang/source stay verbatim — so per-row operators scale EXACTLY ×reps
+    and corpus-level statistics see one genuinely reps×-larger corpus.
+    Same build-once marker discipline as :func:`_scaled_tpch_dir`."""
+    import os
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    out = f"/tmp/spark_graft_sf{sf}x{reps}_{tag}"
+    done = os.path.join(out, "_BUILT")
+    if os.path.exists(done):
+        return out
+    df = _t(spark, sf_dir, "documents").crossJoin(
+        spark.range(reps).select(F.col("id").alias("_rep"))
+    )
+    df = df.withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(10_000_000))
+    df.drop("_rep").write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+@query("curation_scale_probe")
+def curation_scale_probe(spark, sf_dir):
+    """Bench-only heavy tier for the LLM-curation family (late r10): the
+    complete MassiveText filter (text_gopher_full — zero-shuffle per-row
+    battery) and the CCNet perplexity terciles (text_ccnet_buckets —
+    corpus-level LM + per-language windows) against a 10×-scaled
+    documents table (~50k docs at sf0.1×10, one genuinely larger corpus,
+    not ten partitions of the same one).
+
+    Self-checks ride in-band, each exact by construction:
+    * gopher_full is per-row, so BOTH the row count and the kept-doc
+      count must scale exactly ×10 (text copies are verbatim);
+    * ccnet's tercile SIZES per (lang, tier) must equal the closed-form
+      NTILE split of 10n rows — floor(10n/3) + (1 if tier <= 10n mod 3)
+      — computed from the BASE per-language totals (note 10× the base
+      tier sizes is NOT the invariant when n mod 3 != 0; the first probe
+      run caught exactly that), and 'empty' rows scale exactly ×10. The
+      LM itself shifts (10× counts) and boundary membership may legally
+      reshuffle among identical-text copies; the sizes cannot.
+    What sf0.1 alone can't show: the LM aggregation's exchange sizing at
+    a 10× vocabulary-stream volume and the per-language window at 10×
+    partitions-per-key."""
+    import time as _time
+
+    reps = 10
+    t0 = _time.perf_counter()
+    scaled = _scaled_docs_dir(spark, sf_dir, reps=reps)
+    build_sec = round(_time.perf_counter() - t0, 3)
+
+    t0 = _time.perf_counter()
+    gf_base = QUERIES["text_gopher_full"](spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").alias("k")
+    ).collect()[0]
+    base_gf_sec = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    gf_scaled = QUERIES["text_gopher_full"](spark, scaled).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").alias("k")
+    ).collect()[0]
+    scaled_gf_sec = round(_time.perf_counter() - t0, 3)
+
+    def tier_counts(d):
+        rows = (
+            QUERIES["text_ccnet_buckets"](spark, d)
+            .groupBy("lang", "tier")
+            .count()
+            .collect()
+        )
+        return {(r["lang"], r["tier"]): r["count"] for r in rows}
+
+    t0 = _time.perf_counter()
+    cc_base = tier_counts(sf_dir)
+    base_cc_sec = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    cc_scaled = tier_counts(scaled)
+    scaled_cc_sec = round(_time.perf_counter() - t0, 3)
+
+    langs = {lang for lang, _ in cc_base}
+    expected: dict[tuple, int] = {}
+    for lang in langs:
+        n = sum(v for (lg, t), v in cc_base.items() if lg == lang and t != "empty")
+        big_n = reps * n
+        for i, tier in enumerate(("head", "middle", "tail"), start=1):
+            size = big_n // 3 + (1 if i <= big_n % 3 else 0)
+            if size:
+                expected[(lang, tier)] = size
+        emp = cc_base.get((lang, "empty"), 0)
+        if emp:
+            expected[(lang, "empty")] = reps * emp
+    tiers_exact = cc_scaled == expected
+    return spark.createDataFrame(
+        [
+            (
+                build_sec,
+                base_gf_sec,
+                scaled_gf_sec,
+                base_cc_sec,
+                scaled_cc_sec,
+                bool(
+                    gf_scaled["n"] == reps * gf_base["n"]
+                    and (gf_scaled["k"] or 0) == reps * (gf_base["k"] or 0)
+                ),
+                bool(tiers_exact),
+                round(scaled_gf_sec / base_gf_sec, 2) if base_gf_sec > 0 else None,
+                round(scaled_cc_sec / base_cc_sec, 2) if base_cc_sec > 0 else None,
+            )
+        ],
+        "build_sec double, base_gopher_sec double, scaled_gopher_sec double, "
+        "base_ccnet_sec double, scaled_ccnet_sec double, "
+        "gopher_exact_10x boolean, ccnet_tiers_exact_10x boolean, "
+        "gopher_scaleup double, ccnet_scaleup double",
+    )
+
+
 @query("cc_scale_probe")
 def cc_scale_probe(spark, sf_dir):
     """Bench-only scale probe for the pipeline's single multi-round

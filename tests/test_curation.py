@@ -902,3 +902,18 @@ def test_temperature_sample_respects_quotas_and_determinism(spark):
         )
     again = temperature_sample(df, "src", "doc_id", k=24, tau=2.0).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_curation_scale_probe_self_checks(spark):
+    """Same code path as the bench heavy tier, at the sf0.001 floor: the
+    gopher-full counts must scale exactly x10 and the ccnet tercile sizes
+    must equal the closed-form NTILE split of 10n (NOT 10x the base tier
+    sizes — n mod 3 != 0 redistributes the remainder; the probe's first
+    run caught that)."""
+    from pgdedupe_spark import registry
+
+    row = registry.QUERIES["curation_scale_probe"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["gopher_exact_10x"] is True
+    assert row["ccnet_tiers_exact_10x"] is True
