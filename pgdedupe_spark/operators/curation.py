@@ -646,25 +646,74 @@ def corpus_split(
     leak validation documents into training. Weights must sum to 1
     (validated); boundary arithmetic uses explicit floor on the u32
     domain so any engine reproduces the exact assignment."""
+    return df.withColumn("split", _hash_split_expr(F.col(id_col), weights, salt))
+
+
+def _hash_split_expr(key: Column, weights: dict[str, float], salt: str) -> Column:
+    """The u32(md5(salt‖key)) cumulative-interval assignment shared by
+    corpus_split (key = document id) and leakage_safe_split (key = near-
+    dup cluster representative). Boundary arithmetic uses an explicit
+    float→int floor on the u32 domain so any engine reproduces the exact
+    assignment."""
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
     bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
     ).cast("bigint")
     expr = None
     acc = 0.0
     items = list(weights.items())
     for name, w in items[:-1]:
         acc += w
-        hi = F.lit(int(acc * float(2**32)))  # exact float→int floor boundary
+        hi = F.lit(int(acc * float(2**32)))
         clause = bucket < hi
         expr = F.when(clause, F.lit(name)) if expr is None else expr.when(clause, F.lit(name))
     last = F.lit(items[-1][0])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn("split", expr)
+    return expr
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    n: int = 5,
+    threshold: float = 0.6,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    the split: documents are first clustered by n-gram-Jaccard near-dup
+    connected components (dedup.near_duplicate_clusters), then the hash
+    interval is taken over the CLUSTER representative (the component's
+    min id; singletons hash their own id) — so every member of a
+    near-dup cluster lands on the SAME side. This is the failure mode of
+    a plain per-document corpus_split: a paraphrased copy of a test
+    document sitting in train is leakage no downstream decontamination
+    re-checks for.
+
+    Output: (id, split_key, split) for every input document. Growth
+    note: the assignment is stable while a document's CLUSTER
+    representative is stable; a later crawl batch that bridges two
+    clusters merges them onto the smaller representative, which can
+    legitimately move documents between splits — re-split (or freeze
+    the eval set by id) after large-scale recrawls. Plan: the pair
+    generation is the banded n-gram self-join (never all-pairs), CC is
+    the checkpointed pointer-doubling operator, and the final
+    assignment is a per-row projection after one left join."""
+    from pgdedupe_spark.operators.dedup import near_duplicate_clusters
+
+    clusters = near_duplicate_clusters(
+        df, id_col, text_col, n=n, threshold=threshold
+    ).select(id_col, "cluster")
+    base = df.select(id_col).join(clusters, id_col, "left")
+    key = F.coalesce(F.col("cluster"), F.col(id_col))
+    return base.select(
+        id_col,
+        key.cast("long").alias("split_key"),
+        _hash_split_expr(key, weights, salt).alias("split"),
+    )
 
 
 def corpus_shuffle_order(df: DataFrame, id_col: str, seed: int = 0):

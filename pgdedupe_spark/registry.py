@@ -2950,10 +2950,11 @@ def embedding_label_centroids(spark, sf_dir):
     return label_centroids(_t(spark, sf_dir, "embeddings"), "label", "embedding", dim=64)
 
 
-@query(
-    "dedup_near_clusters",
-    oracle="""
-    WITH RECURSIVE sh AS (
+# Near-dup clustering as recursive CTEs (5-gram Jaccard pairs >= 0.6 →
+# reachability closure → min-id components) — shared by the
+# dedup_near_clusters row and the leakage-safe split composite. Ends at
+# ``comp(doc_id, cluster)``.
+_NEAR_CLUSTERS_CTES = """sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
                            i -> substr(text, i::int, 5))) AS ss
@@ -2972,7 +2973,66 @@ def embedding_label_centroids(spark, sf_dir):
       UNION
       SELECT r.s, sym.d FROM reach r JOIN sym ON r.d = sym.s
     ),
-    comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster FROM reach GROUP BY s)
+    comp AS (SELECT s AS doc_id, least(s, min(d)) AS cluster FROM reach GROUP BY s)"""
+
+
+def _leakage_split_oracle(weights: dict[str, float], salt: str = "split") -> str:
+    """DuckDB twin of curation.leakage_safe_split: the shared near-dup
+    component chain, cluster-representative keys, and the SAME cumulative
+    float→int u32 boundaries the Spark expression embeds (computed by the
+    identical Python loop, so float-accumulation quirks like 0.8+0.1
+    match bit-for-bit)."""
+    items = list(weights.items())
+    clauses = []
+    acc = 0.0
+    for name, w in items[:-1]:
+        acc += w
+        clauses.append(f"WHEN b < {int(acc * float(2**32))} THEN '{name}'")
+    case = "CASE " + " ".join(clauses) + f" ELSE '{items[-1][0]}' END"
+    return f"""
+    WITH RECURSIVE {_NEAR_CLUSTERS_CTES},
+    keyed AS (
+      SELECT d.doc_id, CAST(coalesce(c.cluster, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    u AS (
+      SELECT doc_id, split_key,
+             CAST('0x' || substr(md5('{salt}' || CAST(split_key AS VARCHAR)), 1, 8)
+                  AS BIGINT) AS b
+      FROM keyed
+    )
+    SELECT doc_id, split_key, {case} AS split FROM u
+    """
+
+
+@query(
+    "corpus_leakage_safe_split",
+    oracle=_leakage_split_oracle({"train": 0.8, "val": 0.1, "test": 0.1}),
+)
+def corpus_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (curation.leakage_safe_split,
+    new late-r10): hash-interval assignment over the near-dup CLUSTER
+    representative instead of the document id, so paraphrased/recrawled
+    copies can never straddle the split — the leakage a per-document
+    corpus_split permits and downstream decontamination never re-checks.
+    80/10/10 over the documents table; near-dup clusters via 5-gram
+    Jaccard >= 0.6 into connected components (the dedup_near_clusters
+    chain). Born pytest-only (window full); full DuckDB coverage via
+    tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import leakage_safe_split
+
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+@query(
+    "dedup_near_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEAR_CLUSTERS_CTES}
     SELECT doc_id, cluster,
            count(*) OVER (PARTITION BY cluster) AS cluster_size
     FROM comp
@@ -5086,6 +5146,10 @@ PYTEST_ONLY = frozenset(
         # complete MassiveText filter — A1.1 heuristics AND the A1.2
         # repetition battery conjoined per document
         "text_gopher_full",
+        # born pytest-only late-r10 (window full), FULL hash oracle: the
+        # leakage-safe split (hash interval over the near-dup cluster
+        # representative, not the doc id)
+        "corpus_leakage_safe_split",
     }
 )
 

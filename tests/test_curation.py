@@ -917,3 +917,45 @@ def test_curation_scale_probe_self_checks(spark):
     ).collect()[0]
     assert row["gopher_exact_10x"] is True
     assert row["ccnet_tiers_exact_10x"] is True
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    """Near-duplicates land on the same side; singletons get exactly the
+    plain corpus_split assignment (same salt ⇒ same hash interval)."""
+    from pgdedupe_spark.operators.curation import corpus_split, leakage_safe_split
+
+    rows = []
+    # 10 near-dup clusters of 3 (one-char perturbations) with DISJOINT
+    # vocabularies so clusters can't merge, 20 singletons
+    for c in range(10):
+        t = " ".join(f"c{c}w{k}token{(c * 7 + k) % 13}" for k in range(20)) * 2
+        rows += [(c * 10 + j, t + "x" * j) for j in range(3)]
+    for s in range(20):
+        # char-shingle-disjoint: varied words, no repeated token blocks
+        rows.append(
+            (1000 + s, " ".join(f"z{s}q{k}m{(s * 31 + k * 7) % 97}" for k in range(25)))
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = leakage_safe_split(df, "doc_id", "text", w).collect()
+    assert len(out) == len(rows)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["split_key"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in by_key.values())
+    # the 3 members of each planted cluster share one key and one split
+    got = {r["doc_id"]: r for r in out}
+    for c in range(10):
+        keys = {got[c * 10 + j]["split_key"] for j in range(3)}
+        assert len(keys) == 1, (c, keys)
+        assert keys == {c * 10}  # min-id representative
+    # singletons == plain corpus_split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in corpus_split(df, "doc_id", w).collect()
+    }
+    for s in range(20):
+        assert got[1000 + s]["split"] == plain[1000 + s]
+    # determinism
+    again = leakage_safe_split(df, "doc_id", "text", w).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
