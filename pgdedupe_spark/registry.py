@@ -5455,7 +5455,7 @@ def curation_scale_probe(spark, sf_dir):
         "build_sec double, base_gopher_sec double, scaled_gopher_sec double, "
         "base_ccnet_sec double, scaled_ccnet_sec double, "
         "gopher_exact_10x boolean, ccnet_tiers_exact_10x boolean, "
-        "gopher_scaleup double, ccnet_scaleup double",
+        "gopher_scaleup_factor double, ccnet_scaleup_factor double",
     )
 
 

@@ -29,7 +29,7 @@ def _rows(df):
 
     keep = [
         c for c in df.columns
-        if not c.endswith("_sec") and c != "scaleup_factor"
+        if not c.endswith("_sec") and not c.endswith("scaleup_factor")
     ]
     return Counter(
         tuple(_norm(v) for v in row) for row in df.select(*keep).collect()
