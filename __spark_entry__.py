@@ -121,6 +121,13 @@ _TAIL = [
     "text_gopher_rules",  # MassiveText §A1.1 heuristic gate (full hash)
     "curation_dsir_sample",  # DSIR Gumbel-top-k selection (full hash)
     "curation_c4_clean",  # C4 line-level cleaning (full hash)
+    # -- late-r10 composites promoted in the same sweep (two more
+    # saturated rows — events_time_weighted / corpus_mix_weighted —
+    # demoted to PYTEST_ONLY; mixing stays driver-covered via
+    # corpus_quota's successor corpus_token_budget and the r11-window
+    # sampling rows) --
+    "text_gopher_full",  # complete table-A1 filter: A1.1 AND A1.2 (full hash)
+    "ann_knn_join",  # two-table kNN join, pinned centroids (full hash)
     # -- r9 window rotated back in --
     "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle
     "er_golden_record",  # survivorship golden record
@@ -150,8 +157,6 @@ _TAIL = [
     "events_retention",
     "events_gapfill",
     "ann_pq_topk",  # full hash since r10 (pinned-integer PQ oracle)
-    "events_time_weighted",
-    "corpus_mix_weighted",
     "decontaminate_ngrams",
     "text_gopher_repetition",  # full A1.2 battery; subsumes repetition_signals
     "dedup_near_clusters",

@@ -2506,8 +2506,8 @@ def ann_knn_join(spark, sf_dir):
     the query side), the coarse quantizer is the PINNED integer centroid
     set over 10^4-quantized vectors, so cells, probes, and cosines are
     integer-derived and DuckDB replays the join bit-for-bit. 14/16
-    probes, k=5. Born pytest-only (window full); full DuckDB coverage
-    via tests/test_oracle.py."""
+    probes, k=5. Born pytest-only (window full); promoted into the r11
+    driver window later in r10."""
     from pgdedupe_spark.operators.similarity import knn_join, pinned_pq_layout
 
     _, cents = pinned_pq_layout(64, 16, 32, 16)
@@ -5138,18 +5138,21 @@ PYTEST_ONLY = frozenset(
         # temperature-scaled mixture sampling (mT5 tau-mix) via
         # exact-integer largest-remainder apportionment
         "corpus_temperature_mix",
-        # born pytest-only late-r10 (window full), FULL hash oracle via
-        # the pinned IVF centroid layout: two-table kNN join (RAG pair
-        # mining) with row-local probe ranking on the unbounded side
-        "ann_knn_join",
-        # born pytest-only late-r10 (window full), FULL hash oracle: the
-        # complete MassiveText filter — A1.1 heuristics AND the A1.2
-        # repetition battery conjoined per document
-        "text_gopher_full",
+        # (ann_knn_join and text_gopher_full were born here late-r10 and
+        # promoted into the r11 driver window in the same session,
+        # displacing events_time_weighted / corpus_mix_weighted below)
         # born pytest-only late-r10 (window full), FULL hash oracle: the
         # leakage-safe split (hash interval over the near-dup cluster
         # representative, not the doc id)
         "corpus_leakage_safe_split",
+        # demoted late-r10 to open r11-window slots for text_gopher_full
+        # and ann_knn_join: saturated simple rows — a single
+        # time-weighted window avg, and a per-row hash-rate filter whose
+        # family stays driver-covered by the r11-window sampling rows
+        # (curation_dsir_sample) while quota/weighted/temperature live
+        # here with full oracles. Retained via tests/test_oracle.py.
+        "events_time_weighted",
+        "corpus_mix_weighted",
     }
 )
 
@@ -7268,8 +7271,8 @@ def text_gopher_full(spark, sf_dir):
     numerators alongside for auditability. Both halves are zero-shuffle
     per-row projections, so the composite is one scan + one doc-keyed
     join the optimizer collapses to a single stage pipeline. Born
-    pytest-only (window full); full DuckDB coverage via
-    tests/test_oracle.py, each half also independently oracle-checked."""
+    pytest-only (window full); promoted into the r11 driver window later
+    in r10. Each half is also independently oracle-checked."""
     from pgdedupe_spark.operators.curation import gopher_repetition
     from pgdedupe_spark.operators.text import gopher_quality
 
