@@ -31,17 +31,76 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver checks exactly the first 50 queries per round, so the dict
 # below is PRIORITY-ordered and rotated each round (bookkeeping pinned by
-# tests/test_entry_contract.py). Round 10 executes the wholesale
-# tail↔priority swap promised in r9 (VERDICT r9 #3): _PRIORITY below is
-# the r9 _TAIL (the r8 window, all 50 green in CORRECTNESS_r08, with both
-# former rows-only rows since converted to full hash oracles) — led by
-# er_completeness, the one driver-eligible query without a driver row.
-# With ann_pq_serve + multimodal_audio_native now full-hash, this window
-# carries ZERO rows-only rows: CORRECTNESS_r10 should be 50/50 hash.
+# tests/test_entry_contract.py). Round 11 executes the staged wholesale
+# tail↔priority swap (VERDICT r10 #1): _PRIORITY below is the r10 _TAIL
+# (the r9 window, all 50 green in CORRECTNESS_r09, now all-hash) led by
+# twelve first-exposure full-hash composites. corpus_leakage_safe_split
+# joins the window per VERDICT r10 #6 (the last r10-born composite still
+# pytest-only), displacing text_html_extract (saturated per-row
+# extraction, green since r9) to registry.PYTEST_ONLY. The two lists
+# partition the 100 driver-eligible queries in alternating rounds — keep
+# it that way (new queries must displace into the other half, demote a
+# saturated row to registry.PYTEST_ONLY, or be bench/pytest-only), or
+# the "no query >2 rounds without a driver row" promise breaks.
 _PRIORITY = [
-    # -- first driver row in r10 (VERDICT r8 #7 / r9 #3) --
+    # -- first driver rows in r11 — lead with these --
+    "text_quality_model",  # learned LR quality filter, pinned weights (full hash)
+    "hybrid_search_rrf",  # BM25+dense reciprocal-rank fusion (full hash)
+    "pipeline_corpus_curation",  # composed curation pipeline (full hash)
+    "dedup_incremental_exact",  # Bloom-screened incremental dedup (full hash)
+    "pipeline_llm_prep",  # Gopher gate → dedup → DSIR selection (full hash)
+    "er_record_linkage",  # two-dataset RecordLink, symmetric best match (full hash)
+    "text_gopher_rules",  # MassiveText §A1.1 heuristic gate (full hash)
+    "curation_dsir_sample",  # DSIR Gumbel-top-k selection (full hash)
+    "curation_c4_clean",  # C4 line-level cleaning (full hash)
+    "text_gopher_full",  # complete table-A1 filter: A1.1 AND A1.2 (full hash)
+    "ann_knn_join",  # two-table kNN join, pinned centroids (full hash)
+    "corpus_leakage_safe_split",  # near-dup-cluster split (full hash, r11 promote)
+    # -- r9 window rotated back in --
+    "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle
+    "er_golden_record",  # survivorship golden record
+    "er_blocking_metrics",  # blocking quality scorecard
+    "ml_kmeans_exact",  # exact-integer Lloyd's k-means
+    "ml_contrastive_negatives",  # deterministic negative sampling
+    "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite
+    "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
+    "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
+    "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
+    "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
+    "a1_exact_collapse",
+    "pipeline_entity_map",
+    "d5_learned_rules",
+    "ann_lsh_serve",
+    "ann_ivf_serve",
+    "events_user_state",
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q17_small_qty_revenue",
+    "j10_merge_upsert",
+    "j11_cdc_apply",
+    "stats_analyze",
+    "w3_rolling",
+    "events_retention",
+    "events_gapfill",
+    "ann_pq_topk",  # full hash since r10 (pinned-integer PQ oracle)
+    "decontaminate_ngrams",
+    "text_gopher_repetition",  # full A1.2 battery; subsumes repetition_signals
+    "dedup_near_clusters",
+    "text_duplicated_spans",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "dedup_ngram_jaccard",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "j6_update_join",
+    "g1_connected_components",
+]
+_TAIL = [
+    # r12 rotation: _TAIL below is the r10 window (all 50 green full-hash
+    # in CORRECTNESS_r10) and becomes the r12 _PRIORITY on the next
+    # wholesale swap.
     "er_completeness",  # notebook cells 26-31 completeness analytics
-    # -- r8 window rotated back in (no driver row since r8) --
     "q2_min_balance_supplier",  # correlated-min supplier match
     "q6_forecast_revenue",  # single-table selective agg
     "q9_product_profit",  # 6-way profit snowflake
@@ -91,83 +150,6 @@ _PRIORITY = [
     "events_pivot",
     "stats_validate",
     "text_tfidf",
-]
-_TAIL = [
-    # r11 rotation: _TAIL below is the r9 window (all 50 green in
-    # CORRECTNESS_r09) and becomes the r11 _PRIORITY on the next wholesale
-    # swap — now ALSO all-hash: ann_pq_topk gained a full pinned-integer
-    # oracle in r10, and the two rows-only-by-construction rows
-    # (dedup_minhash_lsh / dedup_simhash) were demoted to PYTEST_ONLY
-    # (their portable-hash twins stay, one per window) in favor of four
-    # never-driver-checked composites: text_quality_model,
-    # hybrid_search_rrf, pipeline_corpus_curation, dedup_incremental_exact
-    # (VERDICT r9 #4/#10). The two lists partition the 100 driver-eligible
-    # queries in alternating rounds — keep it that way (new queries must
-    # displace into the other half, demote a saturated row to
-    # registry.PYTEST_ONLY, or be bench/pytest-only), or the "no query >2
-    # rounds without a driver row" promise breaks.
-    # -- first driver rows in r11 — lead with these --
-    "text_quality_model",  # learned LR quality filter, pinned weights (full hash)
-    "hybrid_search_rrf",  # BM25+dense reciprocal-rank fusion (full hash)
-    "pipeline_corpus_curation",  # composed curation pipeline (full hash)
-    "dedup_incremental_exact",  # Bloom-screened incremental dedup (full hash)
-    # -- r10-born composites promoted late-r10 (five saturated trivial
-    # rows — text_language_id / text_quality_stats / pii_redact_ids /
-    # corpus_quota_sample / f_array_ops — demoted to PYTEST_ONLY to make
-    # room; curation_dsir_weights stays pytest-only since dsir_sample and
-    # pipeline_llm_prep drive the same model through the window) --
-    "pipeline_llm_prep",  # Gopher gate → dedup → DSIR selection (full hash)
-    "er_record_linkage",  # two-dataset RecordLink, symmetric best match (full hash)
-    "text_gopher_rules",  # MassiveText §A1.1 heuristic gate (full hash)
-    "curation_dsir_sample",  # DSIR Gumbel-top-k selection (full hash)
-    "curation_c4_clean",  # C4 line-level cleaning (full hash)
-    # -- late-r10 composites promoted in the same sweep (two more
-    # saturated rows — events_time_weighted / corpus_mix_weighted —
-    # demoted to PYTEST_ONLY; mixing stays driver-covered via
-    # corpus_quota's successor corpus_token_budget and the r11-window
-    # sampling rows) --
-    "text_gopher_full",  # complete table-A1 filter: A1.1 AND A1.2 (full hash)
-    "ann_knn_join",  # two-table kNN join, pinned centroids (full hash)
-    # -- r9 window rotated back in --
-    "dedup_simhash_portable",  # md5-hash twin: simhash under full hash oracle
-    "er_golden_record",  # survivorship golden record
-    "er_blocking_metrics",  # blocking quality scorecard
-    "ml_kmeans_exact",  # exact-integer Lloyd's k-means
-    "ml_contrastive_negatives",  # deterministic negative sampling
-    "q_ranking_windows",  # NTILE/PERCENT_RANK/CUME_DIST/LAG suite
-    "text_html_extract",  # HTML->text crawl extraction
-    "events_attribution_outer",  # stream-stream LEFT OUTER batch twin (r6)
-    "q21_waiting_supplier",  # EXISTS+NOT-EXISTS self-joins, <> residuals
-    "q20_part_promotion",  # nested-IN w/ correlated agg, decorrelated
-    "q12_shipmode_priority",  # fact-fact non-equi residual, one-pass counts
-    "a1_exact_collapse",
-    "pipeline_entity_map",
-    "d5_learned_rules",
-    "ann_lsh_serve",
-    "ann_ivf_serve",
-    "events_user_state",
-    "q3_shipping_priority",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q17_small_qty_revenue",
-    "j10_merge_upsert",
-    "j11_cdc_apply",
-    "stats_analyze",
-    "w3_rolling",
-    "events_retention",
-    "events_gapfill",
-    "ann_pq_topk",  # full hash since r10 (pinned-integer PQ oracle)
-    "decontaminate_ngrams",
-    "text_gopher_repetition",  # full A1.2 battery; subsumes repetition_signals
-    "dedup_near_clusters",
-    "text_duplicated_spans",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "dedup_ngram_jaccard",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "j6_update_join",
-    "g1_connected_components",
 ]
 
 

@@ -3017,8 +3017,8 @@ def corpus_leakage_safe_split(spark, sf_dir):
     corpus_split permits and downstream decontamination never re-checks.
     80/10/10 over the documents table; near-dup clusters via 5-gram
     Jaccard >= 0.6 into connected components (the dedup_near_clusters
-    chain). Born pytest-only (window full); full DuckDB coverage via
-    tests/test_oracle.py."""
+    chain). Promoted into the r11 driver window (VERDICT r10 #6) — the
+    last r10-born full-hash composite to get a driver row."""
     from pgdedupe_spark.operators.curation import leakage_safe_split
 
     return leakage_safe_split(
@@ -5140,11 +5140,14 @@ PYTEST_ONLY = frozenset(
         "corpus_temperature_mix",
         # (ann_knn_join and text_gopher_full were born here late-r10 and
         # promoted into the r11 driver window in the same session,
-        # displacing events_time_weighted / corpus_mix_weighted below)
-        # born pytest-only late-r10 (window full), FULL hash oracle: the
-        # leakage-safe split (hash interval over the near-dup cluster
-        # representative, not the doc id)
-        "corpus_leakage_safe_split",
+        # displacing events_time_weighted / corpus_mix_weighted below;
+        # corpus_leakage_safe_split was born here late-r10 and promoted
+        # in r11 per VERDICT r10 #6, displacing text_html_extract below)
+        # demoted in r11 for corpus_leakage_safe_split: a saturated
+        # per-row extraction projection (green since its r9 debut) whose
+        # regex/strip helpers every crawl-side test still exercises.
+        # Oracle retained via tests/test_oracle.py.
+        "text_html_extract",
         # demoted late-r10 to open r11-window slots for text_gopher_full
         # and ann_knn_join: saturated simple rows — a single
         # time-weighted window avg, and a per-row hash-rate filter whose
@@ -5169,6 +5172,41 @@ PYTEST_ONLY_NO_ORACLE = {
 }
 
 
+def _src_fingerprint(paths: list[str]) -> str:
+    """Size+mtime fingerprint of the source parquet(s) behind a /tmp
+    scaled copy (ADVICE r10: a marker keyed only on (sf, reps, tag) would
+    compare a FRESH base against a STALE scaled copy after the driver
+    regenerates testdata, and the probes' exact-×reps self-checks would
+    fail spuriously). Files and directories both supported."""
+    import os
+
+    parts = []
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            size = mt = 0
+            for root, _, files in os.walk(p):
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    size += st.st_size
+                    mt = max(mt, int(st.st_mtime))
+            parts.append(f"{os.path.basename(p)}:{size}:{mt}")
+        elif os.path.exists(p):
+            st = os.stat(p)
+            parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+        else:
+            parts.append(f"{os.path.basename(p)}:missing")
+    return ";".join(parts)
+
+
+def _scaled_dir_is_fresh(done: str, fingerprint: str) -> bool:
+    import os
+
+    if not os.path.exists(done):
+        return False
+    with open(done) as fh:
+        return fh.read() == fingerprint
+
+
 def _scaled_tpch_dir(
     spark, sf_dir: str, reps: int = 10, salt_nation: bool = False, tag: str = "rel"
 ) -> str:
@@ -5185,13 +5223,22 @@ def _scaled_tpch_dir(
 
     Build cost is paid on first call; reruns see the ``_BUILT`` marker
     and reuse the parquet (the probes time build and query separately
-    in-band, so the warm pass measures plans, not the writer)."""
+    in-band, so the warm pass measures plans, not the writer). The
+    marker carries a size+mtime fingerprint of the SOURCE tables, so a
+    regenerated base testdata rebuilds the copy instead of silently
+    failing the probes' exact-×reps self-checks (ADVICE r10)."""
     import os
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = f"/tmp/spark_graft_sf{sf}x{reps}_{tag}"
     done = os.path.join(out, "_BUILT")
-    if os.path.exists(done):
+    tables = (
+        ["customer"]
+        if salt_nation
+        else ["customer", "supplier", "part", "orders", "lineitem", "nation", "region"]
+    )
+    fp = _src_fingerprint([os.path.join(sf_dir, f"{t}.parquet") for t in tables])
+    if _scaled_dir_is_fresh(done, fp):
         return out
 
     def scale(t: str, keys: list[str], salt_col: str | None = None) -> None:
@@ -5215,7 +5262,7 @@ def _scaled_tpch_dir(
         for t in ("nation", "region"):
             _t(spark, sf_dir, t).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(fp)
     return out
 
 
@@ -5351,13 +5398,16 @@ def _scaled_docs_dir(spark, sf_dir: str, reps: int = 10, tag: str = "docs") -> s
     once per (sf, reps, tag): doc_id gets a per-replica 10M offset, text/
     lang/source stay verbatim — so per-row operators scale EXACTLY ×reps
     and corpus-level statistics see one genuinely reps×-larger corpus.
-    Same build-once marker discipline as :func:`_scaled_tpch_dir`."""
+    Same build-once marker + source-fingerprint discipline as
+    :func:`_scaled_tpch_dir` (ADVICE r10: the probe's exact-count
+    self-checks are the most sensitive consumer of a stale copy)."""
     import os
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     out = f"/tmp/spark_graft_sf{sf}x{reps}_{tag}"
     done = os.path.join(out, "_BUILT")
-    if os.path.exists(done):
+    fp = _src_fingerprint([os.path.join(sf_dir, "documents.parquet")])
+    if _scaled_dir_is_fresh(done, fp):
         return out
     df = _t(spark, sf_dir, "documents").crossJoin(
         spark.range(reps).select(F.col("id").alias("_rep"))
@@ -5365,7 +5415,7 @@ def _scaled_docs_dir(spark, sf_dir: str, reps: int = 10, tag: str = "docs") -> s
     df = df.withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(10_000_000))
     df.drop("_rep").write.mode("overwrite").parquet(f"{out}/documents.parquet")
     with open(done, "w") as fh:
-        fh.write("ok")
+        fh.write(fp)
     return out
 
 
