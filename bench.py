@@ -300,6 +300,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     sanity: dict[str, dict] = {}
+    probe_canary: dict[str, dict] = {}
     for name in HEADLINE:
         # the heavy probes run in a FRESH SUBPROCESS (own JVM): after ~180
         # in-session query executions the JVM ages in ways the per-query
@@ -326,6 +327,17 @@ def main() -> None:
                 d = json.loads(res.stdout.strip().splitlines()[-1])
                 cold[name] = d["cold"]
                 warm[name] = d["warm"]
+                # per-probe canary bracketing (VERDICT r10 #4): the scan
+                # canary measured in the probe's own JVM seconds before
+                # the probe ran — normalize each heavy reading on its own
+                # clock instead of the session canaries from ~30 min ago
+                if d.get("canary_scan_sec"):
+                    r = d["canary_scan_sec"] / _REF_CANARY_SCAN_SEC
+                    probe_canary[name] = {
+                        "scan_sec": d["canary_scan_sec"],
+                        "ratio": round(r, 3),
+                        "warm_scan_normalized": round(d["warm"] / r, 3),
+                    }
                 # heavy probes get the warm≤cold sanity FLAG but no
                 # automatic re-run (a probe re-measure costs minutes);
                 # a flagged probe number means machine noise polluted
@@ -442,8 +454,9 @@ def main() -> None:
         # (VERDICT r6): value - value_probes is the comparable remainder
         "value_probes": round(sum(warm[n] for n in HEAVY_PROBES if n in warm), 3),
         "value_probes_cold": round(sum(cold[n] for n in HEAVY_PROBES if n in cold), 3),
-        "timing": "warm = min of runs 2-3 (steady-state); cold = first run; HEAVY_PROBES: fresh subprocess, cold + one warm",
+        "timing": "warm = min of runs 2-3 (steady-state); cold = first run; HEAVY_PROBES: fresh subprocess, cold + one warm, self-bracketed scan canary",
         "canary": canary,
+        "probe_canary": probe_canary,
         "sf": float(sf),
     }
     if sanity:
@@ -517,11 +530,34 @@ def _compact_summary_line(out: dict, budget: int = 1900) -> str:
 def probe_main(name: str) -> None:
     """--probe mode: run ONE heavy probe in this (fresh) process — cold
     + one warm pass, same policy HEAVY_PROBES always had — and print a
-    single JSON line for the parent bench process to merge."""
+    single JSON line for the parent bench process to merge.
+
+    The probe BRACKETS itself with the scan canary (VERDICT r10 #4): the
+    parent session's canaries are measured up to ~30 minutes before a
+    late probe runs, and the machine drifts WITHIN a session — r10's
+    driver artifact published pagerank at 68.3 s where the same-code
+    standalone number was 18.1 s, and the uniform slowness was invisible
+    to the warm≤cold gate. A canary measured seconds before the probe,
+    in the probe's own JVM, makes each heavy reading normalizable on its
+    own clock."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("pgdedupe-spark-bench-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    def _canary_scan() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+            "sum(l_extendedprice)", "count(distinct l_orderkey)"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    try:
+        _canary_scan()  # JIT warmup; throw away
+        canary_scan = min(_canary_scan() for _ in range(3))
+    except Exception:  # noqa: BLE001 — a broken canary must not cost the probe
+        canary_scan = None
+
     fn = registry.QUERIES[name]
     times = []
     for _ in range(2):
@@ -535,7 +571,16 @@ def probe_main(name: str) -> None:
                 jrdd.unpersist(False)
         except Exception:
             pass
-    print(json.dumps({"name": name, "cold": times[0], "warm": times[1]}))
+    print(
+        json.dumps(
+            {
+                "name": name,
+                "cold": times[0],
+                "warm": times[1],
+                "canary_scan_sec": canary_scan,
+            }
+        )
+    )
     spark.stop()
 
 

@@ -1491,10 +1491,19 @@ def temperature_quotas(
     ).cast("long")
     dim = counts.withColumn("w_scaled", w)
     tot = dim.agg(F.sum("w_scaled").alias("_wsum"))
+    # k·w_scaled rides DECIMAL, not BIGINT: with ANSI off Spark silently
+    # WRAPS a 2^63 overflow (ADVICE r10) — reachable in the advertised
+    # envelope, e.g. k=1e6 quotas over n=1e10-row groups at tau=1 where
+    # w_scaled ~ n·scale = 1e16. decimal(19,0)×decimal(19,0) → (38,0)
+    # holds any long×long product exactly; div returns BIGINT and
+    # base ≤ k, so every downstream type is unchanged and the quotas are
+    # bit-identical wherever BIGINT didn't overflow (oracle unaffected).
+    kw = F.col("w_scaled").cast("decimal(19,0)") * F.lit(int(k)).cast("decimal(19,0)")
     based = (
         dim.crossJoin(F.broadcast(tot))
-        .withColumn("_base", F.expr(f"({int(k)} * w_scaled) div _wsum"))
-        .withColumn("_rem", (F.lit(int(k)) * F.col("w_scaled")) % F.col("_wsum"))
+        .withColumn("_kw", kw)
+        .withColumn("_base", F.expr("_kw div _wsum"))
+        .withColumn("_rem", F.col("_kw") % F.col("_wsum"))
     )
     leftover = based.agg((F.lit(int(k)) - F.sum("_base")).alias("_left"))
     wn = Window.orderBy(F.desc("_rem"), F.asc(group_col))
@@ -1523,6 +1532,7 @@ def temperature_sample(
     tau: float = 2.0,
     salt: str = "temp",
     scale: int = 10**6,
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """Draw the temperature-mixed sample: per-group quotas from
     :func:`temperature_quotas`, members chosen by the engine-portable
@@ -1532,8 +1542,17 @@ def temperature_sample(
     smaller than its quota underfills and is visible via the quota
     column). The rank window shares quota_sample's shape and its 100 TB
     note: pre-filter by a hash threshold when groups are huge relative to
-    their quota so the exact window only sorts survivors."""
-    quotas = temperature_quotas(df, group_col, k, tau, scale)
+    their quota so the exact window only sorts survivors.
+
+    Production one-scan path (VERDICT r10 #2): pass ``quotas=`` a
+    precomputed :func:`temperature_quotas` frame (G rows — collectable,
+    broadcastable, writable) and the member draw becomes the ONLY corpus
+    pass; left declarative, the G-row dimension is re-derived under the
+    two totals crossJoins — measured FIVE corpus scans (PLANS.md). Same
+    quota values either way, so the sample and its hash are unchanged
+    (pinned in tests/test_curation.py)."""
+    if quotas is None:
+        quotas = temperature_quotas(df, group_col, k, tau, scale)
     order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     wn = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
     ranked = df.select(group_col, id_col).withColumn(

@@ -225,9 +225,31 @@ def prototype_prune(
     per-cluster cutoff distance comes from a mergeable approx-percentile
     sketch (bounded state), broadcast back (<= k rows), and the keep
     test is a row-local filter — no Window, no k-way bottleneck; ties at
-    the cutoff are all kept (documented superset, error bounded by the
-    sketch accuracy)."""
+    the cutoff are all kept (a documented SUPERSET of keep_pct%: every
+    row whose distance equals the cutoff passes, so clusters with many
+    tied distances can keep noticeably more than keep_pct% — the bound
+    is keep_pct% plus the cutoff tie class, not keep_pct% itself).
+
+    Degenerate budgets short-circuit BEFORE the sketch/window (ADVICE
+    r10: the >= cutoff test would otherwise still keep the max-distance
+    row(s) at keep_pct=0): keep_pct <= 0 keeps nothing, >= 100 keeps
+    everything, in both modes."""
+    keep_pct = int(keep_pct)
     scores = prototype_scores(df, id_col, vec_col, k, iterations, dim, scale, init)
+    if keep_pct <= 0 or keep_pct >= 100:
+        kept = F.lit(1 if keep_pct >= 100 else 0)
+        if exact:
+            from pyspark.sql import Window
+
+            wn = Window.partitionBy("cluster").orderBy(
+                F.desc("proto_dist"), F.asc(id_col)
+            )
+            return scores.withColumn(
+                "hard_rank", F.row_number().over(wn).cast("long")
+            ).select(
+                id_col, "cluster", "proto_dist", "hard_rank", kept.alias("kept")
+            )
+        return scores.select(id_col, "cluster", "proto_dist", kept.alias("kept"))
     if exact:
         from pyspark.sql import Window
 

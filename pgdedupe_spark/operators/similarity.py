@@ -563,16 +563,20 @@ def ivf_cosine_topk(
     q = indexed.filter(F.expr(query_filter)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
-    probes = _rank_cells(q, centroids, n_probe)
-    c = indexed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell")
-    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     nrm = lambda cc: F.sqrt(  # noqa: E731
         F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     )
+    # Per-side norm columns below the join (same factoring as knn_join):
+    # one fold per probe/corpus row, not two per candidate; bit-identical.
+    probes = _rank_cells(q, centroids, n_probe).withColumn("_qn", nrm(F.col("_qv")))
+    c = indexed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "cell"
+    ).withColumn("_cn", nrm(F.col("_cv")))
+    dot = F.aggregate(F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
     scored = (
         probes.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", dot / (nrm(F.col("_qv")) * nrm(F.col("_cv"))))
+        .withColumn("sim", dot / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1476,21 +1480,28 @@ def knn_join(
         rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
         centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(rows)]
 
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    # Norms are hoisted to per-side columns BELOW the cell join: one O(dim)
+    # fold per corpus row and per probe row instead of two folds on every
+    # candidate pair (~3x FLOP cut at 22M candidates, VERDICT r10 #3). The
+    # arithmetic is unchanged — same fold, same sqrt, same multiply order —
+    # so the result is bit-identical and the hash oracle holds.
     rc = _assign_cells(
         right.select(F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")),
         "_cv",
         centroids,
-    )
+    ).withColumn("_cn", nrm(F.col("_cv")))
     q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
-    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
+    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe).withColumn(
+        "_qn", nrm(F.col("_qv"))
+    )
     dot = F.aggregate(
         F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
-    nrm = lambda cc: F.sqrt(  # noqa: E731
-        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
-    )
     scored = probes.join(rc, "cell").withColumn(
-        "sim", dot / (nrm(F.col("_qv")) * nrm(F.col("_cv")))
+        "sim", dot / (F.col("_qn") * F.col("_cn"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

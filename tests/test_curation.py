@@ -959,3 +959,56 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
     # determinism
     again = leakage_safe_split(df, "doc_id", "text", w).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_temperature_quotas_decimal_survives_bigint_overflow(spark):
+    """ADVICE r10: k·w_scaled rides DECIMAL(38,0) — with BIGINT the
+    product wraps silently (ANSI off) once it exceeds 2^63. k=1e15 over
+    groups [4,4,1] at tau=1 puts k·w at 4e21; the quotas must still be
+    the exact largest-remainder apportionment and sum to exactly k."""
+    from pgdedupe_spark.operators.curation import temperature_quotas
+
+    rows = [("a", i) for i in range(4)] + [("b", i) for i in range(4)] + [("c", 0)]
+    df = spark.createDataFrame(rows, "src string, doc_id int")
+    k = 10**15
+    got = {r["src"]: r for r in temperature_quotas(df, "src", k=k, tau=1.0).collect()}
+
+    # replay the apportionment in exact Python ints
+    w = {"a": 4_000_000, "b": 4_000_000, "c": 1_000_000}
+    assert all(got[g]["w_scaled"] == v for g, v in w.items())
+    wsum = sum(w.values())
+    base = {g: (k * v) // wsum for g, v in w.items()}
+    rem = {g: (k * v) % wsum for g, v in w.items()}
+    assert any(k * v > 2**63 for v in w.values())  # the overflow regime
+    left = k - sum(base.values())
+    order = sorted(w, key=lambda g: (-rem[g], g))
+    expect = {g: base[g] + (1 if i < left else 0) for i, g in enumerate(order)}
+    assert {g: got[g]["quota"] for g in w} == expect
+    assert sum(r["quota"] for r in got.values()) == k
+
+
+def test_temperature_sample_quotas_sidecar_identical_one_scan(spark):
+    """Production one-scan path (VERDICT r10 #2): passing a precomputed
+    quotas= frame leaves the member draw as the ONLY corpus pass, and the
+    sample is row-identical to the declarative 5-scan form."""
+    import re
+
+    from pgdedupe_spark.operators.curation import (
+        temperature_quotas,
+        temperature_sample,
+    )
+    from pgdedupe_spark.plans import explain_str
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    decl = temperature_sample(df, "source", "doc_id", k=100, tau=2.0)
+    quotas = temperature_quotas(df, "source", k=100, tau=2.0).localCheckpoint(
+        eager=True  # stands in for the written G-row sidecar
+    )
+    served = temperature_sample(df, "source", "doc_id", k=100, tau=2.0, quotas=quotas)
+    assert sorted(map(tuple, served.collect())) == sorted(map(tuple, decl.collect()))
+
+    def scans(d):
+        return len(set(re.findall(r"\((\d+)\) Scan parquet", explain_str(d))))
+
+    assert scans(served) == 1, explain_str(served)
+    assert scans(decl) > 1  # the shape the sidecar exists to avoid

@@ -142,3 +142,28 @@ def test_empty_input_schemas(spark):
     km = kmeans_exact(empty, "vec_id", "embedding", k=2, iterations=1)
     assert [f.name for f in km.schema] == ["vec_id", "cluster"]
     assert km.count() == 0
+
+
+def test_degenerate_keep_pct_short_circuits(spark):
+    """ADVICE r10: keep_pct=0 must keep NOTHING (the >= cutoff test would
+    otherwise still pass the max-distance rows) and keep_pct=100 must
+    keep everything — in both exact and approx modes."""
+    from pgdedupe_spark.operators.kmeans import prototype_prune
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for exact in (True, False):
+        none = prototype_prune(
+            df, "vec_id", "embedding", k=2, iterations=1, keep_pct=0, exact=exact
+        )
+        assert none.filter("kept = 1").count() == 0, exact
+        assert none.count() == df.count()
+        every = prototype_prune(
+            df, "vec_id", "embedding", k=2, iterations=1, keep_pct=100, exact=exact
+        )
+        assert every.filter("kept = 0").count() == 0, exact
+        assert every.count() == df.count()
+    # exact mode keeps its rank column in the degenerate paths
+    cols = prototype_prune(
+        df, "vec_id", "embedding", k=2, iterations=1, keep_pct=0, exact=True
+    ).columns
+    assert cols == ["vec_id", "cluster", "proto_dist", "hard_rank", "kept"]

@@ -239,3 +239,31 @@ def test_ccnet_buckets_exact_plan_single_window(spark):
     )
     assert plan.count("Window") == 1, plan
     assert "PythonUDF" not in plan
+
+
+def test_ccnet_served_lm_identical_and_scan_bounded(spark):
+    """Production one-scan paths (VERDICT r10 #2): a served (lm=) or
+    eagerly-materialized LM must score bit-identically to the 8-scan
+    declarative form, with the scoring plan reading the corpus exactly
+    twice (token stream + the id/lang base restoring zero-token docs)."""
+    import re
+
+    from pgdedupe_spark.operators.text import ccnet_buckets, ccnet_lm
+    from pgdedupe_spark.plans import explain_str
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    decl = ccnet_buckets(df, "doc_id", "text", lang_col="lang")
+    lm = ccnet_lm(df, "text").localCheckpoint(eager=True)  # the written sidecar
+    served = ccnet_buckets(df, "doc_id", "text", lang_col="lang", lm=lm)
+    mat = ccnet_buckets(df, "doc_id", "text", lang_col="lang", materialize=True)
+
+    want = sorted(map(tuple, decl.collect()))
+    assert sorted(map(tuple, served.collect())) == want
+    assert sorted(map(tuple, mat.collect())) == want
+
+    def scans(d):
+        return len(set(re.findall(r"\((\d+)\) Scan parquet", explain_str(d))))
+
+    assert scans(served) == 2, explain_str(served)
+    assert scans(mat) == 2
+    assert scans(decl) > 2  # the measured multi-scan shape the pin guards
