@@ -222,13 +222,23 @@ LEGACY24 = [
 ]
 
 
-# The fixed-work canary times on the machine the cross-round bench
-# history was earned on (the r8 committed run, git 9cf9933: jvm 0.273 /
-# scan 0.502 alongside legacy24 14.641). value_legacy24_normalized
+# The fixed-work canary reference point. value_legacy24_normalized
 # = value_legacy24 × (ref / measured) when the canary shift exceeds the
 # noise band (see the guard note at the emit site).
-_REF_CANARY_JVM_SEC = 0.273
-_REF_CANARY_SCAN_SEC = 0.502
+#
+# RE-ANCHORED in r11 (VERDICT r10 #5): the original anchor was the r8
+# committed run (git 9cf9933: jvm 0.273 / scan 0.502 alongside legacy24
+# 14.641), but by r10 the machine ran persistently 1.2-2.0× slower
+# (judge-measured jvm ratio 2.02 / scan 1.48 on one probe; r11 quiet
+# triplet 1.13/1.23), so both bands were permanently exceeded and every
+# artifact was normalized by a large factor — the comparison hinged
+# entirely on canary fidelity. New REF = the r11 quiet-triplet MEDIANS
+# (three fresh JVMs, min-of-3 per canary per process: jvm
+# 0.381/0.308/0.299, scan 0.665/0.617/0.593). The legacy24 expectation
+# restates as ~19.4 s raw at ratio 1.0 (≡ the r9-era ~15.8 s at the r8
+# anchor × 0.617/0.502); see BASELINE.md "Cross-round bench anchor".
+_REF_CANARY_JVM_SEC = 0.308
+_REF_CANARY_SCAN_SEC = 0.617
 # measured same-machine canary spread across 5 r9 runs: jvm 0.229-0.295
 # (±13% around the median), scan 0.469-0.583 (±11%) — the bands must sit
 # clear of that while still catching genuine cross-machine drift (r8's
