@@ -158,6 +158,7 @@ _TAIL = [
 # not part of the driver's oracle contract
 _BENCH_ONLY = {
     "bpe_encode_probe",
+    "unigram_encode_probe",
     "dedup_ngram_zipf",
     "ann_lsh_stress",
     "merge_scale_probe",

@@ -113,6 +113,8 @@ HEADLINE = [
     # r7: MG heavy-hitter top-k (exact second pass) + BPE train+encode sweep
     "text_heavy_hitters",
     "bpe_encode_probe",
+    # r11: the unigram-LM (SentencePiece-style) tokenizer sibling
+    "unigram_encode_probe",
     # r7: retrieval pair (BM25 ⊕ cosine RRF fusion), Bloom-screened exact
     # incremental dedup, and the SCD2 dimension build
     "hybrid_search_rrf",

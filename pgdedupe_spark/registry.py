@@ -5806,6 +5806,29 @@ def bpe_encode_probe(spark, sf_dir):
     )
 
 
+@query("unigram_encode_probe")  # bench-only: trains a vocab + tokenizes
+def unigram_encode_probe(spark, sf_dir):
+    """Bench probe for the unigram-LM (SentencePiece-style) tokenizer
+    (operators/unigram.py, new r11 — VERDICT r10 #7): learn a
+    400-piece vocabulary on the documents word-frequency table (one
+    shuffle + bounded collect + driver EM/prune loop) then tokenize the
+    full corpus through the scan-local Viterbi encode and reduce to
+    corpus totals — the two passes a real tokenization sweep pays.
+    Correctness is pinned in tests/test_unigram.py against an
+    independent brute-force segmenter; the encode plan is pinned
+    Exchange-free there too."""
+    from pgdedupe_spark.operators.unigram import train_unigram, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(docs, "text", vocab_size=400, max_words=20_000)
+    enc = unigram_encode(docs, "doc_id", "text", model)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.lit(len(model)).cast("long").alias("vocab_size"),
+    )
+
+
 @query(
     "dedup_incremental_exact",
     oracle="""
