@@ -5156,6 +5156,11 @@ PYTEST_ONLY = frozenset(
         # here with full oracles. Retained via tests/test_oracle.py.
         "events_time_weighted",
         "corpus_mix_weighted",
+        # born pytest-only in r11 (window full), FULL hash oracle: the
+        # learned language id (pinned integer weights, BIGINT scores) —
+        # promotion candidate for the r12 window alongside a saturated
+        # demotion
+        "text_language_id_learned",
     }
 )
 
@@ -6889,6 +6894,86 @@ def text_quality_model(spark, sf_dir):
 
     return quality_model_scores(
         _t(spark, sf_dir, "documents"), "doc_id", "text", _Pinned(), threshold=0.5
+    )
+
+
+# ===========================================================================
+# r11: LEARNED language id (VERDICT r10 #9) — the fastText-LID shape
+# (hashed char-bigram bag × per-language linear scorer) upgrading the
+# stopword-argmax heuristic text_language_id. The weight table is PINNED
+# integers (quantized multinomial NB fitted by scripts/gen_lid_pinned.py
+# on a hand-written multilingual seed corpus), so every score is a BIGINT
+# sum — order-free, engine-exact — and the argmax hashes bit-for-bit.
+# Scoring is one zero-shuffle codegen projection (plan pinned in
+# tests/test_langid.py). The FITTED deployment (fit_language_id on a
+# labeled corpus, planted-fixture separation) is pinned there too.
+# ===========================================================================
+
+
+def _lid_oracle() -> str:
+    from pgdedupe_spark.operators.lid_pinned import BUCKETS, NGRAM, WEIGHTS
+
+    langs = sorted(WEIGHTS)
+    scores = ",\n             ".join(
+        "CAST(coalesce(list_sum(list_transform(bk, x -> ("
+        + "[" + ",".join(str(v) for v in WEIGHTS[lang]) + "]"
+        + f")[CAST(x + 1 AS INT)])), 0) AS BIGINT) AS score_{lang}"
+        for lang in langs
+    )
+    case = []
+    for i, lang in enumerate(langs):
+        rest = [f"score_{o}" for o in langs[i + 1 :]]
+        if len(rest) > 1:
+            case.append(f"WHEN score_{lang} >= greatest({', '.join(rest)}) THEN '{lang}'")
+        elif rest:
+            case.append(f"WHEN score_{lang} >= {rest[0]} THEN '{lang}'")
+        else:
+            case.append(f"ELSE '{lang}'")
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(lower(coalesce(text, '')))),
+                            i -> substr(lower(coalesce(text, '')), i::int, {NGRAM}))
+               AS grams
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(grams,
+                            gr -> CAST('0x' || substr(md5(gr), 1, 8) AS BIGINT)
+                                  % {BUCKETS}) AS bk
+      FROM g
+    ), s AS (
+      SELECT doc_id,
+             {scores}
+      FROM b
+    )
+    SELECT doc_id,
+           CASE {' '.join(case)} END AS pred_lang,
+           {', '.join('score_' + lang for lang in langs)}
+    FROM s
+    """
+
+
+@query("text_language_id_learned", oracle=_lid_oracle())
+def text_language_id_learned(spark, sf_dir):
+    """Learned language id over `documents` with the pinned integer
+    weight table (operators/lid_pinned.py): per-language BIGINT scores
+    from the hashed char-bigram bag + ascending-tie-break argmax. One
+    codegen projection — no joins, no shuffle, no floats. The synthetic
+    corpus text is English-ish regardless of its lang tag, so the VALUE
+    here is the exact arithmetic contract; semantic separation is pinned
+    on the planted multilingual fixture in tests/test_langid.py."""
+    from pgdedupe_spark.operators.langid import language_id_scores
+    from pgdedupe_spark.operators.lid_pinned import BUCKETS, NGRAM, WEIGHTS
+
+    return language_id_scores(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        WEIGHTS,
+        n=NGRAM,
+        buckets=BUCKETS,
+        portable=True,
     )
 
 
