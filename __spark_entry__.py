@@ -170,6 +170,7 @@ _BENCH_ONLY = {
     "tpch_sf1_probe",
     "pipeline_scale_probe",
     "curation_scale_probe",
+    "dedup_scale_probe",
 }
 
 

@@ -174,6 +174,8 @@ HEADLINE = [
     # late r10: 10×-documents curation tier (MassiveText full filter +
     # CCNet terciles) with exact ×10 in-band self-checks
     "curation_scale_probe",
+    # r11: 10x-documents MinHash-LSH tier with exact bucket/pair self-checks
+    "dedup_scale_probe",
 ]
 
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
@@ -190,6 +192,7 @@ HEAVY_PROBES = {
     "tpch_sf1_probe",
     "pipeline_scale_probe",
     "curation_scale_probe",
+    "dedup_scale_probe",
 }
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round

@@ -5517,6 +5517,110 @@ def curation_scale_probe(spark, sf_dir):
     )
 
 
+@query("dedup_scale_probe")
+def dedup_scale_probe(spark, sf_dir):
+    """Bench-only sf1.0 heavy tier for the near-dup dedup family
+    (VERDICT r10 #8): MinHash-LSH signatures + banded buckets + the
+    distinct candidate-pair join against a 10×-scaled documents table
+    (same params as the headline rows: 5-gram shingles, 64 hashes, 16
+    bands). What sf0.1 alone can't show: the signature projection and
+    band-bucket exchange at 10× stream volume, and the distinct-pair
+    shuffle at ~100× pair volume.
+
+    Self-checks ride in-band, each EXACT by construction (text copies
+    are verbatim, hashes are stateless functions of text — so replicas
+    land in identical buckets):
+
+    * bucket census: the scaled run has exactly the base's (band, key)
+      bucket set, every bucket exactly ×10 its base size — checked by a
+      full-outer join (zero mismatches);
+    * distinct candidate pairs obey the closed form
+      ``100·p_base + 45·n_sig_base`` (each base co-occurring pair
+      contributes 10×10 replica combos; each signed doc contributes
+      C(10,2) same-text cross-replica pairs). NOT a naive ×100 — the
+      same-text term is the part a wrong scaling story would miss.
+
+    The Jaccard-verify tier deliberately stays at base scale (headline
+    rows cover it): verbatim-replica verification work is quadratic in
+    reps — an artifact of the scaling method, not a real workload."""
+    import time as _time
+
+    from pgdedupe_spark.operators.dedup import (
+        _minhash_shingles_and_buckets,
+        release_caches,
+    )
+
+    reps = 10
+    t0 = _time.perf_counter()
+    scaled = _scaled_docs_dir(spark, sf_dir, reps=reps)
+    build_sec = round(_time.perf_counter() - t0, 3)
+
+    def census(d):
+        """(bucket-size frame, n_docs_with_signature, distinct pairs)."""
+        _, buckets = _minhash_shingles_and_buckets(
+            _t(spark, d, "documents"), "doc_id", "text",
+            n=5, num_hashes=64, bands=16, portable=False,
+        )
+        sizes = (
+            buckets.groupBy("_band", "_bkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)  # census reused by the join below
+        )
+        n_sig = buckets.select("_id").distinct().count()
+        a, b = buckets.alias("a"), buckets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._bkey") == F.col("b._bkey"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
+            .distinct()
+            .count()
+        )
+        return sizes, n_sig, pairs
+
+    t0 = _time.perf_counter()
+    base_sizes, base_sig, base_pairs = census(sf_dir)
+    release_caches()
+    base_sec = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    scaled_sizes, scaled_sig, scaled_pairs = census(scaled)
+    release_caches()
+    scaled_sec = round(_time.perf_counter() - t0, 3)
+
+    mism = (
+        base_sizes.withColumnRenamed("n", "nb")
+        .join(scaled_sizes.withColumnRenamed("n", "ns"), ["_band", "_bkey"], "full_outer")
+        .filter(
+            F.col("nb").isNull()
+            | F.col("ns").isNull()
+            | (F.col("ns") != F.col("nb") * reps)
+        )
+        .count()
+    )
+    expect_pairs = reps * reps * base_pairs + (reps * (reps - 1) // 2) * base_sig
+    return spark.createDataFrame(
+        [
+            (
+                build_sec,
+                base_sec,
+                scaled_sec,
+                int(base_pairs),
+                int(scaled_pairs),
+                bool(mism == 0 and scaled_sig == reps * base_sig),
+                bool(scaled_pairs == expect_pairs),
+                round(scaled_sec / base_sec, 2) if base_sec > 0 else None,
+            )
+        ],
+        "build_sec double, base_sec double, scaled_sec double, "
+        "base_pairs bigint, scaled_pairs bigint, "
+        "buckets_exact_10x boolean, pairs_closed_form_exact boolean, "
+        "scaleup_factor double",
+    )
+
+
 @query("cc_scale_probe")
 def cc_scale_probe(spark, sf_dir):
     """Bench-only scale probe for the pipeline's single multi-round

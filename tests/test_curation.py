@@ -1012,3 +1012,18 @@ def test_temperature_sample_quotas_sidecar_identical_one_scan(spark):
 
     assert scans(served) == 1, explain_str(served)
     assert scans(decl) > 1  # the shape the sidecar exists to avoid
+
+
+def test_dedup_scale_probe_self_checks(spark):
+    """Same code path as the bench heavy tier, at the sf0.001 floor: the
+    MinHash bucket census must scale exactly x10 and the distinct
+    candidate pairs must equal 100*p_base + 45*n_sig (the same-text
+    cross-replica term is the part a naive x100 story misses)."""
+    from pgdedupe_spark import registry
+
+    row = registry.QUERIES["dedup_scale_probe"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["buckets_exact_10x"] is True
+    assert row["pairs_closed_form_exact"] is True
+    assert row["scaled_pairs"] > row["base_pairs"]
