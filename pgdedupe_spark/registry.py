@@ -7814,18 +7814,15 @@ def pipeline_llm_prep(spark, sf_dir):
     from pgdedupe_spark.operators.curation import dsir_sample
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality
+    from pgdedupe_spark.streaming.ops import llm_gate_filter
 
     docs = _t(spark, sf_dir, "documents")
     recrawl = docs.filter(F.col("source") == "src0").withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
     corpus = docs.unionByName(recrawl)
-    g = gopher_quality(corpus, "doc_id", "text")
-    gate = g.filter(
-        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
-        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
-        & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
-    ).select("doc_id")
+    # gate predicate shared with the streaming twin (curation_prep_stream)
+    gate = llm_gate_filter(gopher_quality(corpus, "doc_id", "text"))
     gated = corpus.join(gate, "doc_id")
     keepers = (
         gated.select(normalize_text(F.col("text")).alias("norm"), "doc_id", "n_chars")

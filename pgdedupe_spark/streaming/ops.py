@@ -617,3 +617,83 @@ def ann_index_maintenance_stream(index_path: str):
         index_append_epoch(batch_df.sparkSession, index_path, batch_df, epoch_id)
 
     return process_batch
+
+
+def llm_gate_filter(g: DataFrame) -> DataFrame:
+    """The pipeline_llm_prep gate predicate over a gopher_quality frame —
+    factored so the batch composite and the streaming twin share one
+    definition (rules 1-3 and 6 of MassiveText A1.1; the required-words
+    rule is waived for the synthetic corpus exactly as the registry
+    composite documents)."""
+    return g.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
+    ).select("doc_id")
+
+
+def curation_prep_stream(
+    docs: DataFrame,
+    store_dir: str,
+    id_col: str,
+    text_col: str,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+):
+    """Streaming twin of pipeline_llm_prep's GATE + DEDUP stages
+    (VERDICT r10 #10): every arriving document passes the Gopher
+    heuristic gate, then the Bloom-screened exact dedup against the
+    corpus-so-far (:func:`incremental_dedup_stream`'s three-layer state,
+    reused verbatim — gate rejects never enter the dedup state, so a
+    gated-out early copy cannot canonicalize a later clean one). Kept
+    documents (gated AND novel) land in ``kept/epoch=N`` — the curated
+    sink a downstream selection stage (DSIR) consumes in batch; the
+    draw itself is a global top-k and stays a batch job by design.
+
+    Returns a ``foreachBatch`` function. Semantics contract (pinned
+    stream≡batch in tests/test_streaming.py): kept = exactly the batch
+    pipeline's gate ∩ first-wins-dedup survivors when canonical order is
+    arrival order (epoch, then id) — the streaming-canonicality analog
+    of the batch composite's longest-text-wins, same dedup key
+    (normalized text). Replay-idempotent like every layer it builds on:
+    the inner dedup state is epoch-partition-overwritten, and ``kept``
+    uses the same dynamic-overwrite discipline."""
+    from pgdedupe_spark.operators.text import gopher_quality
+
+    dedup_fn = incremental_dedup_stream(
+        None, store_dir, id_col, text_col, num_bits, num_hashes
+    )
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        g = gopher_quality(batch_df, id_col, text_col)
+        gated = batch_df.join(
+            llm_gate_filter(g).withColumnRenamed("doc_id", id_col), id_col
+        ).localCheckpoint()  # the source frame is only valid in-batch
+        dedup_fn(gated, epoch_id)
+        # explicit schema: a fully-gated-out epoch leaves the flags layer
+        # empty (or absent on the first epoch) and schema inference fails
+        id_t = batch_df.schema[id_col].dataType.simpleString()
+        flags_schema = f"{id_col} {id_t}, is_dup boolean, corpus_id {id_t}, epoch long"
+        try:
+            flags = spark.read.schema(flags_schema).parquet(f"{store_dir}/flags")
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                flags = spark.createDataFrame([], flags_schema)
+            else:
+                raise
+        novel = flags.filter((F.col("epoch") == epoch_id) & ~F.col("is_dup")).select(
+            id_col
+        )
+        gated.join(novel, id_col).withColumn(
+            "epoch", F.lit(epoch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/kept")
+        from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+        _free_local_checkpoint(gated)
+
+    return process_batch

@@ -694,3 +694,107 @@ def test_near_dup_stream_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(f"{store}/pairs").collect()
     }
     assert (0, 10) in pairs and (0, 20) in pairs and (10, 20) in pairs
+
+
+def test_curation_prep_stream_matches_batch_reference(spark, tmp_path):
+    """Streaming curation composition (curation_prep_stream, new r11 —
+    VERDICT r10 #10): gate + incremental exact dedup over 3 microbatches
+    must keep exactly the batch pipeline's gate ∩ first-wins-dedup
+    survivors under arrival order (epoch, id); gate rejects must never
+    enter the dedup state (a gated-out early copy cannot canonicalize a
+    later clean one)."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.text import gopher_quality
+    from pgdedupe_spark.streaming.ops import curation_prep_stream, llm_gate_filter
+
+    passing = " ".join(
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+        * 6
+    )  # 60 words, clean stats -> passes the gate
+    other = " ".join(
+        "kilo lima mike november oscar papa quebec romeo sierra tango".split() * 6
+    )
+    short = "too short"  # fails n_words >= 50
+    batches = [
+        [(0, passing), (1, short), (2, other)],
+        # 10 duplicates 0 (kept docs dedup against the standing corpus);
+        # 11 re-sends the gated-out SHORT text at gate-passing length? no:
+        # 11 is a fresh passing doc; 12 duplicates 2 within-stream
+        [(10, passing.upper()), (11, passing + " extra unique suffix words here"), (12, other)],
+        # 20 duplicates the batch-1 doc 11; 21 passes fresh
+        [(20, passing + " extra unique suffix words here"), (21, other + " more fresh ideas")],
+    ]
+    store = str(tmp_path / "store")
+    fn = curation_prep_stream(None, store, "doc_id", "text", 1 << 14, 4)
+    for i, rows in enumerate(batches):
+        fn(spark.createDataFrame(rows, "doc_id long, text string"), i)
+
+    kept = {r.doc_id for r in spark.read.parquet(f"{store}/kept").collect()}
+
+    # batch reference: gate over the full corpus, then first-wins dedup
+    # in arrival order (epoch, id) on the normalized text
+    all_rows = [
+        (doc_id, text, epoch)
+        for epoch, rows in enumerate(batches)
+        for doc_id, text in rows
+    ]
+    corpus = spark.createDataFrame(all_rows, "doc_id long, text string, epoch long")
+    gate_ids = {
+        r.doc_id
+        for r in llm_gate_filter(gopher_quality(corpus, "doc_id", "text")).collect()
+    }
+    seen: dict[str, int] = {}
+    expect = set()
+    for doc_id, text, epoch in sorted(all_rows, key=lambda r: (r[2], r[0])):
+        if doc_id not in gate_ids:
+            continue
+        norm = (
+            corpus.filter(F.col("doc_id") == doc_id)
+            .select(normalize_text(F.col("text")).alias("n"))
+            .collect()[0].n
+        )
+        if norm not in seen:
+            seen[norm] = doc_id
+            expect.add(doc_id)
+    assert kept == expect, (kept, expect)
+    assert 1 not in kept  # gate reject
+    assert 10 not in kept and 12 not in kept and 20 not in kept  # dups
+
+    # kept rows carry the full document payload for the downstream stage
+    cols = set(spark.read.parquet(f"{store}/kept").columns)
+    assert {"doc_id", "text", "epoch"} <= cols
+
+
+def test_curation_prep_stream_replay_idempotent_and_gate_isolation(spark, tmp_path):
+    """A replayed epoch rewrites identical kept/flags/keys data; and a
+    text that FAILED the gate earlier does not own its dedup key — a
+    later clean arrival of equivalent text is kept."""
+    from pgdedupe_spark.streaming.ops import curation_prep_stream
+
+    clean = " ".join(
+        "uniform victor whiskey xray yankee zulu amber bronze copper dusk".split() * 6
+    )
+    store = str(tmp_path / "store")
+    fn = curation_prep_stream(None, store, "doc_id", "text", 1 << 14, 4)
+    # epoch 0: a SHORT (gated-out) fragment of nothing in particular
+    fn(spark.createDataFrame([(0, "tiny fragment")], "doc_id long, text string"), 0)
+    # epoch 1: a clean doc
+    b1 = spark.createDataFrame([(10, clean)], "doc_id long, text string")
+    fn(b1, 1)
+
+    def snapshot():
+        return {
+            layer: sorted(
+                tuple(r) for r in spark.read.parquet(f"{store}/{layer}").collect()
+            )
+            for layer in ("kept", "flags", "keys")
+        }
+
+    before = snapshot()
+    fn(b1, 1)  # at-least-once replay
+    assert snapshot() == before
+    kept = {r.doc_id for r in spark.read.parquet(f"{store}/kept").collect()}
+    assert kept == {10}
+    # the gated-out doc 0 never entered the dedup state
+    keys = {r.first_id for r in spark.read.parquet(f"{store}/keys").collect()}
+    assert keys == {10}
