@@ -224,21 +224,26 @@ def _score_topk(
 ) -> DataFrame:
     """Exact cosine re-rank of candidate (query_id, neighbor_id) pairs:
     payload vectors re-attach via a broadcast join on the bounded query
-    set plus an equi-join on the corpus; top-k per query."""
-    qv = embeddings.filter(F.expr(query_filter)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    )
-    cv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
-    dot = F.aggregate(
-        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    set plus an equi-join on the corpus; top-k per query. Norms ride as
+    per-side columns computed BELOW the joins (the knn_join factoring,
+    r11): one O(dim) fold per query/corpus row, not two per candidate —
+    same fold, same multiply order, bit-identical sims."""
     norm = lambda c_: F.sqrt(  # noqa: E731
         F.aggregate(F.zip_with(c_, c_, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    qv = embeddings.filter(F.expr(query_filter)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", norm(F.col("_qv")))
+    cv = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", norm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", dot / (norm(F.col("_qv")) * norm(F.col("_cv"))))
+        .withColumn("sim", dot / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
@@ -1502,6 +1507,81 @@ def knn_join(
     )
     scored = probes.join(rc, "cell").withColumn(
         "sim", dot / (F.col("_qn") * F.col("_cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def knn_join_from_index(
+    spark,
+    index_path: str,
+    left: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right: DataFrame,
+    right_id: str,
+    right_vec: str,
+    k: int = 5,
+    n_probe: int = 4,
+    prune: bool = True,
+) -> DataFrame:
+    """:func:`knn_join` against a persisted :func:`write_ivf_index`
+    layout — the production serve shape the in-memory join's 100 TB note
+    prescribes: the right corpus is cell-assigned ONCE at write time
+    (ids-only, ``cell=`` parquet partitions), so the join reads the
+    index instead of re-running the argmax fold over the corpus, and
+    with ``prune=True`` the probed cell set (≤ n_centroids, one bounded
+    distinct-collect over the probe frame) pushes as a static
+    PartitionFilter — only the probed ``cell=`` directories are ever
+    opened. When the left side probes every cell, pruning buys nothing
+    by definition; pass ``prune=False`` to skip the extra collect.
+
+    The left stays unbounded: probe ranking is row-local
+    (_rank_cells_rowlocal — no Window), ``_qv``/``_qn`` ride the probe
+    rows through the cell join (no query-side re-join), and only the
+    right vectors re-attach, by neighbor_id, for the exact cosine.
+    Scores are bit-identical to the in-memory :func:`knn_join` under the
+    same centroids (pinned in tests/test_recall.py)."""
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cv])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    ]
+    centroids.sort(key=lambda cv: cv[0])
+    idx_id_col = str(spark.read.parquet(index_path + "/meta").collect()[0].id_col)
+
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe).withColumn(
+        "_qn", nrm(F.col("_qv"))
+    )
+    idx = _read_index_layer(spark, index_path, "cells").withColumnRenamed(
+        idx_id_col, "neighbor_id"
+    )
+    if prune:
+        cells = sorted(
+            {int(r.cell) for r in probes.select("cell").distinct().collect()}
+        )
+        if not cells:  # empty left side
+            return spark.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint, sim double, rank int"
+            )
+        idx = idx.filter(F.col("cell").isin(cells))
+    cv = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")
+    ).withColumn("_cn", nrm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        probes.join(idx, "cell")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", dot / (F.col("_qn") * F.col("_cn")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

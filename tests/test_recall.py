@@ -499,3 +499,57 @@ def test_knn_join_probed_recall_and_plan(spark):
     for r in got:
         counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
     assert all(c <= 5 for c in counts.values())
+
+
+def test_knn_join_from_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted serve shape (knn_join_from_index, new r11): against
+    a write_ivf_index layout built with the SAME centroids, the join is
+    bit-identical to the in-memory knn_join, and the probed cell set
+    pushes as a static PartitionFilter on the index scan."""
+    from pgdedupe_spark.operators.similarity import (
+        ivf_index,
+        knn_join,
+        knn_join_from_index,
+        write_ivf_index,
+    )
+
+    rows, df = _knn_corpus(spark)
+    left = df.filter("vec_id % 2 = 0")
+    right = df.filter("vec_id % 2 = 1")
+    # one quantizer for both paths: train on the right corpus, pin it
+    _, cents = ivf_index(right, "vec_id", "embedding", n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(right, "vec_id", "embedding", path, centroids=cents)
+
+    mem = knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        k=5, n_probe=6, centroids=cents,
+    )
+    srv = knn_join_from_index(
+        spark, path, left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=6,
+    )
+    assert sorted(map(tuple, srv.collect())) == sorted(map(tuple, mem.collect()))
+
+    plan = srv._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan
+    assert "PythonUDF" not in plan
+
+    # a selective left probes few cells → the filter lists only those
+    few = knn_join_from_index(
+        spark, path, left.limit(1), "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=2,
+    )
+    plan_few = few._jdf.queryExecution().executedPlan().toString()
+    pf_few = re.search(r"PartitionFilters: \[([^\]]*)\]", plan_few)
+    assert pf_few and re.search(r"cell#\d+ IN \(", pf_few.group(1)), plan_few
+
+    # prune=False path agrees too (no bounded collect)
+    nop = knn_join_from_index(
+        spark, path, left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=6, prune=False,
+    )
+    assert sorted(map(tuple, nop.collect())) == sorted(map(tuple, mem.collect()))
