@@ -99,7 +99,11 @@ _PRIORITY = [
 _TAIL = [
     # r12 rotation: _TAIL below is the r10 window (all 50 green full-hash
     # in CORRECTNESS_r10) and becomes the r12 _PRIORITY on the next
-    # wholesale swap.
+    # wholesale swap. Staged r12 promotion: text_language_id_learned
+    # (r11-born, FULL hash oracle, pytest-only — registry.py) should join
+    # that window, displacing one saturated simple row (candidates:
+    # events_pivot / stats_validate — green since r2-r5) per the ≤2-round
+    # promise discipline.
     "er_completeness",  # notebook cells 26-31 completeness analytics
     "q2_min_balance_supplier",  # correlated-min supplier match
     "q6_forecast_revenue",  # single-table selective agg

@@ -1563,3 +1563,59 @@ def temperature_sample(
         .filter(F.col("sample_rank") <= F.col("quota"))
         .select(group_col, id_col, "sample_rank", "quota")
     )
+
+
+def llm_prep(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    k: int = 50,
+    chars_col: str | None = None,
+    num_buckets: int = 4096,
+    materialize: bool = False,
+) -> DataFrame:
+    """The end-to-end LLM training-data prep composite as a reusable
+    operator (the registry's ``pipeline_llm_prep`` row calls this):
+    Gopher heuristic gate (``text.llm_gate_filter`` — shared with the
+    streaming twin) → canonical exact-dedup keep (longest text wins,
+    id tie-break; ``chars_col`` supplies the length, else it computes
+    ``length(text)``) → DSIR importance selection of the ``k`` most
+    target-like survivors (``target`` is a boolean Column over the
+    corpus schema selecting the target slice).
+
+    ``materialize=True`` is the production stage-boundary path (the
+    ccnet_lm / dsir_weights sidecar pattern, VERDICT r10 #1's prose made
+    code): the survivor frame eagerly checkpoints between the dedup and
+    selection stages, so DSIR's three passes read the materialized
+    survivors instead of re-deriving the corpus→gate→keepers subtree
+    each time — the declarative one-query form re-derives it per
+    consumer (measured 16 corpus scans in PLANS.md; exactly the
+    stage-boundary parquet handoff a CLI pipeline run performs). Output
+    is bit-identical either way (pinned in tests/test_curation.py)."""
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.operators.text import gopher_quality, llm_gate_filter
+
+    chars = F.col(chars_col) if chars_col else F.length(F.coalesce(F.col(text_col), F.lit("")))
+    gate = llm_gate_filter(
+        gopher_quality(corpus, id_col, text_col)
+    ).withColumnRenamed("doc_id", id_col)
+    gated = corpus.join(gate, id_col)
+    keepers = (
+        gated.select(
+            normalize_text(F.col(text_col)).alias("norm"),
+            F.col(id_col),
+            chars.alias("_chars"),
+        )
+        .groupBy("norm")
+        .agg(
+            F.max_by(
+                id_col, F.col("_chars") * F.lit(1_000_000_000) + F.col(id_col)
+            ).alias(id_col)
+        )
+        .select(id_col)
+    )
+    surv = gated.join(keepers, id_col)
+    if materialize:
+        surv = surv.localCheckpoint(eager=True)
+    return dsir_sample(surv, id_col, text_col, surv.filter(target), k, num_buckets)

@@ -559,6 +559,20 @@ def quality_model_scores(
     return scored
 
 
+def llm_gate_filter(g: DataFrame) -> DataFrame:
+    """The pipeline_llm_prep gate predicate over a gopher_quality frame —
+    ONE definition shared by the batch composite (curation.llm_prep /
+    registry pipeline_llm_prep) and the streaming twin
+    (streaming.ops.curation_prep_stream) (rules 1-3 and 6 of MassiveText A1.1; the required-words
+    rule is waived for the synthetic corpus exactly as the registry
+    composite documents)."""
+    return g.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
+    ).select("doc_id")
+
+
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -7811,32 +7811,15 @@ def pipeline_llm_prep(spark, sf_dir):
     the CLI pipeline does — making each stage's cost the single-pass
     cost measured on its standalone row. Born pytest-only (window full);
     promoted into the r11 driver window later in r10."""
-    from pgdedupe_spark.operators.curation import dsir_sample
-    from pgdedupe_spark.operators.dedup import normalize_text
-    from pgdedupe_spark.operators.text import gopher_quality
-    from pgdedupe_spark.streaming.ops import llm_gate_filter
+    from pgdedupe_spark.operators.curation import llm_prep
 
     docs = _t(spark, sf_dir, "documents")
     recrawl = docs.filter(F.col("source") == "src0").withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
-    corpus = docs.unionByName(recrawl)
-    # gate predicate shared with the streaming twin (curation_prep_stream)
-    gate = llm_gate_filter(gopher_quality(corpus, "doc_id", "text"))
-    gated = corpus.join(gate, "doc_id")
-    keepers = (
-        gated.select(normalize_text(F.col("text")).alias("norm"), "doc_id", "n_chars")
-        .groupBy("norm")
-        .agg(
-            F.max_by(
-                "doc_id", F.col("n_chars") * F.lit(1_000_000_000) + F.col("doc_id")
-            ).alias("doc_id")
-        )
-        .select("doc_id")
-    )
-    surv = gated.join(keepers, "doc_id")
-    return dsir_sample(
-        surv, "doc_id", "text", surv.filter(F.col("lang") == "en"), k=50
+    return llm_prep(
+        docs.unionByName(recrawl), "doc_id", "text",
+        target=F.col("lang") == "en", k=50, chars_col="n_chars",
     )
 
 

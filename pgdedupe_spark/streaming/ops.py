@@ -619,19 +619,6 @@ def ann_index_maintenance_stream(index_path: str):
     return process_batch
 
 
-def llm_gate_filter(g: DataFrame) -> DataFrame:
-    """The pipeline_llm_prep gate predicate over a gopher_quality frame —
-    factored so the batch composite and the streaming twin share one
-    definition (rules 1-3 and 6 of MassiveText A1.1; the required-words
-    rule is waived for the synthetic corpus exactly as the registry
-    composite documents)."""
-    return g.filter(
-        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
-        & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
-        & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
-    ).select("doc_id")
-
-
 def curation_prep_stream(
     docs: DataFrame,
     store_dir: str,
@@ -658,7 +645,7 @@ def curation_prep_stream(
     (normalized text). Replay-idempotent like every layer it builds on:
     the inner dedup state is epoch-partition-overwritten, and ``kept``
     uses the same dynamic-overwrite discipline."""
-    from pgdedupe_spark.operators.text import gopher_quality
+    from pgdedupe_spark.operators.text import gopher_quality, llm_gate_filter
 
     dedup_fn = incremental_dedup_stream(
         None, store_dir, id_col, text_col, num_bits, num_hashes

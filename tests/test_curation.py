@@ -1027,3 +1027,30 @@ def test_dedup_scale_probe_self_checks(spark):
     assert row["buckets_exact_10x"] is True
     assert row["pairs_closed_form_exact"] is True
     assert row["scaled_pairs"] > row["base_pairs"]
+
+
+def test_llm_prep_materialized_identical_and_fewer_scans(spark):
+    """The stage-boundary materialization path for the 16-scan composite
+    (PLANS.md): llm_prep(materialize=True) checkpoints the survivor
+    frame between dedup and DSIR selection — output bit-identical, the
+    selection stage's corpus re-derivations gone."""
+    import re
+
+    from pgdedupe_spark.operators.curation import llm_prep
+    from pgdedupe_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    recrawl = docs.filter(F.col("source") == "src0").withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    corpus = docs.unionByName(recrawl)
+    kw = dict(target=F.col("lang") == "en", k=50, chars_col="n_chars")
+    decl = llm_prep(corpus, "doc_id", "text", **kw)
+    mat = llm_prep(corpus, "doc_id", "text", materialize=True, **kw)
+    assert sorted(map(tuple, mat.collect())) == sorted(map(tuple, decl.collect()))
+
+    def scans(d):
+        return len(set(re.findall(r"\((\d+)\) Scan parquet", explain_str(d))))
+
+    assert scans(mat) < scans(decl), (scans(mat), scans(decl))
+    assert scans(mat) <= 2  # the materialized survivors replace the subtree

@@ -705,7 +705,8 @@ def test_curation_prep_stream_matches_batch_reference(spark, tmp_path):
     later clean one)."""
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality
-    from pgdedupe_spark.streaming.ops import curation_prep_stream, llm_gate_filter
+    from pgdedupe_spark.operators.text import llm_gate_filter
+    from pgdedupe_spark.streaming.ops import curation_prep_stream
 
     passing = " ".join(
         "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
