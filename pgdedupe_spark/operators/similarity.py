@@ -1589,3 +1589,115 @@ def knn_join_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def pq_knn_join(
+    left: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right: DataFrame,
+    right_id: str,
+    right_vec: str,
+    dim: int,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine: int = 4,
+    seed: int = 42,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """Compressed two-table kNN join — the IVFADC composition of
+    :func:`knn_join`: the billion-scale shape where the candidate scan
+    touches m-byte PQ CODES instead of dim×8-byte raw vectors. Per left
+    row: probe the ``n_probe`` nearest cells (row-local ranking, no
+    Window on the unbounded side), ADC-score the probed cells' codes
+    with a per-query lookup table that RIDES THE QUERY ROW through the
+    cell join (computed row-locally from codebook literals — m·ksub
+    folds once per probe row, never broadcast, so the left side stays
+    unbounded), keep the ``refine``·k shortlist, then exact-cosine
+    re-rank on raw vectors (the only two touches of either vector
+    column: one LUT build per query row, one shortlist re-rank join).
+
+    Quantizer + codebooks fit on the RIGHT corpus (or pass ``centroids``
+    / ``books`` for a pinned/persisted layout). ``n_probe=n_centroids``
+    with ``refine`` ≥ cell population degrades to the exact
+    :func:`knn_join` brute force, neighbor-for-neighbor (pinned in
+    tests/test_pq.py). Unlike the single-table entry points there is no
+    query≠neighbor filter — the two id spaces are independent.
+
+    100 TB notes: write the right side once as codes partitioned BY cell
+    (write_pq_index) and the candidate scan reads O(code bytes in probed
+    cells); the LUT is ~m·ksub·8 B per probe row (≈1-4 KB) — the price
+    of keeping the left unbounded, and still ≪ carrying raw candidate
+    vectors. Recall dials: n_probe (cells), refine (shortlist), m
+    (code resolution — see pq_cosine_topk's measured mixture note)."""
+    if centroids is None:
+        ranked = right.select(
+            F.col(right_vec).alias("_v"),
+            F.xxhash64(F.lit(seed), F.col(right_id)).alias("_h"),
+            F.col(right_id).alias("_id"),
+        )
+        rows = ranked.orderBy("_h", "_id").limit(n_centroids).select("_v").collect()
+        centroids = [(i, [float(x) for x in r._v]) for i, r in enumerate(rows)]
+    if books is None:
+        books = pq_train_codebooks(
+            right, right_id, right_vec, dim, m=m, ksub=ksub, seed=seed
+        )
+
+    # right: cell + codes (+ reconstructed norm) — the codes-only frame
+    rc = _assign_cells(
+        right.select(F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")),
+        "_cv",
+        centroids,
+    )
+    codes = pq_encode(rc, "neighbor_id", "_cv", books, keep=("cell",))
+
+    # left: row-local probes + row-local LUT (+ exact query norm)
+    q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
+    lutted = _pq_query_lut(probes, books)  # keeps `cell` as an extra column
+
+    approx_dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_lut"), lambda c_, l_: F.element_at(l_, c_ + 1)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    shortlist_n = int(refine) * k
+    wsl = Window.partitionBy("query_id").orderBy(F.col("_adc").desc(), F.col("neighbor_id"))
+    cand = (
+        lutted.join(codes, "cell")
+        .withColumn("_adc", approx_dot / (F.col("_qn") * F.col("_pqnorm")))
+        .withColumn("_r", F.row_number().over(wsl))
+        .filter(F.col("_r") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: raw vectors re-attach by id on both sides, norms
+    # hoisted per side (the knn_join factoring)
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    qv = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    qv = qv.withColumn("_qn", nrm(F.col("_qv")))
+    cv = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")
+    ).withColumn("_cn", nrm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", dot / (F.col("_qn") * F.col("_cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+    out._pq_encode_cache = codes._pq_encode_cache
+    return out

@@ -3975,6 +3975,96 @@ def ann_pq_serve(spark, sf_dir):
     )
 
 
+def _pq_knn_join_oracle(n_probe: int, k: int, refine: int) -> str:
+    """DuckDB twin of the compressed two-table kNN join (pq_knn_join,
+    new r11): the _knn_join_oracle's cell/probe CTEs composed with the
+    _pq_oracle_fragments encode/LUT/ADC pieces — shortlist by approximate
+    ADC cosine inside probed cells, exact-cosine tail. Every value
+    exact-integer-derived under the pinned layout (additions of exact
+    integers carried in doubles are order-free, so the Spark fold and
+    DuckDB's sums agree bit-for-bit)."""
+    import math
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    books, centroids = pinned_pq_layout(64, 16, 32, 16)
+    fr = _pq_oracle_fragments(books)
+    cos_exprs = []
+    probe_structs = []
+    for cid, cvec in centroids:
+        nrm = math.sqrt(sum(float(x) * float(x) for x in cvec))
+        cos_exprs.append(
+            f"(CAST(list_dot_product(cv, {_ann_ilist(cvec)}) AS DOUBLE)"
+            f" / (sqrt(CAST(list_dot_product(cv, cv) AS DOUBLE)) * {nrm!r}))"
+        )
+        probe_structs.append(
+            f"{{'cid': {cid}, 'cs': list_dot_product(qv, {_ann_ilist(cvec)})}}"
+        )
+    cl = "[" + ",".join(cos_exprs) + "]"
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, {_ANN_QUANT} AS cv FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), q AS (
+      SELECT vec_id AS query_id, {_ANN_QUANT} AS qv FROM embeddings
+      WHERE vec_id % 2 = 0
+    ), cells AS (
+      SELECT neighbor_id, list_position({cl}, list_max({cl})) - 1 AS cell FROM c
+    ), enc AS (
+      SELECT neighbor_id, {", ".join(fr["code_cols"])} FROM c
+    ), encn AS (
+      SELECT *, {fr["pqnorm"]} AS pqnorm FROM enc
+    ), pr AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT query_id, u.cid AS cid,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY u.cs DESC, u.cid) AS prn
+        FROM (SELECT query_id, unnest([{",".join(probe_structs)}]) AS u FROM q)
+      ) WHERE prn <= {n_probe}
+    ), lut AS (
+      SELECT query_id, {", ".join(fr["lut_cols"])},
+             sqrt(CAST(list_dot_product(qv, qv) AS DOUBLE)) AS qn
+      FROM q
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT lut.query_id, encn.neighbor_id,
+               row_number() OVER (PARTITION BY lut.query_id
+                 ORDER BY CAST({fr["adc_sum"]} AS DOUBLE)
+                          / (lut.qn * encn.pqnorm) DESC,
+                 encn.neighbor_id) AS r
+        FROM pr
+        JOIN cells ON cells.cell = pr.cell
+        JOIN encn ON encn.neighbor_id = cells.neighbor_id
+        JOIN lut ON lut.query_id = pr.query_id
+      ) WHERE r <= {refine * k}
+    ){_ann_exact_tail(k)}"""
+
+
+@query("ann_pq_knn_join", oracle=_pq_knn_join_oracle(14, 5, 8))
+def ann_pq_knn_join(spark, sf_dir):
+    """Compressed two-table kNN join (similarity.pq_knn_join, new r11):
+    every even-id vector gets its 5 nearest odd-id vectors, but the
+    candidate scan touches m-byte PQ CODES instead of raw vectors — the
+    IVFADC composition of ann_knn_join, with the per-query ADC lookup
+    table riding the query row through the cell join (row-local, never
+    broadcast, so the left stays unbounded). Pinned integer layout over
+    10^4-quantized vectors makes cells, codes, LUT, ADC shortlist, and
+    exact refine all hash-oracle checkable. 14/16 probes, refine 8·k.
+    Born pytest-only (window full); full DuckDB coverage via
+    tests/test_oracle.py — an r12 promotion candidate alongside
+    text_language_id_learned."""
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout, pq_knn_join
+
+    books, cents = pinned_pq_layout(64, 16, 32, 16)
+    emb = _quantized_embeddings(spark, sf_dir)
+    return pq_knn_join(
+        emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+        emb.filter(F.col("vec_id") % 2 == 1), "vec_id", "embedding",
+        dim=64, k=5, m=16, ksub=32, n_centroids=16, n_probe=14, refine=8,
+        books=books, centroids=cents,
+    )
+
+
 @query(
     "q17_small_qty_revenue",
     oracle="""
@@ -5161,6 +5251,10 @@ PYTEST_ONLY = frozenset(
         # promotion candidate for the r12 window alongside a saturated
         # demotion
         "text_language_id_learned",
+        # born pytest-only in r11 (window full), FULL hash oracle: the
+        # compressed (IVFADC) two-table kNN join under the pinned
+        # integer layout — r12 promotion candidate
+        "ann_pq_knn_join",
     }
 )
 

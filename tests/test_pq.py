@@ -206,3 +206,67 @@ def test_assign_cells_collision_guards(spark, emb):
 
     with _pytest.raises(ValueError, match="cell"):
         _assign_cells(out, "embedding", centroids)
+
+
+def test_pq_knn_join_full_settings_degrade_to_exact(spark):
+    """n_probe = n_centroids and a shortlist covering every cell make the
+    compressed join exact: neighbor-for-neighbor equal to knn_join's
+    all-probes brute force."""
+    from pgdedupe_spark.operators.similarity import (
+        knn_join,
+        pq_knn_join,
+        release_encode_cache,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = df.filter("vec_id % 2 = 0")
+    right = df.filter("vec_id % 2 = 1")
+    exact = knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=8, seed=7,
+    )
+    got = pq_knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        dim=64, k=5, m=8, ksub=16, n_centroids=8, n_probe=8,
+        refine=10_000, seed=7,
+    )
+    a = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    b = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    release_encode_cache(got)
+    assert a == b
+
+
+def test_pq_knn_join_partial_probe_recall_and_plan(spark):
+    from pgdedupe_spark.operators.similarity import (
+        knn_join,
+        pq_knn_join,
+        release_encode_cache,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = df.filter("vec_id % 2 = 0").limit(40)
+    right = df.filter("vec_id % 2 = 1")
+    exact = knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        k=5, n_centroids=8, n_probe=8, seed=7,
+    )
+    out = pq_knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        dim=64, k=5, m=16, ksub=16, n_centroids=8, n_probe=7,
+        refine=32, seed=7,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan
+    # two Window nodes total: the ADC shortlist + the final top-k — the
+    # unbounded probe ranking stays row-local
+    assert plan.count("Window [") == 2, plan
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    release_encode_cache(out)
+    hits = sum(len(want[q] & got.get(q, set())) for q in want)
+    total = sum(len(v) for v in want.values())
+    assert hits / total >= 0.9, hits / total
