@@ -159,6 +159,9 @@ HEADLINE = [
     "text_ccnet_buckets",
     "corpus_temperature_mix",
     "ann_knn_join",
+    # r11: the compressed (IVFADC) two-table join + the learned language id
+    "ann_pq_knn_join",
+    "text_language_id_learned",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two

@@ -134,3 +134,74 @@ def test_empty_and_null_text(spark):
     assert list(out[1].tokens) == [] and out[1].n_tokens == 0
     assert list(out[2].tokens) == [] and out[2].n_tokens == 0
     assert list(out[3].tokens) == ["ab"]
+
+
+def test_soft_em_fills_budget_better_than_hard(spark):
+    """Hard (Viterbi) EM kills every piece the best segmentations skip,
+    collapsing the vocabulary; the full forward-backward E-step keeps
+    fractional mass on useful alternatives, so the learned vocabulary
+    approaches the budget. Both remain deterministic."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    soft = train_unigram(df, "text", vocab_size=120, em="soft")
+    hard = train_unigram(df, "text", vocab_size=120, em="hard")
+    assert len(soft) > len(hard), (len(soft), len(hard))
+    n_single = sum(1 for p, _ in soft if len(p) == 1)
+    assert len(soft) <= max(120, n_single)
+    assert soft == train_unigram(df, "text", vocab_size=120, em="soft")
+
+
+def test_soft_em_likelihood_non_decreasing():
+    """EM's defining guarantee on a fixed vocabulary: corpus
+    log-likelihood never decreases across M-steps (no pruning between
+    rounds here — pruning may legitimately lower it)."""
+    import math
+
+    from pgdedupe_spark.operators.unigram import _seed_vocab, _soft_counts
+
+    words = [("banana", 5), ("bandana", 3), ("nab", 2), ("anna", 4)]
+    logp = _seed_vocab(words, seed_size=40, max_piece_len=4)
+    lls = []
+    for _ in range(4):
+        counts, ll = _soft_counts(words, logp, 4)
+        lls.append(ll)
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+    for a, b in zip(lls, lls[1:]):
+        assert b >= a - 1e-9, lls
+
+
+def test_soft_counts_match_brute_force_expectations():
+    """Independent reference for the E-step: enumerate every segmentation,
+    weight by its probability, accumulate expected piece counts — must
+    match the forward-backward computation to float precision."""
+    import itertools
+    import math
+
+    from pgdedupe_spark.operators.unigram import _soft_counts
+
+    logp = {"a": -1.0, "b": -2.0, "ab": -1.2, "ba": -1.8, "aba": -2.5}
+    words = [("abab", 3), ("ba", 2)]
+
+    def brute(word):
+        n = len(word)
+        segs = []
+        for mask in range(2 ** (n - 1)) if n > 1 else [0]:
+            cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+            pieces = [word[a:b] for a, b in itertools.pairwise(cuts)]
+            if all(p in logp for p in pieces):
+                segs.append((pieces, math.exp(sum(logp[p] for p in pieces))))
+        z = sum(w for _, w in segs)
+        exp_counts: dict[str, float] = {}
+        for pieces, w in segs:
+            for p in pieces:
+                exp_counts[p] = exp_counts.get(p, 0.0) + w / z
+        return exp_counts
+
+    want: dict[str, float] = {}
+    for word, f in words:
+        for p, c in brute(word).items():
+            want[p] = want.get(p, 0.0) + f * c
+    got, _ = _soft_counts(words, logp, max_len=3)
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) < 1e-9, (p, got[p], want[p])
