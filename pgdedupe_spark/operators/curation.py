@@ -1619,3 +1619,120 @@ def llm_prep(
     if materialize:
         surv = surv.localCheckpoint(eager=True)
     return dsir_sample(surv, id_col, text_col, surv.filter(target), k, num_buckets)
+
+
+def token_budget_epochs(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    max_epochs: int = 4,
+    tau: float = 1.0,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Token-budget epoch allocation under a repeat cap — the
+    data-constrained-scaling mixing recipe (Muennighoff et al. 2023:
+    repeating a source up to ~4 epochs is nearly as good as fresh data,
+    beyond that returns decay) composed with the temperature mix: a
+    training-token ``budget`` splits across groups ∝ n_g^(1/tau), but no
+    group may contribute more than ``max_epochs`` passes over its own
+    tokens — budget a capped group can't absorb REDISTRIBUTES to the
+    uncapped ones (water-filling).
+
+    Closed form, no iteration: sorted by fill ratio r_g = cap_g / w_g
+    (one IEEE division of exact ints — engine-identical), the capped set
+    is the maximal PREFIX where cap_k·(W − cumw_k) ≤ (B − cumcap_k)·w_k
+    (integer cross-multiplication in DECIMAL(38,0), overflow-safe to
+    ~1e38 — document magnitudes beyond tokens ~1e15); the leftover
+    budget apportions over uncapped weights by exact largest remainder
+    (the temperature_quotas device), so Σ tokens_alloc == budget
+    whenever any group is uncapped (a remainder seat may exceed a
+    group's cap by at most 1 token); with EVERY group capped the
+    shortfall is visible as Σ tokens_alloc = Σ cap < budget.
+
+    Output per group: (group, n_tokens, w_scaled, capped int,
+    tokens_alloc, epochs) with epochs = tokens_alloc / n_tokens (one
+    IEEE division). Plan: ONE corpus pass (the group token-sum
+    aggregate, eagerly checkpointed — G rows, the bounded-sidecar
+    pattern), then everything operates on the G-row dimension (three
+    1-row broadcasts + two G-row windows)."""
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(token_col).cast("long").alias("n_tokens"))
+        .localCheckpoint(eager=True)  # G rows; the ONLY corpus pass
+    )
+    w = F.floor(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / tau)) * F.lit(float(scale))
+        + F.lit(0.5)
+    ).cast("long")
+    dim = counts.withColumn("w_scaled", w).withColumn(
+        "cap", (F.col("n_tokens") * F.lit(int(max_epochs))).cast("long")
+    )
+    tot = dim.agg(F.sum("w_scaled").alias("_wtot"))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    order = [F.asc("_r"), F.asc(group_col)]
+    cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        dim.crossJoin(F.broadcast(tot))
+        .withColumn("_r", F.col("cap").cast("double") / F.col("w_scaled").cast("double"))
+        .withColumn("_cumcap", F.sum("cap").over(cum))
+        .withColumn("_cumw", F.sum("w_scaled").over(cum))
+    )
+    cond = dec(F.col("cap")) * dec(F.col("_wtot") - F.col("_cumw")) <= dec(
+        F.lit(int(budget)) - F.col("_cumcap")
+    ) * dec(F.col("w_scaled"))
+    # prefix-closure by construction: a row is capped only if every row
+    # before it (in fill-ratio order) is too — the window min replays the
+    # iterative water-fill exactly
+    d = d.withColumn(
+        "capped",
+        F.min(F.when(cond, 1).otherwise(0)).over(cum) == 1,
+    )
+    caps = d.agg(
+        F.coalesce(F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0)).alias("_capsum"),
+        F.coalesce(F.sum(F.when(~F.col("capped"), F.col("w_scaled"))), F.lit(0)).alias(
+            "_wunc"
+        ),
+    )
+    d = d.crossJoin(F.broadcast(caps)).withColumn(
+        "_rbud", (F.lit(int(budget)) - F.col("_capsum")).cast("long")
+    )
+    kw = dec(F.col("w_scaled")) * dec(F.col("_rbud"))
+    d = d.withColumn(
+        "_base",
+        F.when(F.col("capped") | (F.col("_wunc") == 0), F.lit(0)).otherwise(
+            F.expr("CAST((CAST(w_scaled AS DECIMAL(19,0)) * CAST(_rbud AS DECIMAL(19,0)))"
+                   " div _wunc AS BIGINT)")
+        ),
+    ).withColumn(
+        "_rem",
+        F.when(F.col("capped") | (F.col("_wunc") == 0), F.lit(None)).otherwise(
+            kw % F.col("_wunc")
+        ),
+    )
+    lo = d.agg(
+        (F.coalesce(F.max("_rbud"), F.lit(0)) - F.sum("_base")).alias("_left"),
+        F.sum(F.when(~F.col("capped"), 1).otherwise(0)).alias("_nunc"),
+    )
+    rk = Window.orderBy(F.desc_nulls_last("_rem"), F.asc(group_col))
+    out = (
+        d.crossJoin(F.broadcast(lo))
+        .withColumn("_rk", F.row_number().over(rk))
+        .withColumn(
+            "tokens_alloc",
+            F.when(F.col("capped") | (F.col("_nunc") == 0), F.col("cap")).otherwise(
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_left"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    return out.select(
+        group_col,
+        "n_tokens",
+        "w_scaled",
+        F.col("capped").cast("int").alias("capped"),
+        "tokens_alloc",
+        (F.col("tokens_alloc").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "epochs"
+        ),
+    )

@@ -5255,6 +5255,10 @@ PYTEST_ONLY = frozenset(
         # compressed (IVFADC) two-table kNN join under the pinned
         # integer layout — r12 promotion candidate
         "ann_pq_knn_join",
+        # born pytest-only in r11 (window full), FULL hash oracle:
+        # token-budget epoch allocation under the 4-epoch repeat cap
+        # (closed-form water-filling + largest-remainder apportionment)
+        "corpus_budget_epochs",
     }
 )
 
@@ -7733,6 +7737,93 @@ def corpus_temperature_mix(spark, sf_dir):
 
     return temperature_sample(
         _t(spark, sf_dir, "documents"), "source", "doc_id", k=120, tau=2.0
+    )
+
+
+@query(
+    "corpus_budget_epochs",
+    oracle=r"""
+    WITH cnt AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.125) * 1000000.0 + 0.5)
+                  AS BIGINT) AS w_scaled,
+             CAST(n_tokens * 4 AS BIGINT) AS cap
+      FROM cnt
+    ),
+    tot AS (SELECT CAST(sum(w_scaled) AS BIGINT) AS wtot FROM w),
+    d AS (
+      SELECT source, n_tokens, w_scaled, cap, wtot,
+             CAST(cap AS DOUBLE) / CAST(w_scaled AS DOUBLE) AS r,
+             sum(cap) OVER ord AS cumcap,
+             sum(w_scaled) OVER ord AS cumw
+      FROM w, tot
+      WINDOW ord AS (ORDER BY CAST(cap AS DOUBLE) / CAST(w_scaled AS DOUBLE),
+                     source ROWS UNBOUNDED PRECEDING)
+    ),
+    c AS (
+      SELECT *,
+             min(CASE WHEN CAST(cap AS HUGEINT) * (wtot - cumw)
+                       <= CAST(550000 - cumcap AS HUGEINT) * w_scaled
+                  THEN 1 ELSE 0 END)
+               OVER (ORDER BY r, source ROWS UNBOUNDED PRECEDING) = 1 AS capped
+      FROM d
+    ),
+    agg AS (
+      SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS capsum,
+             coalesce(sum(CASE WHEN NOT capped THEN w_scaled END), 0) AS wunc
+      FROM c
+    ),
+    base AS (
+      SELECT c.*, (550000 - capsum) AS rbud, wunc,
+             CASE WHEN capped OR wunc = 0 THEN 0
+                  ELSE (CAST(w_scaled AS HUGEINT) * (550000 - capsum)) // wunc
+             END AS base_,
+             CASE WHEN capped OR wunc = 0 THEN NULL
+                  ELSE (CAST(w_scaled AS HUGEINT) * (550000 - capsum)) % wunc
+             END AS rem_
+      FROM c, agg
+    ),
+    lo AS (
+      SELECT max(rbud) - sum(base_) AS leftover,
+             sum(CASE WHEN NOT capped THEN 1 ELSE 0 END) AS nunc
+      FROM base
+    ),
+    fin AS (
+      SELECT base.*, leftover, nunc,
+             row_number() OVER (ORDER BY rem_ DESC NULLS LAST, source) AS rk
+      FROM base, lo
+    )
+    SELECT source, n_tokens, w_scaled, CAST(capped AS INT) AS capped,
+           CAST(CASE WHEN capped OR nunc = 0 THEN cap
+                     ELSE base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                END AS BIGINT) AS tokens_alloc,
+           CAST(CASE WHEN capped OR nunc = 0 THEN cap
+                     ELSE base_ + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                END AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM fin
+    """,
+)
+def corpus_budget_epochs(spark, sf_dir):
+    """Token-budget epoch allocation under the 4-epoch repeat cap
+    (curation.token_budget_epochs, new r11 — the data-constrained-
+    scaling mix, Muennighoff et al. 2023, composed with the mT5 tau-mix):
+    a 550k-char training budget splits across sources ∝ n^(1/8), each
+    source capped at 4 passes over its own chars, capped groups' excess
+    water-filling to the uncapped ones in closed form (sorted fill-ratio
+    prefix + exact largest-remainder apportionment — every comparison an
+    integer cross-multiplication, the one pow per GROUP quantized through
+    floor(x·1e6+0.5)). Constants chosen so BOTH regimes appear at every
+    SF (small sources cap, large ones don't). Born pytest-only (window
+    full); full DuckDB coverage via tests/test_oracle.py."""
+    from pgdedupe_spark.operators.curation import token_budget_epochs
+
+    return token_budget_epochs(
+        _t(spark, sf_dir, "documents"), "source", "n_chars",
+        budget=550_000, max_epochs=4, tau=8.0,
     )
 
 

@@ -1054,3 +1054,60 @@ def test_llm_prep_materialized_identical_and_fewer_scans(spark):
 
     assert scans(mat) < scans(decl), (scans(mat), scans(decl))
     assert scans(mat) <= 2  # the materialized survivors replace the subtree
+
+
+def test_token_budget_epochs_water_filling_hand_check(spark):
+    """big=10000/mid=2000/tiny=200 tokens at tau=3, budget 20000, cap 4
+    epochs: tiny caps at 800; the remaining 19200 splits over big/mid by
+    exact largest remainder on the tempered weights — replayed here in
+    exact Python ints. Totals always equal the budget when any group is
+    uncapped; the all-capped case surfaces the shortfall instead."""
+    import math
+
+    from pgdedupe_spark.operators.curation import token_budget_epochs
+
+    rows = (
+        [("big", i, 100) for i in range(100)]
+        + [("mid", i, 100) for i in range(20)]
+        + [("tiny", i, 100) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "src string, doc_id int, n_tok int")
+    out = {r.src: r for r in token_budget_epochs(
+        df, "src", "n_tok", budget=20000, max_epochs=4, tau=3.0).collect()}
+    assert out["tiny"].capped == 1 and out["tiny"].tokens_alloc == 800
+    w = {g: int(math.floor((n ** (1 / 3.0)) * 1e6 + 0.5))
+         for g, n in (("big", 10000), ("mid", 2000))}
+    r_ = 20000 - 800
+    wsum = sum(w.values())
+    base = {g: (r_ * v) // wsum for g, v in w.items()}
+    rem = {g: (r_ * v) % wsum for g, v in w.items()}
+    left = r_ - sum(base.values())
+    order = sorted(w, key=lambda g: (-rem[g], g))
+    want = {g: base[g] + (1 if i < left else 0) for i, g in enumerate(order)}
+    for g in ("big", "mid"):
+        assert out[g].capped == 0 and out[g].tokens_alloc == want[g], g
+    assert sum(r.tokens_alloc for r in out.values()) == 20000
+    assert abs(out["tiny"].epochs - 4.0) < 1e-12
+
+    # all-capped: budget exceeds 4x the corpus — shortfall visible
+    full = token_budget_epochs(df, "src", "n_tok", budget=10**9, max_epochs=4).collect()
+    assert all(r.capped == 1 for r in full)
+    assert sum(r.tokens_alloc for r in full) == 4 * 12200
+
+
+def test_token_budget_epochs_single_pass_and_determinism(spark):
+    """The corpus is read exactly once (the checkpointed G-row token-sum
+    aggregate) — the returned plan carries ZERO parquet scans; and the
+    allocation is bit-stable across runs."""
+    import re
+
+    from pgdedupe_spark.operators.curation import token_budget_epochs
+    from pgdedupe_spark.plans import explain_str
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_budget_epochs(df, "source", "n_chars", budget=550_000, tau=8.0)
+    assert not re.findall(r"\(\d+\) Scan parquet", explain_str(out)), explain_str(out)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, token_budget_epochs(
+        df, "source", "n_chars", budget=550_000, tau=8.0).collect()))
+    assert a == b
