@@ -1596,10 +1596,15 @@ def llm_prep(
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality, llm_gate_filter
 
-    chars = F.col(chars_col) if chars_col else F.length(F.coalesce(F.col(text_col), F.lit("")))
-    gate = llm_gate_filter(
-        gopher_quality(corpus, id_col, text_col)
-    ).withColumnRenamed("doc_id", id_col)
+    # cast to LONG before the tie-break multiply below: length() is INT
+    # and INT·1e9 overflows 32-bit (ANSI errors; legacy silently wraps
+    # and inverts longest-wins) — review r11
+    chars = (
+        F.col(chars_col)
+        if chars_col
+        else F.length(F.coalesce(F.col(text_col), F.lit("")))
+    ).cast("long")
+    gate = llm_gate_filter(gopher_quality(corpus, id_col, text_col), id_col)
     gated = corpus.join(gate, id_col)
     keepers = (
         gated.select(
@@ -1618,7 +1623,25 @@ def llm_prep(
     surv = gated.join(keepers, id_col)
     if materialize:
         surv = surv.localCheckpoint(eager=True)
-    return dsir_sample(surv, id_col, text_col, surv.filter(target), k, num_buckets)
+    out = dsir_sample(surv, id_col, text_col, surv.filter(target), k, num_buckets)
+    if materialize:
+        # hand the checkpoint to the caller for release after the
+        # consuming action (the pq_encode cache discipline; SCALE.md
+        # rule 7 — checkpoint blocks outlive unpersist and would
+        # accumulate one survivor frame per call in a long session)
+        out._materialized_checkpoints = [surv]
+    return out
+
+
+def release_materialized(df: DataFrame) -> None:
+    """Free the eager localCheckpoints a ``materialize=True`` operator
+    (llm_prep, text.ccnet_buckets) attached to its result — call after
+    the action that consumed it. No-op for frames without one."""
+    from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+    for ck in getattr(df, "_materialized_checkpoints", None) or []:
+        _free_local_checkpoint(ck)
+    df._materialized_checkpoints = []
 
 
 def token_budget_epochs(

@@ -233,8 +233,10 @@ def prototype_prune(
     Degenerate budgets short-circuit BEFORE the sketch/window (ADVICE
     r10: the >= cutoff test would otherwise still keep the max-distance
     row(s) at keep_pct=0): keep_pct <= 0 keeps nothing, >= 100 keeps
-    everything, in both modes."""
-    keep_pct = int(keep_pct)
+    everything, in both modes. Fractional percentages stay meaningful
+    (review r11: an int() truncation here silently turned keep_pct=0.5
+    into keep-nothing); the exact branch floors through its own integer
+    ceil-fraction expression as it always has."""
     scores = prototype_scores(df, id_col, vec_col, k, iterations, dim, scale, init)
     if keep_pct <= 0 or keep_pct >= 100:
         kept = F.lit(1 if keep_pct >= 100 else 0)

@@ -559,18 +559,20 @@ def quality_model_scores(
     return scored
 
 
-def llm_gate_filter(g: DataFrame) -> DataFrame:
+def llm_gate_filter(g: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The pipeline_llm_prep gate predicate over a gopher_quality frame —
     ONE definition shared by the batch composite (curation.llm_prep /
     registry pipeline_llm_prep) and the streaming twin
-    (streaming.ops.curation_prep_stream) (rules 1-3 and 6 of MassiveText A1.1; the required-words
-    rule is waived for the synthetic corpus exactly as the registry
-    composite documents)."""
+    (streaming.ops.curation_prep_stream): rules 1-3 and 6 of MassiveText
+    A1.1; the required-words rule is waived for the synthetic corpus
+    exactly as the registry composite documents. ``id_col`` names the
+    id column gopher_quality preserved (review r11: a hard-coded
+    "doc_id" broke every non-doc_id caller at plan time)."""
     return g.filter(
         (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
         & (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
         & (F.col("symbol_ratio") <= 0.1) & (F.col("frac_alpha_words") >= 0.8)
-    ).select("doc_id")
+    ).select(id_col)
 
 
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -727,6 +729,7 @@ def ccnet_buckets(
         lang.alias("_lang"),
         F.explode(tokens(F.col(text_col))).alias("_term"),
     )
+    _checkpoints: list[DataFrame] = []
     if lm is not None:
         lm = lm.select(F.col("term").alias("_term"), F.col("count").alias("_c"))
     else:
@@ -734,8 +737,11 @@ def ccnet_buckets(
         if materialize:
             # eager checkpoint: the fit runs as its own job ONCE; every
             # downstream consumer (totals, the scoring join) reads the
-            # stored vocabulary rows instead of re-deriving the explode
+            # stored vocabulary rows instead of re-deriving the explode.
+            # The handle rides the result for curation.release_materialized
+            # (checkpoint blocks outlive unpersist — SCALE.md rule 7)
             lm = lm.localCheckpoint(eager=True)
+            _checkpoints.append(lm)
     totals = lm.agg(
         F.sum("_c").alias("_t"), F.count(F.lit(1)).alias("_v")
     )
@@ -796,6 +802,7 @@ def ccnet_buckets(
             # the cuts dimension is 2 values per language — checkpoint it
             # so the sketch pass doesn't re-derive the scoring subtree
             cuts = cuts.localCheckpoint(eager=True)
+            _checkpoints.append(cuts)
         bucketed = scored.join(F.broadcast(cuts), "_lang", "left").withColumn(
             "bucket",
             F.when(~nonempty, F.lit(0))
@@ -809,7 +816,7 @@ def ccnet_buckets(
         .when(F.col("bucket") == 3, F.lit("tail"))
         .otherwise(F.lit("empty"))
     )
-    return bucketed.select(
+    out = bucketed.select(
         F.col("_doc").alias(id_col),
         F.col("_lang").alias("lang"),
         "n_tokens",
@@ -817,3 +824,6 @@ def ccnet_buckets(
         F.col("bucket").cast("int").alias("bucket"),
         tier.alias("tier"),
     )
+    if _checkpoints:
+        out._materialized_checkpoints = _checkpoints
+    return out

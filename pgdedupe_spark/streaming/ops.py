@@ -637,6 +637,12 @@ def curation_prep_stream(
     sink a downstream selection stage (DSIR) consumes in batch; the
     draw itself is a global top-k and stays a batch job by design.
 
+    ``docs`` follows the other ``*_stream`` constructors' signature (the
+    stream frame the caller will attach the returned function to); the
+    function body only ever sees the per-microbatch frame foreachBatch
+    hands it, so ``None`` is fine when driving batches by hand (the
+    tests do).
+
     Returns a ``foreachBatch`` function. Semantics contract (pinned
     stream≡batch in tests/test_streaming.py): kept = exactly the batch
     pipeline's gate ∩ first-wins-dedup survivors when canonical order is
@@ -657,7 +663,7 @@ def curation_prep_stream(
         spark = batch_df.sparkSession
         g = gopher_quality(batch_df, id_col, text_col)
         gated = batch_df.join(
-            llm_gate_filter(g).withColumnRenamed("doc_id", id_col), id_col
+            llm_gate_filter(g, id_col), id_col
         ).localCheckpoint()  # the source frame is only valid in-batch
         dedup_fn(gated, epoch_id)
         # explicit schema: a fully-gated-out epoch leaves the flags layer

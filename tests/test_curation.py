@@ -1111,3 +1111,46 @@ def test_token_budget_epochs_single_pass_and_determinism(spark):
     b = sorted(map(tuple, token_budget_epochs(
         df, "source", "n_chars", budget=550_000, tau=8.0).collect()))
     assert a == b
+
+
+def test_llm_prep_generic_id_and_default_chars(spark):
+    """Review r11 regressions: (a) a non-doc_id id column must work end
+    to end (the gate helper used to hard-code doc_id); (b) the default
+    chars path (no chars_col) must not overflow INT arithmetic in the
+    longest-wins tie-break — and must actually pick the LONGER text."""
+    from pgdedupe_spark.operators.curation import llm_prep
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(20))  # 60 words
+    rows = [
+        (1, base, "en"),
+        (2, base + "  ", "en"),  # same normalized text, longer raw — wins
+        (3, base + " extra trailing words here now", "en"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, body string, lg string")
+    out = llm_prep(df, "rec_id", "body", target=F.col("lg") == "en", k=10)
+    ids = {r.rec_id for r in out.collect()}
+    assert 1 not in ids  # shorter duplicate lost the canonical pick
+    assert 2 in ids and 3 in ids
+
+
+def test_release_materialized_frees_checkpoints(spark):
+    """materialize=True operators attach their eager checkpoints to the
+    result; release_materialized() must actually free the RDD blocks
+    (SCALE.md rule 7 — they outlive unpersist and leak per call)."""
+    from pgdedupe_spark.operators.curation import llm_prep, release_materialized
+    from pgdedupe_spark.operators.text import ccnet_buckets
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = llm_prep(
+        df, "doc_id", "text", target=F.col("lang") == "en", k=10,
+        chars_col="n_chars", materialize=True,
+    )
+    out.collect()
+    assert out._materialized_checkpoints
+    release_materialized(out)
+    assert not out._materialized_checkpoints
+    cc = ccnet_buckets(df, "doc_id", "text", lang_col="lang", materialize=True)
+    cc.collect()
+    assert cc._materialized_checkpoints
+    release_materialized(cc)
+    assert not cc._materialized_checkpoints

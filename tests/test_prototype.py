@@ -167,3 +167,19 @@ def test_degenerate_keep_pct_short_circuits(spark):
         df, "vec_id", "embedding", k=2, iterations=1, keep_pct=0, exact=True
     ).columns
     assert cols == ["vec_id", "cluster", "proto_dist", "hard_rank", "kept"]
+
+
+def test_fractional_keep_pct_still_keeps_a_sliver(spark):
+    """Review r11 regression: keep_pct=0.5 in approx mode used to keep
+    ~0.5% per cluster; an int() truncation turned it into keep-nothing.
+    It must keep at least the single hardest row per cluster again (the
+    >= cutoff at the extreme percentile) and never the whole cluster."""
+    from pgdedupe_spark.operators.kmeans import prototype_prune
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = prototype_prune(
+        df, "vec_id", "embedding", k=2, iterations=1, keep_pct=0.5, exact=False
+    )
+    kept = out.filter("kept = 1").count()
+    assert kept >= 1
+    assert kept < out.count()
