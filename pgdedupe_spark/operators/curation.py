@@ -1596,9 +1596,7 @@ def llm_prep(
     from pgdedupe_spark.operators.dedup import normalize_text
     from pgdedupe_spark.operators.text import gopher_quality, llm_gate_filter
 
-    # cast to LONG before the tie-break multiply below: length() is INT
-    # and INT·1e9 overflows 32-bit (ANSI errors; legacy silently wraps
-    # and inverts longest-wins) — review r11
+    # cast to LONG so char counts beyond INT range are safe under ANSI
     chars = (
         F.col(chars_col)
         if chars_col
@@ -1606,6 +1604,11 @@ def llm_prep(
     ).cast("long")
     gate = llm_gate_filter(gopher_quality(corpus, id_col, text_col), id_col)
     gated = corpus.join(gate, id_col)
+    # longest-wins, id-ascending tie-break, via LEXICOGRAPHIC struct
+    # ordering — ADVICE r11: the former chars·1e9 + id arithmetic key
+    # silently assumed 0 <= id < 1e9; ids outside that range (or
+    # negative) could let a SHORTER duplicate win with no error. struct
+    # max_by compares (_chars, id) field-by-field, valid for any id.
     keepers = (
         gated.select(
             normalize_text(F.col(text_col)).alias("norm"),
@@ -1615,7 +1618,7 @@ def llm_prep(
         .groupBy("norm")
         .agg(
             F.max_by(
-                id_col, F.col("_chars") * F.lit(1_000_000_000) + F.col(id_col)
+                id_col, F.struct(F.col("_chars"), F.col(id_col))
             ).alias(id_col)
         )
         .select(id_col)
@@ -1666,33 +1669,47 @@ def token_budget_epochs(
     (one IEEE division of exact ints — engine-identical), the capped set
     is the maximal PREFIX where cap_k·(W − cumw_k) ≤ (B − cumcap_k)·w_k
     (integer cross-multiplication in DECIMAL(38,0), overflow-safe to
-    ~1e38 — document magnitudes beyond tokens ~1e15); the leftover
+    ~1e38 cross-products — with w ≈ n^(1/tau)·scale that admits any
+    realistic corpus); the leftover
     budget apportions over uncapped weights by exact largest remainder
     (the temperature_quotas device), so Σ tokens_alloc == budget
     whenever any group is uncapped (a remainder seat may exceed a
     group's cap by at most 1 token); with EVERY group capped the
     shortfall is visible as Σ tokens_alloc = Σ cap < budget.
 
-    Output per group: (group, n_tokens, w_scaled, capped int,
-    tokens_alloc, epochs) with epochs = tokens_alloc / n_tokens (one
-    IEEE division). Plan: ONE corpus pass (the group token-sum
-    aggregate, eagerly checkpointed — G rows, the bounded-sidecar
-    pattern), then everything operates on the G-row dimension (three
-    1-row broadcasts + two G-row windows)."""
+    Output per group: (group, n_tokens, w_scaled DECIMAL(38,0), capped
+    int, tokens_alloc, epochs) with epochs = tokens_alloc / n_tokens
+    (one IEEE division). Groups whose token sum is ≤ 0 are DROPPED at
+    the aggregate (ADVICE r11: a zero-token group otherwise rode
+    through as fill ratio 0/0 = NaN and leaked epochs = NaN to
+    consumers; it can absorb no budget, so it has no row). w_scaled
+    rides DECIMAL(38,0) end-to-end (VERDICT r11 #6: the former LONG
+    cast errored loudly for a single group above ~9e12 tokens at the
+    default scale under ANSI; quantized weights beyond 2^53 inherit
+    double granularity from the pow, like the oracle's). Plan: ONE
+    corpus pass (the group token-sum aggregate, eagerly checkpointed —
+    G rows, the bounded-sidecar pattern), then everything operates on
+    the G-row dimension (three 1-row broadcasts + two G-row windows)."""
     counts = (
         df.groupBy(group_col)
         .agg(F.sum(token_col).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
         .localCheckpoint(eager=True)  # G rows; the ONLY corpus pass
     )
-    w = F.floor(
-        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / tau)) * F.lit(float(scale))
+    # floor in double space (x − x mod 1), then an exact cast of the
+    # integral double to DECIMAL(38,0): bit-identical to the former
+    # floor()→LONG for every value below 2^53, no ceiling above it
+    x = (
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / tau))
+        * F.lit(float(scale))
         + F.lit(0.5)
-    ).cast("long")
+    )
+    w = (x - (x % F.lit(1.0))).cast("decimal(38,0)")
     dim = counts.withColumn("w_scaled", w).withColumn(
         "cap", (F.col("n_tokens") * F.lit(int(max_epochs))).cast("long")
     )
     tot = dim.agg(F.sum("w_scaled").alias("_wtot"))
-    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     order = [F.asc("_r"), F.asc(group_col)]
     cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = (
@@ -1724,7 +1741,7 @@ def token_budget_epochs(
     d = d.withColumn(
         "_base",
         F.when(F.col("capped") | (F.col("_wunc") == 0), F.lit(0)).otherwise(
-            F.expr("CAST((CAST(w_scaled AS DECIMAL(19,0)) * CAST(_rbud AS DECIMAL(19,0)))"
+            F.expr("CAST((CAST(w_scaled AS DECIMAL(38,0)) * CAST(_rbud AS DECIMAL(38,0)))"
                    " div _wunc AS BIGINT)")
         ),
     ).withColumn(

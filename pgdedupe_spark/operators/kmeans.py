@@ -234,9 +234,13 @@ def prototype_prune(
     r10: the >= cutoff test would otherwise still keep the max-distance
     row(s) at keep_pct=0): keep_pct <= 0 keeps nothing, >= 100 keeps
     everything, in both modes. Fractional percentages stay meaningful
-    (review r11: an int() truncation here silently turned keep_pct=0.5
-    into keep-nothing); the exact branch floors through its own integer
-    ceil-fraction expression as it always has."""
+    in BOTH modes (review r11 fixed approx; ADVICE r11 caught that the
+    exact branch still truncated via int(keep_pct), so keep_pct=0.5
+    with exact=True kept nothing): the exact threshold quantizes
+    keep_pct to 1e-4-percent granularity and takes
+    ceil(_n · round(keep_pct·1e4) / 1e6) as an all-integer expression —
+    identical to the historical (_n·pct+99) div 100 for integer pct, so
+    the ml_prototype_prune oracle is unchanged."""
     scores = prototype_scores(df, id_col, vec_col, k, iterations, dim, scale, init)
     if keep_pct <= 0 or keep_pct >= 100:
         kept = F.lit(1 if keep_pct >= 100 else 0)
@@ -260,13 +264,18 @@ def prototype_prune(
         )
         counts = scores.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
         ranked = scores.withColumn("hard_rank", F.row_number().over(wn).cast("long"))
+        # ceil(_n * keep_pct / 100) with keep_pct quantized to 1e-4 %:
+        # all-integer, ≡ (_n*pct+99) div 100 for integer pct. LONG-safe
+        # up to ~9.2e12 rows per cluster (same envelope as the curation
+        # quantizers).
+        pct_num = int(round(float(keep_pct) * 10_000))
         return (
             ranked.join(F.broadcast(counts), "cluster")
             .withColumn(
                 "kept",
                 (
                     F.col("hard_rank")
-                    <= F.expr(f"(_n * {int(keep_pct)} + 99) div 100")
+                    <= F.expr(f"(_n * {pct_num}L + 999999) div 1000000")
                 ).cast("int"),
             )
             .select(id_col, "cluster", "proto_dist", "hard_rank", "kept")

@@ -31,11 +31,28 @@ tests/test_langid.py.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 LANGS = ("de", "en", "es", "fr", "zh")  # ascending — the tie-break order
+
+_LABEL_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _check_label(lang: object) -> str:
+    """Labels become generated-SQL column names (``score_<lang>``), so
+    they must be identifier-safe (ADVICE r11: 'zh-CN' or 'pt BR' used to
+    produce invalid SQL that failed opaquely at plan time). Raise a
+    clear ValueError instead; callers normalize (e.g. zh_CN) upstream."""
+    if not isinstance(lang, str) or not _LABEL_RE.fullmatch(lang):
+        raise ValueError(
+            f"language label {lang!r} is not identifier-safe "
+            "([A-Za-z0-9_]+); normalize labels (e.g. 'zh-CN' -> 'zh_CN') "
+            "before fitting/scoring"
+        )
+    return lang
 
 
 def _gram_bucket_sql(text_col: str, n: int, buckets: int, portable: bool) -> str:
@@ -84,7 +101,7 @@ def fit_language_id(
     )
     counts: dict[str, dict[int, int]] = {}
     for r in rows:
-        counts.setdefault(r._l, {})[int(r._b)] = int(r._c)
+        counts.setdefault(_check_label(r._l), {})[int(r._b)] = int(r._c)
     weights: dict[str, list[int]] = {}
     for lang, by_b in counts.items():
         tot = sum(by_b.values())
@@ -108,7 +125,7 @@ def language_id_scores(
     the pinned integer weights plus the argmax label (ties break to the
     ascending-first language). One codegen projection — no joins, no
     shuffle, no Python, no floats."""
-    langs = sorted(weights)
+    langs = sorted(_check_label(lang) for lang in weights)
     bk = _gram_bucket_sql(text_col, n, buckets, portable)
     score_exprs = []
     for lang in langs:

@@ -4050,9 +4050,8 @@ def ann_pq_knn_join(spark, sf_dir):
     broadcast, so the left stays unbounded). Pinned integer layout over
     10^4-quantized vectors makes cells, codes, LUT, ADC shortlist, and
     exact refine all hash-oracle checkable. 14/16 probes, refine 8·k.
-    Born pytest-only (window full); full DuckDB coverage via
-    tests/test_oracle.py — an r12 promotion candidate alongside
-    text_language_id_learned."""
+    Born r11 with a full DuckDB oracle; promoted into the r12 driver
+    window (VERDICT r11 #1)."""
     from pgdedupe_spark.operators.similarity import pinned_pq_layout, pq_knn_join
 
     books, cents = pinned_pq_layout(64, 16, 32, 16)
@@ -5246,19 +5245,19 @@ PYTEST_ONLY = frozenset(
         # here with full oracles. Retained via tests/test_oracle.py.
         "events_time_weighted",
         "corpus_mix_weighted",
-        # born pytest-only in r11 (window full), FULL hash oracle: the
-        # learned language id (pinned integer weights, BIGINT scores) —
-        # promotion candidate for the r12 window alongside a saturated
-        # demotion
-        "text_language_id_learned",
-        # born pytest-only in r11 (window full), FULL hash oracle: the
-        # compressed (IVFADC) two-table kNN join under the pinned
-        # integer layout — r12 promotion candidate
-        "ann_pq_knn_join",
-        # born pytest-only in r11 (window full), FULL hash oracle:
-        # token-budget epoch allocation under the 4-epoch repeat cap
-        # (closed-form water-filling + largest-remainder apportionment)
-        "corpus_budget_epochs",
+        # demoted in r12 (VERDICT r11 #1) to open window slots for the
+        # three promoted r11-born full-hash composites
+        # (text_language_id_learned / ann_pq_knn_join /
+        # corpus_budget_epochs): saturated trivial rows, green since
+        # r1-r6 with near-zero marginal information — events_pivot is a
+        # fixed-column conditional-agg pivot, stats_validate a
+        # constraint-count projection, text_tfidf a per-row TF-IDF
+        # projection whose retrieval family stays driver-covered by
+        # hybrid_search_rrf (and text_bm25_topk here). All keep full
+        # DuckDB oracle coverage via tests/test_oracle.py.
+        "events_pivot",
+        "stats_validate",
+        "text_tfidf",
     }
 )
 
@@ -7817,14 +7816,19 @@ def corpus_budget_epochs(spark, sf_dir):
     prefix + exact largest-remainder apportionment — every comparison an
     integer cross-multiplication, the one pow per GROUP quantized through
     floor(x·1e6+0.5)). Constants chosen so BOTH regimes appear at every
-    SF (small sources cap, large ones don't). Born pytest-only (window
-    full); full DuckDB coverage via tests/test_oracle.py."""
+    SF (small sources cap, large ones don't). Born r11 with a full
+    DuckDB oracle; promoted into the r12 driver window (VERDICT r11
+    #1)."""
     from pgdedupe_spark.operators.curation import token_budget_epochs
 
-    return token_budget_epochs(
+    out = token_budget_epochs(
         _t(spark, sf_dir, "documents"), "source", "n_chars",
         budget=550_000, max_epochs=4, tau=8.0,
     )
+    # boundary cast (repo convention: no raw DECIMAL at the driver
+    # boundary) — the operator's w_scaled rides DECIMAL(38,0) since r12;
+    # at tau=8 every value is far below the BIGINT ceiling
+    return out.withColumn("w_scaled", F.col("w_scaled").cast("long"))
 
 
 @query(

@@ -1113,6 +1113,55 @@ def test_token_budget_epochs_single_pass_and_determinism(spark):
     assert a == b
 
 
+def test_token_budget_epochs_decimal_survives_bigint_overflow(spark):
+    """VERDICT r11 #6: w_scaled = floor(n^(1/tau)·1e6) used to cast to
+    LONG, so a single group above ~9e12 tokens at tau=1 errored loudly
+    under ANSI. The DECIMAL(38,0) ride-through must allocate exactly:
+    with tau=1 the weights are proportional to token counts, so the
+    uncapped split is ∝ n_g, checked in exact Python ints."""
+    from pgdedupe_spark.operators.curation import token_budget_epochs
+
+    # 10^13-token group → w_scaled = 10^19 > LONG max (both counts exact
+    # doubles, so the pow/quantize path is bit-predictable)
+    rows = [("huge", 10_000_000_000_000), ("small", 2_500_000_000_000)]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    budget = 1_000_000
+    out = {r.src: r for r in token_budget_epochs(
+        df, "src", "n_tok", budget=budget, max_epochs=4, tau=1.0).collect()}
+    w = {"huge": 10_000_000_000_000 * 10**6, "small": 2_500_000_000_000 * 10**6}
+    assert int(out["huge"].w_scaled) == w["huge"]  # 10^19: over the LONG ceiling
+    wsum = sum(w.values())
+    base = {g: (budget * v) // wsum for g, v in w.items()}
+    rem = {g: (budget * v) % wsum for g, v in w.items()}
+    left = budget - sum(base.values())
+    order = sorted(w, key=lambda g: (-rem[g], g))
+    want = {g: base[g] + (1 if i < left else 0) for i, g in enumerate(order)}
+    for g in w:
+        assert out[g].capped == 0
+        assert out[g].tokens_alloc == want[g], (g, out[g].tokens_alloc, want[g])
+    assert sum(r.tokens_alloc for r in out.values()) == budget
+
+
+def test_token_budget_epochs_drops_zero_token_groups(spark):
+    """ADVICE r11: a group whose token sum is 0 used to ride through as
+    fill ratio 0/0 = NaN and leak epochs = NaN. Zero-token groups are
+    now dropped at the aggregate; the survivors' allocation is
+    unchanged and NaN-free."""
+    import math
+
+    from pgdedupe_spark.operators.curation import token_budget_epochs
+
+    rows = [("a", 1000), ("a", 1000), ("b", 500), ("empty", 0), ("empty", 0)]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    out = token_budget_epochs(df, "src", "n_tok", budget=3000, max_epochs=4).collect()
+    assert {r.src for r in out} == {"a", "b"}
+    assert all(not math.isnan(r.epochs) for r in out)
+    no_empty = token_budget_epochs(
+        df.filter("src <> 'empty'"), "src", "n_tok", budget=3000, max_epochs=4
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, no_empty))
+
+
 def test_llm_prep_generic_id_and_default_chars(spark):
     """Review r11 regressions: (a) a non-doc_id id column must work end
     to end (the gate helper used to hard-code doc_id); (b) the default
@@ -1131,6 +1180,40 @@ def test_llm_prep_generic_id_and_default_chars(spark):
     ids = {r.rec_id for r in out.collect()}
     assert 1 not in ids  # shorter duplicate lost the canonical pick
     assert 2 in ids and 3 in ids
+
+
+def test_llm_prep_tiebreak_survives_huge_and_negative_ids(spark):
+    """ADVICE r11: the longest-wins tie-break used the arithmetic key
+    chars·1e9 + id, which silently assumed 0 <= id < 1e9 — an id at or
+    above 1e9 (or negative) could let a SHORTER duplicate win the
+    canonical pick. The struct-ordered max_by must pick the longer text
+    regardless of id magnitude or sign, and break exact-length ties by
+    the larger id."""
+    from pgdedupe_spark.operators.curation import llm_prep
+
+    base = " ".join(f"tok{i} word{i} item{i}" for i in range(20))
+    b2 = base + " q unique"
+    b3 = base + " tie"
+    rows = [
+        # group 1 (same normalized text, raw differs by padding): the
+        # SHORT raw carries a HUGE id, the LONG raw a tiny id. Under the
+        # old key, chars·1e9 + 5e18 beats (chars+3)·1e9 + 1 — the
+        # shorter duplicate won. Struct ordering picks the longer.
+        (5_000_000_000_000_000_000, base, "en"),
+        (1, base + "   ", "en"),
+        # group 2: negative id on the longer raw must still win
+        (7, b2, "en"),
+        (-3, b2 + "  ", "en"),
+        # group 3: exact tie on raw length → larger id wins
+        (10, b3, "en"),
+        (11, b3, "en"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, body string, lg string")
+    out = llm_prep(df, "rec_id", "body", target=F.col("lg") == "en", k=10)
+    ids = {r.rec_id for r in out.collect()}
+    assert 5_000_000_000_000_000_000 not in ids and 1 in ids
+    assert 7 not in ids and -3 in ids
+    assert 10 not in ids and 11 in ids
 
 
 def test_release_materialized_frees_checkpoints(spark):

@@ -8,6 +8,8 @@ projection."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from pgdedupe_spark.operators.langid import (
     fit_language_id,
     language_id_scores,
@@ -145,3 +147,30 @@ def test_engine_hash_production_variant_runs(spark):
     w = fit_language_id(df, "text", "lang", portable=False)
     out = language_id_scores(df, "lang", "text", w, portable=False).collect()
     assert len(out) == sum(len(v) for v in TRAIN.values())
+
+
+def test_non_identifier_labels_raise_clearly(spark):
+    """ADVICE r11: labels are interpolated into generated SQL column
+    names (score_<lang>); 'zh-CN' / 'pt BR' used to produce invalid SQL
+    that failed opaquely at plan time. Both fit and score must raise a
+    clear ValueError naming the offending label instead."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("hello there", "zh-CN"), ("bonjour", "pt BR")], "text string, lang string"
+    )
+    with pytest.raises(ValueError, match="zh-CN|pt BR"):
+        fit_language_id(df, "text", "lang")
+
+    ok = {"en": [0] * 64}
+    with pytest.raises(ValueError, match="zh-CN"):
+        language_id_scores(
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            "doc_id", "text", {**ok, "zh-CN": [0] * 64},
+        )
+    # normalized labels fit and score end-to-end
+    norm = df.withColumn("lang", F.translate("lang", "- ", "__"))
+    w = fit_language_id(norm, "text", "lang")
+    assert set(w) == {"zh_CN", "pt_BR"}
+    out = language_id_scores(norm, "lang", "text", w).columns
+    assert "score_zh_CN" in out and "score_pt_BR" in out

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from pgdedupe_spark.operators.kmeans import (
     kmeans_exact,
     prototype_prune,
@@ -173,7 +175,11 @@ def test_fractional_keep_pct_still_keeps_a_sliver(spark):
     """Review r11 regression: keep_pct=0.5 in approx mode used to keep
     ~0.5% per cluster; an int() truncation turned it into keep-nothing.
     It must keep at least the single hardest row per cluster again (the
-    >= cutoff at the extreme percentile) and never the whole cluster."""
+    >= cutoff at the extreme percentile) and never the whole cluster.
+    ADVICE r11: the EXACT branch had the same int() truncation — its
+    ceil-fraction threshold now quantizes the float, so exact=True with
+    keep_pct=0.5 keeps exactly ceil(n·0.005) per cluster, and integer
+    percentages are bit-identical to the historical expression."""
     from pgdedupe_spark.operators.kmeans import prototype_prune
 
     df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -183,3 +189,33 @@ def test_fractional_keep_pct_still_keeps_a_sliver(spark):
     kept = out.filter("kept = 1").count()
     assert kept >= 1
     assert kept < out.count()
+
+    exact_out = prototype_prune(
+        df, "vec_id", "embedding", k=2, iterations=1, keep_pct=0.5, exact=True
+    ).cache()
+    sizes = {
+        r["cluster"]: (r["n"], r["kept_n"])
+        for r in exact_out.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("kept").alias("kept_n"),
+        )
+        .collect()
+    }
+    assert sizes, "fit produced no clusters"
+    for n, kept_n in sizes.values():
+        assert kept_n == (n * 5000 + 999_999) // 1_000_000, (n, kept_n)
+        assert kept_n >= 1
+    exact_out.unpersist()
+
+    # integer pct: new quantized expression ≡ historical (n*pct+99) div 100
+    out40 = prototype_prune(
+        df, "vec_id", "embedding", k=2, iterations=1, keep_pct=40, exact=True
+    ).cache()
+    for r in (
+        out40.groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.sum("kept").alias("kept_n"))
+        .collect()
+    ):
+        assert r["kept_n"] == (r["n"] * 40 + 99) // 100, (r["n"], r["kept_n"])
+    out40.unpersist()
