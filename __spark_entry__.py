@@ -149,8 +149,18 @@ _TAIL = [
     "skew_salted_agg",
     "skew_salted_join",
     "dedup_ngram_jaccard",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
+    # r12-born: persisted-index serve path for the compressed kNN join
+    # (bit-identical twin of ann_pq_knn_join under the shared pinned
+    # layout) — takes the slot of ann_lsh_topk, whose hash check is
+    # strictly subsumed by ann_lsh_serve's identical-result oracle
+    # (both rode this window; the serve row stays)
+    "ann_pq_knn_serve",
+    # r12-born: gazetteer-mode linkage (dedupe's third mode — one-way
+    # match of a new batch against the persisted canonical set) — takes
+    # the slot of ann_ivf_topk, whose hash check is strictly subsumed by
+    # ann_ivf_serve's identical-result oracle (both rode this window;
+    # the serve row stays)
+    "er_gazetteer_match",
     "j6_update_join",
     "g1_connected_components",
 ]
@@ -174,6 +184,7 @@ _BENCH_ONLY = {
     "pipeline_scale_probe",
     "curation_scale_probe",
     "dedup_scale_probe",
+    "llm_prep_scale_probe",
 }
 
 

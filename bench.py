@@ -162,6 +162,11 @@ HEADLINE = [
     # r11: the compressed (IVFADC) two-table join + the learned language id
     "ann_pq_knn_join",
     "text_language_id_learned",
+    # r12: the persisted-index serve path for the compressed join, and
+    # gazetteer-mode linkage (one-way match against the persisted
+    # canonical set)
+    "ann_pq_knn_serve",
+    "er_gazetteer_match",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
@@ -179,6 +184,10 @@ HEADLINE = [
     "curation_scale_probe",
     # r11: 10x-documents MinHash-LSH tier with exact bucket/pair self-checks
     "dedup_scale_probe",
+    # r12: end-to-end LLM-prep composition at sf1.0 (gate→dedup→DSIR →
+    # leakage-safe split → token budget → training shards) with exact
+    # in-band self-checks
+    "llm_prep_scale_probe",
 ]
 
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
@@ -196,7 +205,16 @@ HEAVY_PROBES = {
     "pipeline_scale_probe",
     "curation_scale_probe",
     "dedup_scale_probe",
+    "llm_prep_scale_probe",
 }
+
+# Iterative shuffle-bound probes (VERDICT r11 #3): their cost is exchange +
+# JVM contention across ~20 shuffle rounds, which the SCAN canary provably
+# cannot see (three same-code cc readings scan-normalized to
+# 43.7/56.5/67.8 s across r11 sessions). These two get a fixed-work
+# SHUFFLE canary bracketed in their own subprocess JVM, and their
+# normalized reading uses the shuffle ratio.
+SHUFFLE_BOUND_PROBES = {"cc_scale_probe", "pagerank_scale_probe"}
 
 # FROZEN r1 headline set (24 queries): the headline list above grows round
 # over round, so the all-query total is not comparable across artifacts.
@@ -247,6 +265,12 @@ LEGACY24 = [
 # anchor × 0.617/0.502); see BASELINE.md "Cross-round bench anchor".
 _REF_CANARY_JVM_SEC = 0.308
 _REF_CANARY_SCAN_SEC = 0.617
+# r12 (VERDICT r11 #3): fixed-work shuffle canary — hash-repartition 40M
+# (key, value) longs across 64 partitions, hash-aggregate 1M keys (two
+# real exchanges; no plan dependence). REF = median of a quiet fresh-JVM
+# triplet of min-of-3 readings on the anchor machine (1.591/1.545/1.471;
+# same-JVM spread ±2.6% — see BASELINE.md "Cross-round bench anchor").
+_REF_CANARY_SHUFFLE_SEC = 1.545
 # measured same-machine canary spread across 5 r9 runs: jvm 0.229-0.295
 # (±13% around the median), scan 0.469-0.583 (±11%) — the bands must sit
 # clear of that while still catching genuine cross-machine drift (r8's
@@ -334,38 +358,78 @@ def main() -> None:
         if name in HEAVY_PROBES:
             import subprocess
 
-            try:
+            def _run_probe(probe: str) -> dict:
                 res = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--probe", name],
+                    [sys.executable, os.path.abspath(__file__), "--probe", probe],
                     capture_output=True,
                     text=True,
                     timeout=1800,
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
                 )
-                d = json.loads(res.stdout.strip().splitlines()[-1])
+                return json.loads(res.stdout.strip().splitlines()[-1])
+
+            try:
+                d = _run_probe(name)
                 cold[name] = d["cold"]
                 warm[name] = d["warm"]
-                # per-probe canary bracketing (VERDICT r10 #4): the scan
-                # canary measured in the probe's own JVM seconds before
-                # the probe ran — normalize each heavy reading on its own
-                # clock instead of the session canaries from ~30 min ago
+                # per-probe canary bracketing (VERDICT r10 #4): canaries
+                # measured in the probe's own JVM seconds before the
+                # probe ran — normalize each heavy reading on its own
+                # clock instead of the session canaries from ~30 min
+                # ago. Shuffle-bound probes additionally get the shuffle
+                # canary (VERDICT r11 #3) — the scan canary provably
+                # fails to track exchange/JVM contention.
+                pc = {}
                 if d.get("canary_scan_sec"):
                     r = d["canary_scan_sec"] / _REF_CANARY_SCAN_SEC
-                    probe_canary[name] = {
-                        "scan_sec": d["canary_scan_sec"],
-                        "ratio": round(r, 3),
-                        "warm_scan_normalized": round(d["warm"] / r, 3),
-                    }
-                # heavy probes get the warm≤cold sanity FLAG but no
-                # automatic re-run (a probe re-measure costs minutes);
-                # a flagged probe number means machine noise polluted
-                # the single warm pass — re-run standalone before
-                # believing it as a regression (SCALE.md r10 drift note)
+                    pc.update(
+                        scan_sec=d["canary_scan_sec"],
+                        ratio=round(r, 3),
+                        warm_scan_normalized=round(d["warm"] / r, 3),
+                    )
+                if d.get("canary_shuffle_sec"):
+                    rs = d["canary_shuffle_sec"] / _REF_CANARY_SHUFFLE_SEC
+                    pc.update(
+                        shuffle_sec=d["canary_shuffle_sec"],
+                        shuffle_ratio=round(rs, 3),
+                        warm_shuffle_normalized=round(d["warm"] / rs, 3),
+                    )
+                if pc:
+                    probe_canary[name] = pc
+                # warm > cold×1.2 is physically impossible for a real
+                # plan (warm reuses page cache + codegen) — machine noise
+                # polluted the single warm pass. r11 published
+                # dedup_scale_probe at 57.9 s where the true number was
+                # ~34 s BECAUSE the flagged raw reading still rode the
+                # headline sum. VERDICT r11 #2: substitute the probe's
+                # own canary-normalized reading (shuffle-normalized for
+                # the iterative probes, scan-normalized otherwise) into
+                # the headline, falling back to ONE fresh-subprocess
+                # re-run when the canary is broken; the raw flagged
+                # reading stays in-band either way.
                 if d["warm"] > d["cold"] * 1.2:
+                    norm_key = (
+                        "warm_shuffle_normalized"
+                        if name in SHUFFLE_BOUND_PROBES
+                        else "warm_scan_normalized"
+                    )
+                    sub = pc.get(norm_key)
+                    rerun_warm = None
+                    if sub is None:
+                        try:
+                            rerun_warm = _run_probe(name)["warm"]
+                            sub = rerun_warm
+                        except Exception:  # noqa: BLE001
+                            sub = None
+                    headline = min(
+                        x for x in (d["warm"], d["cold"], sub) if x is not None
+                    )
+                    warm[name] = headline
                     sanity[name] = {
                         "warm_gt_cold": d["warm"],
-                        "rerun_warm": None,
-                        "resolved": False,
+                        "substituted_warm": round(headline, 3),
+                        "rerun_warm": rerun_warm,
+                        "resolved": headline < d["warm"],
                     }
             except Exception as exc:  # noqa: BLE001 — record and move on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -472,7 +536,7 @@ def main() -> None:
         # (VERDICT r6): value - value_probes is the comparable remainder
         "value_probes": round(sum(warm[n] for n in HEAVY_PROBES if n in warm), 3),
         "value_probes_cold": round(sum(cold[n] for n in HEAVY_PROBES if n in cold), 3),
-        "timing": "warm = min of runs 2-3 (steady-state); cold = first run; HEAVY_PROBES: fresh subprocess, cold + one warm, self-bracketed scan canary",
+        "timing": "warm = min of runs 2-3 (steady-state); cold = first run; HEAVY_PROBES: fresh subprocess, cold + one warm, self-bracketed scan canary (+shuffle canary for cc/pagerank); a probe tripping warm>cold*1.2 contributes its canary-normalized (or once-rerun) reading to the headline, raw flagged value kept in sanity",
         "canary": canary,
         "probe_canary": probe_canary,
         "sf": float(sf),
@@ -576,6 +640,36 @@ def probe_main(name: str) -> None:
     except Exception:  # noqa: BLE001 — a broken canary must not cost the probe
         canary_scan = None
 
+    # fixed-work shuffle canary for the iterative exchange-bound probes
+    # (VERDICT r11 #3): hash-repartition 40M (key, value) longs across 64
+    # partitions then hash-aggregate 1M keys — two real exchanges, no
+    # plan dependence, measured in THIS JVM seconds before the probe so
+    # cc/pagerank readings normalize on the channel that actually
+    # dominates them. Shape chosen for repeatability: measured ±2.6%
+    # across 6 same-JVM runs vs ±17% for a bare repartition+sum (the
+    # per-task work is large enough that scheduler jitter stops
+    # dominating).
+    def _canary_shuffle() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(40_000_000)
+            .selectExpr("pmod(id, 1000000) k", "id v")
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("count(*)")
+            .collect()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    canary_shuffle = None
+    if name in SHUFFLE_BOUND_PROBES:
+        try:
+            _canary_shuffle()  # JIT warmup; throw away
+            canary_shuffle = min(_canary_shuffle() for _ in range(3))
+        except Exception:  # noqa: BLE001
+            canary_shuffle = None
+
     fn = registry.QUERIES[name]
     times = []
     for _ in range(2):
@@ -596,6 +690,7 @@ def probe_main(name: str) -> None:
                 "cold": times[0],
                 "warm": times[1],
                 "canary_scan_sec": canary_scan,
+                "canary_shuffle_sec": canary_shuffle,
             }
         )
     )

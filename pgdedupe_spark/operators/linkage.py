@@ -89,3 +89,144 @@ def linkage_rounds(
             ).join(links.select(F.col(right_id)), right_id, "left_anti")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer mode — the dedupe library's THIRD mode (after Dedupe and
+# RecordLink; dedupe docs: Gazetteer / "match messy records against a
+# canonical set"): a persisted canonical entity table is indexed ONCE,
+# then each incoming batch matches ONE-WAY against it — the production
+# serve tier for entity resolution, mirroring the ANN stack's
+# write-once/query-many shape (write_pq_index → pq_knn_join_from_index).
+#
+# Layout (the write_minhash_index conventions):
+#   /records  canonical rows (id + block cols + payload cols) under
+#             bucket=<b> parquet partitions, bucket = pmod(xxhash64(block
+#             cols), n_buckets) — a batch's probed buckets push as a
+#             static PartitionFilter, so serving reads O(blocks touched),
+#             never the gazetteer.
+#   /meta     the writer's (id_col, block_cols, payload_cols, n_buckets):
+#             self-describing; appends re-derive the stateless bucket
+#             expr and recompute NOTHING from standing data.
+
+
+def _gaz_bucket(block_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in block_cols]), F.lit(n_buckets))
+
+
+def write_gazetteer(
+    canonical: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    payload_cols: list[str],
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the canonical entity set for gazetteer matching.
+    ``block_cols`` are the equality blocking keys incoming batches join
+    on; ``payload_cols`` ride along for scoring (e.g. the text a string
+    comparator reads). Bucketing is stateless (xxhash64 of the block
+    keys), so append ≡ rebuild bit-for-bit."""
+    cols = [id_col, *block_cols, *payload_cols]
+    (
+        canonical.select(*cols)
+        .withColumn("bucket", _gaz_bucket(block_cols, n_buckets))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path + "/records")
+    )
+    canonical.sparkSession.createDataFrame(
+        [(id_col, ",".join(block_cols), ",".join(payload_cols), int(n_buckets))],
+        "id_col string, block_cols string, payload_cols string, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+
+
+def gazetteer_append(spark, path: str, new_canonical: DataFrame) -> None:
+    """Append newly-canonicalized entities WITHOUT touching standing
+    records: one scan of the batch through the writer's recorded
+    parameters, ``mode("append")`` into the same bucket directories.
+    Ids must be new (caller's contract, same as similarity.index_append);
+    append ≡ rebuild is pinned in tests/test_linkage.py."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    block_cols = str(meta.block_cols).split(",")
+    payload_cols = [c for c in str(meta.payload_cols).split(",") if c]
+    cols = [str(meta.id_col), *block_cols, *payload_cols]
+    (
+        new_canonical.select(*cols)
+        .withColumn("bucket", _gaz_bucket(block_cols, int(meta.n_buckets)))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("append")
+        .parquet(path + "/records")
+    )
+
+
+def gazetteer_match(
+    spark,
+    path: str,
+    batch: DataFrame,
+    batch_id: str,
+    score,
+    threshold: float = 0.5,
+    k: int = 1,
+    unique: bool = False,
+    prune: bool = True,
+) -> DataFrame:
+    """One-way match of an incoming batch against the persisted canonical
+    set: each batch record gets its top-``k`` canonical candidates with
+    ``score >= threshold`` — canonical records may win MANY batch records
+    (the gazetteer contract; pass ``unique=True`` for a one-to-one round
+    via symmetric best match instead).
+
+    ``batch`` must carry the gazetteer's block columns under the same
+    names; canonical columns surface as ``gaz_<col>`` (id as ``gaz_id``)
+    so ``score`` — any Column over the joined frame — can reference both
+    sides unambiguously. With ``prune=True`` the batch's bucket set
+    (≤ n_buckets, one bounded distinct-collect) pushes as a static
+    ``bucket IN (...)`` PartitionFilter on the records scan. Ranking
+    windows partition by record id (unbounded distinct keys — the same
+    partitioning argument as knn_join's top-k). Output:
+    (batch_id, gaz_id, score, rank), rank 1-based by (score DESC,
+    gaz_id) — deterministic, engine-portable, SQL-replayable."""
+    meta = spark.read.parquet(path + "/meta").collect()[0]
+    id_col = str(meta.id_col)
+    block_cols = str(meta.block_cols).split(",")
+    payload_cols = [c for c in str(meta.payload_cols).split(",") if c]
+
+    probe = batch.withColumn("bucket", _gaz_bucket(block_cols, int(meta.n_buckets)))
+    records = spark.read.parquet(path + "/records")
+    if prune:
+        buckets = sorted(
+            {int(r.bucket) for r in probe.select("bucket").distinct().collect()}
+        )
+        if not buckets:  # empty batch
+            gid_type = dict(records.dtypes)[id_col]
+            schema = (
+                f"{batch_id} {dict(batch.dtypes)[batch_id]}, "
+                f"gaz_id {gid_type}, score double, rank int"
+            )
+            return spark.createDataFrame([], schema)
+        records = records.filter(F.col("bucket").isin(buckets))
+    gaz = records.select(
+        F.col(id_col).alias("gaz_id"),
+        *[F.col(c) for c in block_cols],
+        *[F.col(c).alias(f"gaz_{c}") for c in payload_cols],
+        F.col("bucket"),
+    )
+    cand = (
+        probe.join(gaz, ["bucket", *block_cols])
+        .withColumn("score", score)
+        .filter(F.col("score") >= threshold)
+    )
+    if unique:
+        links = best_match_links(cand, batch_id, "gaz_id", "score", threshold)
+        return links.withColumn("rank", F.lit(1)).select(
+            batch_id, "gaz_id", "score", "rank"
+        )
+    w = Window.partitionBy(batch_id).orderBy(F.col("score").desc(), F.col("gaz_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(batch_id, "gaz_id", "score", "rank")
+    )

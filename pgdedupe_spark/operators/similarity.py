@@ -1701,3 +1701,114 @@ def pq_knn_join(
     )
     out._pq_encode_cache = codes._pq_encode_cache
     return out
+
+
+def pq_knn_join_from_index(
+    spark,
+    index_path: str,
+    left: DataFrame,
+    left_id: str,
+    left_vec: str,
+    right: DataFrame,
+    right_id: str,
+    right_vec: str,
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+    prune: bool = True,
+) -> DataFrame:
+    """:func:`pq_knn_join` against a persisted :func:`write_pq_index`
+    IVFADC layout — the billion-scale serve join (VERDICT r11 #4): the
+    right corpus was cell-assigned and PQ-encoded ONCE at write time, so
+    the candidate scan reads O(code bytes in probed ``cell=``
+    partitions) and nothing re-trains or re-encodes at query time.
+
+    The left stays unbounded exactly as in the in-memory join: probe
+    ranking is row-local (_rank_cells_rowlocal — no Window on the
+    unbounded side) and the per-query ADC lookup table rides the query
+    row through the cell join (_pq_query_lut — m·ksub folds per probe
+    row, never broadcast). With ``prune=True`` the probed cell set
+    (≤ n_centroids, one bounded distinct-collect over the probe frame)
+    pushes as a static ``cell IN (...)`` PartitionFilter on the codes
+    scan — only probed directories are ever opened (pinned in
+    tests/test_pq.py). Raw vectors appear ONLY in the refine stage,
+    re-attached by id from the caller's base tables (the index holds no
+    floats beyond the sidecars). Under the same layout the output is
+    bit-identical to the in-memory :func:`pq_knn_join` (pinned in
+    tests/test_pq.py): persisted codes/_pqnorm round-trip parquet
+    doubles exactly and the ADC/refine arithmetic is shared.
+
+    100 TB notes: this is the write-once/query-many shape the in-memory
+    join's docstring prescribes — maintain the codes layer with
+    index_append/index_append_epoch + index_compact; recall dials are
+    unchanged (n_probe, refine, m at write time)."""
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    idx_id_col = str(meta.id_col)
+    m, ksub, dsub = int(meta.m), int(meta.ksub), int(meta.dim) // int(meta.m)
+    brows = spark.read.parquet(index_path + "/codebooks").collect()
+    books = np.zeros((m, ksub, dsub))
+    for r in brows:
+        books[int(r.j), int(r.c)] = [float(x) for x in r.cv]
+    centroids = [
+        (int(r.cid), [float(x) for x in r.cv])
+        for r in spark.read.parquet(index_path + "/centroids").collect()
+    ]
+    centroids.sort(key=lambda cv: cv[0])
+
+    q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
+    lutted = _pq_query_lut(probes, books)  # keeps `cell`; adds _lut, _qn
+
+    codes = _read_index_layer(spark, index_path, "codes").withColumnRenamed(
+        idx_id_col, "neighbor_id"
+    )
+    if prune:
+        cells = sorted(
+            {int(r.cell) for r in probes.select("cell").distinct().collect()}
+        )
+        if not cells:  # empty left side
+            return spark.createDataFrame(
+                [], "query_id bigint, neighbor_id bigint, sim double, rank int"
+            )
+        codes = codes.filter(F.col("cell").isin(cells))
+
+    approx_dot = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("_lut"), lambda c_, l_: F.element_at(l_, c_ + 1)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    shortlist_n = int(refine) * k
+    wsl = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        lutted.join(codes, "cell")
+        .withColumn("_adc", approx_dot / (F.col("_qn") * F.col("_pqnorm")))
+        .withColumn("_r", F.row_number().over(wsl))
+        .filter(F.col("_r") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+
+    # exact re-rank: identical tail to pq_knn_join (norms hoisted per side)
+    nrm = lambda cc: F.sqrt(  # noqa: E731
+        F.aggregate(F.zip_with(cc, cc, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    )
+    qv = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
+    qv = qv.withColumn("_qn", nrm(F.col("_qv")))
+    cv = right.select(
+        F.col(right_id).alias("neighbor_id"), F.col(right_vec).alias("_cv")
+    ).withColumn("_cn", nrm(F.col("_cv")))
+    dot = F.aggregate(
+        F.zip_with("_qv", "_cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", dot / (F.col("_qn") * F.col("_cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

@@ -127,6 +127,63 @@ def _logsumexp(vals: list[float]) -> float:
     return m + math.log(sum(math.exp(v - m) for v in vals))
 
 
+def _word_soft_counts(
+    w: str, logp: dict[str, float], max_len: int
+) -> tuple[list[tuple[str, float]], float]:
+    """Forward-backward over ONE word: the (piece, expectation)
+    contributions in deterministic (j, i) scan order — UNWEIGHTED by
+    frequency — plus the word's log-partition z (−inf when the word is
+    unsegmentable). Shared by the driver-side and distributed E-steps so
+    their per-word arithmetic is identical by construction."""
+    n = len(w)
+    alpha = [float("-inf")] * (n + 1)
+    alpha[0] = 0.0
+    for i in range(1, n + 1):
+        acc = []
+        for j in range(max(0, i - max_len), i):
+            if alpha[j] == float("-inf"):
+                continue
+            lp = logp.get(w[j:i])
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = _UNK_LOGP
+            acc.append(alpha[j] + lp)
+        alpha[i] = _logsumexp(acc)
+    z = alpha[n]
+    if z == float("-inf"):
+        return [], z
+    beta = [float("-inf")] * (n + 1)
+    beta[n] = 0.0
+    for i in range(n - 1, -1, -1):
+        acc = []
+        for jj in range(i + 1, min(n, i + max_len) + 1):
+            if beta[jj] == float("-inf"):
+                continue
+            lp = logp.get(w[i:jj])
+            if lp is None:
+                if jj - i > 1:
+                    continue
+                lp = _UNK_LOGP
+            acc.append(lp + beta[jj])
+        beta[i] = _logsumexp(acc)
+    contribs: list[tuple[str, float]] = []
+    for j in range(n):
+        if alpha[j] == float("-inf"):
+            continue
+        for i in range(j + 1, min(n, j + max_len) + 1):
+            piece = w[j:i]
+            lp = logp.get(piece)
+            if lp is None:
+                if i - j > 1:
+                    continue
+                lp = _UNK_LOGP
+            e = math.exp(alpha[j] + lp + beta[i] - z)
+            if e > 0.0:
+                contribs.append((piece, e))
+    return contribs, z
+
+
 def _soft_counts(
     words: list[tuple[str, int]], logp: dict[str, float], max_len: int
 ) -> tuple[dict[str, float], float]:
@@ -138,53 +195,127 @@ def _soft_counts(
     counts: dict[str, float] = {}
     ll = 0.0
     for w, f in words:
-        n = len(w)
-        alpha = [float("-inf")] * (n + 1)
-        alpha[0] = 0.0
-        for i in range(1, n + 1):
-            acc = []
-            for j in range(max(0, i - max_len), i):
-                if alpha[j] == float("-inf"):
-                    continue
-                lp = logp.get(w[j:i])
-                if lp is None:
-                    if i - j > 1:
-                        continue
-                    lp = _UNK_LOGP
-                acc.append(alpha[j] + lp)
-            alpha[i] = _logsumexp(acc)
-        z = alpha[n]
+        contribs, z = _word_soft_counts(w, logp, max_len)
         if z == float("-inf"):
             continue
         ll += f * z
-        beta = [float("-inf")] * (n + 1)
-        beta[n] = 0.0
-        for i in range(n - 1, -1, -1):
-            acc = []
-            for jj in range(i + 1, min(n, i + max_len) + 1):
-                if beta[jj] == float("-inf"):
-                    continue
-                lp = logp.get(w[i:jj])
-                if lp is None:
-                    if jj - i > 1:
-                        continue
-                    lp = _UNK_LOGP
-                acc.append(lp + beta[jj])
-            beta[i] = _logsumexp(acc)
-        for j in range(n):
-            if alpha[j] == float("-inf"):
-                continue
-            for i in range(j + 1, min(n, j + max_len) + 1):
-                piece = w[j:i]
-                lp = logp.get(piece)
-                if lp is None:
-                    if i - j > 1:
-                        continue
-                    lp = _UNK_LOGP
-                e = math.exp(alpha[j] + lp + beta[i] - z)
-                if e > 0.0:
-                    counts[piece] = counts.get(piece, 0.0) + f * e
+        for piece, e in contribs:
+            counts[piece] = counts.get(piece, 0.0) + f * e
     return counts, ll
+
+
+# reserved LL marker key for the distributed E-step partials: words are
+# lowercased [a-z0-9]+ runs, so no real piece can start with NUL
+_LL_KEY = "\x00ll"
+
+
+def _estep_distributed(
+    words_df: DataFrame, logp: dict[str, float], max_len: int, em: str
+) -> tuple[dict[str, float], float]:
+    """Distributed E-step (VERDICT r11 #7): the bpe_encode pattern — one
+    ``mapInPandas`` pass over the (word, freq) table with the model
+    riding the closure (vocab-sized, broadcast by pickling), each task
+    emitting its piece-count partials (+ one LL marker row), then a
+    bounded collect of ≤ (vocab+1)·n_partitions partial rows merged
+    driver-side in sorted (piece, pid) order.
+
+    CPU scales with executors; the driver only ever sees the M-step
+    model. Determinism: hash-repartition by word + sortWithinPartitions
+    fixes each task's iteration order, and the sorted driver merge fixes
+    the cross-partition sum order — results are bit-stable run to run
+    (hard-EM counts are integer-valued, so they are also bit-identical
+    to the driver path; soft-EM partials sum in a different order than
+    the driver loop, so parity there is to float tolerance — pinned in
+    tests/test_unigram.py)."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    lp = dict(logp)
+
+    def run(batches):
+        pid = TaskContext.get().partitionId()
+        agg: dict[str, float] = {}
+        ll = 0.0
+        for pdf in batches:
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                f = int(f)
+                if em == "soft":
+                    contribs, z = _word_soft_counts(w, lp, max_len)
+                    if z == float("-inf"):
+                        continue
+                    ll += f * z
+                    for piece, e in contribs:
+                        agg[piece] = agg.get(piece, 0.0) + f * e
+                else:
+                    for piece in _viterbi(w, lp, max_len):
+                        agg[piece] = agg.get(piece, 0.0) + f
+        rows = sorted(agg.items())
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * (len(rows) + 1),
+                "piece": [p for p, _ in rows] + [_LL_KEY],
+                "cnt": [c for _, c in rows] + [ll],
+            }
+        )
+
+    partials = words_df.select("word", "freq").mapInPandas(
+        run, schema="pid int, piece string, cnt double"
+    ).collect()
+    counts: dict[str, float] = {}
+    ll = 0.0
+    for r in sorted(partials, key=lambda r: (r.piece, r.pid)):
+        if r.piece == _LL_KEY:
+            ll += float(r.cnt)
+        else:
+            counts[r.piece] = counts.get(r.piece, 0.0) + float(r.cnt)
+    return counts, ll
+
+
+def _seed_vocab_distributed(
+    words_df: DataFrame, seed_size: int, max_piece_len: int
+) -> dict[str, float]:
+    """Distributed seeding: substring counting as a mapInPandas partial-
+    count pass + one exact integer groupBy sum (integer sums are order-
+    free, so the seed is BIT-IDENTICAL to the driver path's), then a
+    bounded collect of all single-char rows plus the top ``seed_size``
+    multi-char rows (count desc, piece asc — Spark-side top-k)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        agg: dict[str, int] = {}
+        for pdf in batches:
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                f = int(f)
+                n = len(w)
+                for i in range(n):
+                    for l in range(1, min(max_piece_len, n - i) + 1):
+                        p = w[i : i + l]
+                        agg[p] = agg.get(p, 0) + f
+        rows = sorted(agg.items())
+        yield pd.DataFrame(
+            {"piece": [p for p, _ in rows], "cnt": [c for _, c in rows]}
+        )
+
+    sums = (
+        words_df.select("word", "freq")
+        .mapInPandas(run, schema="piece string, cnt long")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)  # one substring pass feeds both selects
+    )
+    chars = [(r.piece, int(r.cnt)) for r in sums.filter(F.length("piece") == 1).collect()]
+    multi = [
+        (r.piece, int(r.cnt))
+        for r in sums.filter(F.length("piece") > 1)
+        .orderBy(F.col("cnt").desc(), F.col("piece"))
+        .limit(seed_size)
+        .collect()
+    ]
+    kept = dict(chars)
+    kept.update(dict(multi))
+    total = sum(kept.values())
+    return {p: math.log(c / total) for p, c in kept.items()}
 
 
 def train_unigram(
@@ -197,6 +328,7 @@ def train_unigram(
     em_iters: int = 2,
     prune_frac: float = 0.25,
     em: str = "soft",
+    distribute: bool = False,
 ) -> list[tuple[str, float]]:
     """Learn a unigram-LM vocabulary of ``vocab_size`` pieces. Returns
     the model as a sorted (piece, logprob) list — persist it with
@@ -218,26 +350,52 @@ def train_unigram(
     never chosen die immediately, so the learned vocabulary can collapse
     well below ``vocab_size`` (measured: 54 of a 400 budget on the
     sf0.01 fixture corpus). Both are deterministic (no RNG; fixed
-    iteration order)."""
+    iteration order).
+
+    ``distribute=True`` (VERDICT r11 #7) removes the driver CPU ceiling
+    for large ``max_words``: the word table NEVER collects — seeding and
+    every E-step run as mapInPandas partial-count passes over the
+    executors (the bpe_encode pattern), and the driver only merges the
+    bounded vocab-sized partials (the M-step model). Hard-EM and the
+    seed are bit-identical to the driver path (integer sums are
+    order-free); soft-EM expectations agree to float tolerance (the
+    cross-partition sum order differs) — both pinned in
+    tests/test_unigram.py."""
     from pyspark.sql import functions as F
 
     if em not in ("soft", "hard"):
         raise ValueError(f"em must be 'soft' or 'hard', got {em!r}")
-    rows = (
+    seed_size = max(vocab_size * 4, 64)
+    wq = (
         word_frequencies(df, text_col)
         .filter(F.col("freq") >= min_freq)
         .orderBy(F.col("freq").desc(), F.col("word"))
         .limit(max_words)
-        .collect()
     )
-    words = [(r.word, int(r.freq)) for r in rows]
-    if not words:
-        return []
-
-    logp = _seed_vocab(words, seed_size=max(vocab_size * 4, 64), max_piece_len=max_piece_len)
+    if distribute:
+        # fixed deterministic partitioning: hash by word, sorted within
+        # each task, checkpointed so EM rounds don't re-derive the
+        # frequency aggregate
+        wdf = (
+            wq.select("word", "freq")
+            .repartition(32, "word")
+            .sortWithinPartitions("word")
+            .localCheckpoint(eager=True)
+        )
+        words: list[tuple[str, int]] | None = None
+        if wdf.limit(1).count() == 0:
+            return []
+        logp = _seed_vocab_distributed(wdf, seed_size, max_piece_len)
+    else:
+        words = [(r.word, int(r.freq)) for r in wq.collect()]
+        if not words:
+            return []
+        logp = _seed_vocab(words, seed_size=seed_size, max_piece_len=max_piece_len)
 
     def em_round(cur: dict[str, float]) -> dict[str, float]:
-        if em == "soft":
+        if distribute:
+            counts, _ = _estep_distributed(wdf, cur, max_piece_len, em)
+        elif em == "soft":
             counts, _ = _soft_counts(words, cur, max_piece_len)
         else:
             counts = {}
@@ -276,6 +434,11 @@ def train_unigram(
         logp = em_round(logp)
     for _ in range(max(0, em_iters - 1)):
         logp = em_round(logp)
+    if distribute:
+        # free the word-table checkpoint blocks (SCALE.md rule 7)
+        from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+        _free_local_checkpoint(wdf)
     return sorted(logp.items())
 
 

@@ -4064,6 +4064,36 @@ def ann_pq_knn_join(spark, sf_dir):
     )
 
 
+@query("ann_pq_knn_serve", oracle=_pq_knn_join_oracle(14, 5, 8))
+def ann_pq_knn_serve(spark, sf_dir):
+    """Persisted-index serve path for the compressed two-table kNN join
+    (similarity.pq_knn_join_from_index, new r12 — VERDICT r11 #4): the
+    odd-id half is cell-assigned + PQ-encoded ONCE into a write_pq_index
+    layout, then every even-id vector joins against the persisted CODES
+    under static ``cell IN (...)`` PartitionFilters — the billion-scale
+    write-once/query-many join shape. Same pinned integer layout and
+    dials as ann_pq_knn_join, and bit-identical to it (pinned in
+    tests/test_pq.py), so it shares that FULL hash oracle."""
+    from pgdedupe_spark.operators.similarity import (
+        pinned_pq_layout,
+        pq_knn_join_from_index,
+        write_pq_index,
+    )
+
+    books, cents = pinned_pq_layout(64, 16, 32, 16)
+    emb = _quantized_embeddings(spark, sf_dir)
+    right = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _serve_index_path(sf_dir, "pq_join")
+    write_pq_index(
+        right, "vec_id", "embedding", path, dim=64, m=16, ksub=32,
+        n_centroids=16, books=books, centroids=cents,
+    )
+    return pq_knn_join_from_index(
+        spark, path, emb.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=14, refine=8,
+    )
+
+
 @query(
     "q17_small_qty_revenue",
     oracle="""
@@ -5258,6 +5288,18 @@ PYTEST_ONLY = frozenset(
         "events_pivot",
         "stats_validate",
         "text_tfidf",
+        # demoted in r12 to open an r13-window slot for ann_pq_knn_serve
+        # (the persisted-index compressed kNN join, VERDICT r11 #4): the
+        # in-memory LSH top-k is bit-identical to ann_lsh_serve (same
+        # pinned planes, pinned in tests/test_serve.py), which stays in
+        # the rotation, so the algorithm keeps its every-other-round
+        # hash check. Oracle retained via tests/test_oracle.py.
+        "ann_lsh_topk",
+        # demoted in r12 to open an r13-window slot for er_gazetteer_match
+        # (gazetteer-mode linkage, VERDICT r11 #5): same subsumption as
+        # ann_lsh_topk — bit-identical to ann_ivf_serve (shared pinned
+        # centroids), which stays in the rotation. Oracle retained.
+        "ann_ivf_topk",
     }
 )
 
@@ -5715,6 +5757,253 @@ def dedup_scale_probe(spark, sf_dir):
         "base_pairs bigint, scaled_pairs bigint, "
         "buckets_exact_10x boolean, pairs_closed_form_exact boolean, "
         "scaleup_factor double",
+    )
+
+
+@query("llm_prep_scale_probe")
+def llm_prep_scale_probe(spark, sf_dir):
+    """Bench-only end-to-end LLM-prep composition probe (VERDICT r11
+    #8): llm_prep (Gopher gate → canonical dedup → DSIR selection) →
+    leakage_safe_split → token_budget_epochs → write_training_shards —
+    the full modern pretraining recipe chained with stage-boundary
+    checkpoints (the CLI handoff shape), run against both the base and
+    the 10×-scaled (~sf1.0) documents table. Every stage is individually
+    probed elsewhere; THIS measures the composition's shuffle +
+    checkpoint interactions at 10× (gate/dedup over ~500k docs feeding
+    the banded near-dup split and the prefix-sum pack of the selected
+    slice).
+
+    In-band exact self-checks, each closed-form by construction:
+    * selection invariance — replica texts are verbatim and the
+      canonical pick collapses them to ONE survivor per normalized text
+      (longest-wins, max-id tie-break), so the selected COUNT at 10× is
+      exactly the base count;
+    * split partition — the three splits partition the selected set;
+    * budget conservation — Σ tokens_alloc == budget whenever any group
+      is uncapped, == Σ cap when all capped (the water-fill law), and
+      epochs never exceed the repeat cap;
+    * pack exactness — every written pack except the last holds exactly
+      ctx tokens and slice lengths sum to the packed corpus'
+      token count."""
+    import time as _time
+
+    from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+    from pgdedupe_spark.operators.curation import (
+        leakage_safe_split,
+        llm_prep,
+        release_materialized,
+        token_budget_epochs,
+    )
+    from pgdedupe_spark.operators.packing import write_training_shards
+
+    reps = 10
+    t0 = _time.perf_counter()
+    scaled = _scaled_docs_dir(spark, sf_dir, reps=reps)
+    build_sec = round(_time.perf_counter() - t0, 3)
+
+    def run(d: str, tag: str):
+        docs = _t(spark, d, "documents")
+        t0 = _time.perf_counter()
+        sel = llm_prep(
+            docs, "doc_id", "text", target=F.col("lang") == "en",
+            k=10_000, chars_col="n_chars", materialize=True,
+        )
+        picked = docs.join(sel.select("doc_id"), "doc_id").localCheckpoint(
+            eager=True
+        )
+        release_materialized(sel)
+        n_sel = picked.count()
+
+        split = leakage_safe_split(
+            picked, "doc_id", "text",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        )
+        by_split = {
+            r["split"]: r["n"]
+            for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        train = picked.join(
+            split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+        _free_local_checkpoint(picked)
+
+        budget = 600_000
+        alloc = token_budget_epochs(
+            train, "source", "n_chars", budget=budget, max_epochs=4, tau=2.0
+        ).collect()  # G rows — the bounded sidecar
+        alloc_sum = sum(int(r.tokens_alloc) for r in alloc)
+        cap_sum = sum(4 * int(r.n_tokens) for r in alloc)
+        # water-fill conservation: any uncapped group ⇒ the full budget
+        # allocates; all capped ⇒ the shortfall equals total capacity
+        budget_ok = bool(alloc) and alloc_sum == min(budget, cap_sum) and all(
+            float(r.epochs) <= 4.0 + 1e-12 for r in alloc
+        )
+
+        ctx = 2048
+        shards = write_training_shards(
+            train, "doc_id", "n_chars",
+            f"/tmp/spark_graft_llmprep_shards_{tag}", ctx=ctx, packs_per_shard=8,
+        )
+        pk = shards.groupBy("pack_id").agg(F.sum("n_tok_in_pack").alias("t"))
+        stats = pk.agg(
+            F.max("pack_id").alias("last"),
+            F.sum(F.when(F.col("t") != ctx, 1).otherwise(0)).alias("bad"),
+            F.max(F.when(F.col("t") != ctx, F.col("pack_id"))).alias("bad_id"),
+            F.sum("t").alias("tok_total"),
+        ).collect()[0]
+        train_tok = train.agg(F.sum("n_chars")).collect()[0][0] or 0
+        packs_ok = (
+            int(stats["bad"] or 0) <= 1
+            and (stats["bad_id"] is None or stats["bad_id"] == stats["last"])
+            and int(stats["tok_total"] or 0) == int(train_tok)
+        )
+        sec = round(_time.perf_counter() - t0, 3)
+        _free_local_checkpoint(train)
+        return {
+            "sec": sec,
+            "n_sel": int(n_sel),
+            "split_total": int(sum(by_split.values())),
+            "budget_ok": bool(budget_ok),
+            "packs_ok": bool(packs_ok),
+        }
+
+    base = run(sf_dir, "base")
+    big = run(scaled, "x10")
+    return spark.createDataFrame(
+        [
+            (
+                build_sec,
+                base["sec"],
+                big["sec"],
+                base["n_sel"],
+                big["n_sel"],
+                bool(big["n_sel"] == base["n_sel"]),
+                bool(
+                    base["split_total"] == base["n_sel"]
+                    and big["split_total"] == big["n_sel"]
+                ),
+                bool(base["budget_ok"] and big["budget_ok"]),
+                bool(base["packs_ok"] and big["packs_ok"]),
+                round(big["sec"] / base["sec"], 2) if base["sec"] > 0 else None,
+            )
+        ],
+        "build_sec double, base_sec double, scaled_sec double, "
+        "base_selected long, scaled_selected long, "
+        "selection_scale_invariant boolean, splits_partition_exact boolean, "
+        "budget_conserved boolean, packs_exact boolean, scaleup_factor double",
+    )
+
+
+@query("multimodal_scale_probe")
+def multimodal_scale_probe(spark, sf_dir):
+    """Bench-only perceptual near-dup tier at 10× (VERDICT r11 #9 —
+    the multimodal scale story): image_near_dup_pairs' pigeonhole band
+    join over a synthesized image-bytes corpus with PLANTED exact
+    duplicates — 50k distinct payloads (singleton classes) at base, the
+    SAME payloads at class size 10 at 10× (500k rows) — decode faked
+    (the container has no image libs; the banded join, the thing being
+    scaled, is real and identical under any decoder).
+
+    In-band exact self-checks, closed-form by construction:
+    * signature census — every class's signature count scales exactly
+      ×10 (payloads are verbatim copies ⇒ identical dhashes);
+    * pair count — scaled pairs == Σ C(10·c_i, 2) + 100·P_cross, where
+      {c_i} is the BASE census (all 1s ⇒ Σ C(10,2) = 45·n_classes) and
+      P_cross (cross-class pairs within hamming ≤ 3) is measured
+      exactly at base as base_pairs − Σ C(c_i, 2) — the
+      dedup_scale_probe closed-form device applied to perceptual
+      signatures.
+    What sf0.1 can't show: the (chunk, value) bucket join's exchange at
+    2M bucket rows with 10-deep identical-signature classes (quadratic
+    in-class candidate fan-out, ~2.25M verified pairs)."""
+    return _multimodal_probe_impl(spark, n_classes=50_000)
+
+
+def _multimodal_probe_impl(spark, n_classes: int):
+    """multimodal_scale_probe's body with the corpus size injectable —
+    tests/test_multimodal.py runs the same self-checks at n_classes=500."""
+    import time as _time
+
+    from pgdedupe_spark.operators.multimodal import image_dhash, image_near_dup_pairs
+
+    def synth(copies: int, tag: str):
+        n = n_classes * copies
+        return (
+            spark.range(n)
+            .select(
+                F.col("id").alias("media_id"),
+                F.lit("image").alias("modality"),
+                (F.col("id") % n_classes).alias("_key"),
+            )
+            .select(
+                "media_id",
+                "modality",
+                # RAW md5 bytes (full 0-255 range): the fake dhash grids
+                # column means of the byte stream, and hex-TEXT payloads
+                # (16-char alphabet) collapse to a handful of signatures
+                # — the first probe run measured 10.9M "pairs" from 50k
+                # supposedly-distinct payloads. unhex makes the 72
+                # column means effectively random per key.
+                F.unhex(
+                    F.concat(
+                        *[
+                            F.md5(
+                                F.concat(
+                                    F.col("_key").cast("string"), F.lit(f"-{i}")
+                                )
+                            )
+                            for i in range(5)
+                        ]
+                    )
+                ).alias("payload"),
+            )
+        )
+
+    def census(media):
+        rows = (
+            image_dhash(media, mode="fake")
+            .groupBy("dhash")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        return {int(r.dhash): int(r.c) for r in rows}
+
+    t0 = _time.perf_counter()
+    base_media = synth(1, "base")
+    base_census = census(base_media)
+    base_pairs = image_near_dup_pairs(base_media, max_hamming=3, mode="fake").count()
+    base_sec = round(_time.perf_counter() - t0, 3)
+
+    within_base = sum(c * (c - 1) // 2 for c in base_census.values())
+    p_cross = base_pairs - within_base
+    expected_scaled = (
+        sum((10 * c) * (10 * c - 1) // 2 for c in base_census.values())
+        + 100 * p_cross
+    )
+
+    t0 = _time.perf_counter()
+    big_media = synth(10, "x10")
+    big_census = census(big_media)
+    big_pairs = image_near_dup_pairs(big_media, max_hamming=3, mode="fake").count()
+    scaled_sec = round(_time.perf_counter() - t0, 3)
+
+    census_exact = big_census == {h: 10 * c for h, c in base_census.items()}
+    return spark.createDataFrame(
+        [
+            (
+                base_sec,
+                scaled_sec,
+                int(base_pairs),
+                int(big_pairs),
+                int(p_cross),
+                bool(census_exact),
+                bool(big_pairs == expected_scaled),
+                round(scaled_sec / base_sec, 2) if base_sec > 0 else None,
+            )
+        ],
+        "base_sec double, scaled_sec double, base_pairs long, scaled_pairs long, "
+        "cross_class_pairs long, census_exact_10x boolean, "
+        "pairs_closed_form_exact boolean, scaleup_factor double",
     )
 
 
@@ -8072,3 +8361,64 @@ def er_record_linkage(spark, sf_dir):
         "id_l", "id_r", score.alias("score")
     )
     return best_match_links(cand, threshold=0.8)
+
+
+@query(
+    "er_gazetteer_match",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+    ), batch AS (
+      SELECT doc_id + 1000000 AS new_id,
+             upper(substr(text, 1, 1)) || substr(text, 2) AS text_b,
+             lang, source, n_chars
+      FROM documents WHERE source IN ('src0', 'src1')
+    ), cand AS (
+      SELECT new_id, doc_id AS gaz_id,
+             1.0 - CAST(levenshtein(substr(text_b, 1, 60), substr(text, 1, 60)) AS DOUBLE)
+                 / CAST(greatest(len(substr(text_b, 1, 60)), len(substr(text, 1, 60)), 1) AS DOUBLE)
+               AS score
+      FROM batch JOIN canon USING (lang, source, n_chars)
+    ), ranked AS (
+      SELECT new_id, gaz_id, score,
+             row_number() OVER (PARTITION BY new_id ORDER BY score DESC, gaz_id)
+               AS rnk
+      FROM cand WHERE score >= 0.8
+    )
+    SELECT new_id, gaz_id, score, CAST(rnk AS INT) AS rank
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def er_gazetteer_match(spark, sf_dir):
+    """Gazetteer-mode linkage (linkage.gazetteer_match, new r12 —
+    VERDICT r11 #5, the dedupe library's third mode): the documents
+    table is persisted ONCE as the canonical entity set (bucket=
+    partitioned by the blocking keys' hash), then a perturbed re-crawl
+    of its src0/src1 slice matches ONE-WAY against it — each new record
+    takes its best canonical candidate by the Levenshtein prefix
+    similarity within (lang, source, n_chars) blocks, probed buckets
+    pushing as a static PartitionFilter on the records scan. One-way is
+    the gazetteer contract (canonical entities may win many new
+    records); the oracle replays blocking, scoring, and the single
+    per-record rank window verbatim."""
+    from pgdedupe_spark.operators.linkage import gazetteer_match, write_gazetteer
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _serve_index_path(sf_dir, "gaz")
+    write_gazetteer(
+        docs, "doc_id", ["lang", "source", "n_chars"], ["text"], path
+    )
+    batch = docs.filter(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("new_id"),
+        F.concat(
+            F.upper(F.substring(F.col("text"), 1, 1)),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    a = F.substring(F.col("text"), 1, 60)
+    b = F.substring(F.col("gaz_text"), 1, 60)
+    score = F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+    return gazetteer_match(spark, path, batch, "new_id", score, threshold=0.8)

@@ -1237,3 +1237,20 @@ def test_release_materialized_frees_checkpoints(spark):
     assert cc._materialized_checkpoints
     release_materialized(cc)
     assert not cc._materialized_checkpoints
+
+
+def test_llm_prep_scale_probe_self_checks(spark):
+    """The end-to-end LLM-prep composition probe's exact self-checks at
+    sf0.001 (same code path as the bench tier): selection count is
+    scale-INVARIANT under verbatim ×10 replication (dedup collapses
+    replicas to one canonical survivor per normalized text), the splits
+    partition the selected set, the token budget conserves, and pack
+    sizing is exact."""
+    from pgdedupe_spark.registry import QUERIES
+
+    row = QUERIES["llm_prep_scale_probe"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.selection_scale_invariant, (row.base_selected, row.scaled_selected)
+    assert row.splits_partition_exact
+    assert row.budget_conserved
+    assert row.packs_exact
+    assert row.base_selected > 0

@@ -48,3 +48,159 @@ def test_linkage_rounds_recovers_conflict_losers(spark):
     ls = [r.id_l for r in multi]
     rs = [r.id_r for r in multi]
     assert len(set(ls)) == len(ls) and len(set(rs)) == len(rs)
+
+
+# ---------------------------------------------------------------------------
+# Gazetteer mode (new r12, VERDICT r11 #5)
+
+
+def _gazetteer(spark, tmp_path, extra=()):
+    from pgdedupe_spark.operators.linkage import write_gazetteer
+
+    canon = spark.createDataFrame(
+        [
+            (100, "nyc", "acme corporation"),
+            (101, "nyc", "globex incorporated"),
+            (102, "sfo", "acme corporation"),
+            (103, "sfo", "initech llc"),
+            *extra,
+        ],
+        "ent_id long, city string, name string",
+    )
+    path = str(tmp_path / "gaz")
+    write_gazetteer(canon, "ent_id", ["city"], ["name"], path, n_buckets=8)
+    return canon, path
+
+
+def _score():
+    from pyspark.sql import functions as F
+
+    a, b = F.col("name"), F.col("gaz_name")
+    return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+
+
+def test_gazetteer_one_way_conflict_tie_threshold(spark, tmp_path):
+    """The dedupe Gazetteer contract: every batch record matches one-way
+    against the canonical set — two batch records MAY share a canonical
+    winner (conflict allowed), exact score ties break to the ascending
+    canonical id, and sub-threshold candidates never match."""
+    from pgdedupe_spark.operators.linkage import gazetteer_match
+
+    _, path = _gazetteer(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (1, "nyc", "acme corpration"),     # typo → ent 100
+            (2, "nyc", "acme corporation"),    # exact → ent 100 (conflict OK)
+            (3, "sfo", "zzz totally unknown"), # below threshold → no row
+            (4, "nyc", "globex incorporated"),
+        ],
+        "rec_id long, city string, name string",
+    )
+    out = {r.rec_id: r for r in gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.6).collect()}
+    assert out[1].gaz_id == 100 and out[2].gaz_id == 100  # shared winner
+    assert out[4].gaz_id == 101
+    assert 3 not in out
+    assert all(r.rank == 1 for r in out.values())
+
+    # blocking is real: an identical name in the WRONG city never matches
+    wrong_block = spark.createDataFrame(
+        [(9, "lax", "acme corporation")], "rec_id long, city string, name string"
+    )
+    assert gazetteer_match(
+        spark, path, wrong_block, "rec_id", _score(), threshold=0.0
+    ).count() == 0
+
+    # exact tie: canonical 100 and 102 share the name; a batch record in
+    # each city gets its own-block copy — craft an in-block tie instead
+    canon2, path2 = _gazetteer(
+        spark, tmp_path.joinpath("t2"), extra=[(104, "nyc", "acme corporation")]
+    )
+    tie = spark.createDataFrame(
+        [(7, "nyc", "acme corporation")], "rec_id long, city string, name string"
+    )
+    got = gazetteer_match(spark, path2, tie, "rec_id", _score(), threshold=0.6).collect()
+    assert len(got) == 1 and got[0].gaz_id == 100  # tie → ascending gaz_id
+
+
+def test_gazetteer_unique_mode_and_topk(spark, tmp_path):
+    """unique=True swaps the one-way rank for symmetric best match: a
+    canonical entity wins at most ONE batch record; k>1 returns the
+    ranked top-k candidate list per record."""
+    from pgdedupe_spark.operators.linkage import gazetteer_match
+
+    _, path = _gazetteer(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (1, "nyc", "acme corporation"),   # exact (1.0)
+            (2, "nyc", "acme corporatio"),    # near (0.9375)
+        ],
+        "rec_id long, city string, name string",
+    )
+    uni = {r.rec_id: r for r in gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.5, unique=True).collect()}
+    # 100 goes to record 1 (higher score); record 2 falls to its next
+    # mutual-best canonical — globex scores too low, so it is unmatched
+    assert uni[1].gaz_id == 100
+    assert 2 not in uni
+
+    topk = gazetteer_match(
+        spark, path, batch.filter("rec_id = 1"), "rec_id", _score(),
+        threshold=0.0, k=2,
+    ).collect()
+    assert [(r.rank, r.gaz_id) for r in sorted(topk, key=lambda r: r.rank)] == [
+        (1, 100), (2, 101),
+    ]
+
+
+def test_gazetteer_append_equals_rebuild_and_prunes(spark, tmp_path):
+    """append ≡ rebuild bit-for-bit (stateless bucket hash), the probed
+    bucket set pushes as a static PartitionFilter on the records scan,
+    and an empty batch short-circuits to an empty typed frame."""
+    import re
+
+    from pgdedupe_spark.operators.linkage import (
+        gazetteer_append,
+        gazetteer_match,
+        write_gazetteer,
+    )
+
+    canon, path = _gazetteer(spark, tmp_path)
+    extra = spark.createDataFrame(
+        [(200, "chi", "hooli inc"), (201, "nyc", "pied piper")],
+        "ent_id long, city string, name string",
+    )
+    gazetteer_append(spark, path, extra)
+
+    rebuilt = str(tmp_path / "gaz_rebuilt")
+    write_gazetteer(
+        canon.unionByName(extra), "ent_id", ["city"], ["name"], rebuilt, n_buckets=8
+    )
+    batch = spark.createDataFrame(
+        [(1, "chi", "hooli inc"), (2, "nyc", "pied piper co")],
+        "rec_id long, city string, name string",
+    )
+    a = gazetteer_match(spark, path, batch, "rec_id", _score(), threshold=0.5)
+    b = gazetteer_match(spark, rebuilt, batch, "rec_id", _score(), threshold=0.5)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+    assert {t[1] for t in rows_a} == {200, 201}
+
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in p for p in pfs), plan
+    assert "PythonUDF" not in plan
+
+    empty = gazetteer_match(
+        spark, path, batch.filter("rec_id < 0"), "rec_id", _score(), threshold=0.5
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["rec_id", "gaz_id", "score", "rank"]
+
+    # prune=False agrees (no bounded collect)
+    c = gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.5, prune=False
+    )
+    assert sorted(map(tuple, c.collect())) == rows_a

@@ -1757,3 +1757,16 @@ def test_native_avi_mjpeg_rejections():
     # AVI with no movi frames
     with _pytest.raises(ValueError, match="no video frame"):
         native_video_decode(_avi_bytes([], 8, 8))
+
+
+def test_multimodal_scale_probe_self_checks(spark):
+    """The perceptual-near-dup 10× probe's exact self-checks at a small
+    corpus (same code path as the bench tier, n_classes=500): base
+    singletons produce the census the scaled run must ×10 exactly, and
+    the scaled pair count equals the closed form Σ C(10c,2) + 100·P_cross."""
+    from pgdedupe_spark.registry import _multimodal_probe_impl
+
+    row = _multimodal_probe_impl(spark, n_classes=500).collect()[0]
+    assert row.census_exact_10x
+    assert row.pairs_closed_form_exact
+    assert row.scaled_pairs == 45 * 500 + 100 * row.cross_class_pairs

@@ -270,3 +270,81 @@ def test_pq_knn_join_partial_probe_recall_and_plan(spark):
     hits = sum(len(want[q] & got.get(q, set())) for q in want)
     total = sum(len(v) for v in want.values())
     assert hits / total >= 0.9, hits / total
+
+
+def test_pq_knn_join_from_index_matches_inmemory_and_prunes(spark, tmp_path):
+    """The persisted serve shape for the compressed join (VERDICT r11
+    #4): against a write_pq_index layout built with the SAME pinned
+    centroids+codebooks, pq_knn_join_from_index is bit-identical to the
+    in-memory pq_knn_join, and the probed cell set pushes as a static
+    cell IN (...) PartitionFilter on the codes scan."""
+    import re
+
+    from pgdedupe_spark.operators.similarity import (
+        ivf_index,
+        pq_knn_join,
+        pq_knn_join_from_index,
+        pq_train_codebooks,
+        release_encode_cache,
+        write_pq_index,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    left = df.filter("vec_id % 2 = 0")
+    right = df.filter("vec_id % 2 = 1")
+    # one layout for both paths: train on the right corpus, pin it
+    books = pq_train_codebooks(right, "vec_id", "embedding", 64, m=8, ksub=16, seed=7)
+    _, cents = ivf_index(right, "vec_id", "embedding", n_centroids=8, seed=7)
+    path = str(tmp_path / "pq")
+    write_pq_index(
+        right, "vec_id", "embedding", path, dim=64, m=8, ksub=16,
+        books=books, centroids=cents,
+    )
+
+    mem = pq_knn_join(
+        left, "vec_id", "embedding", right, "vec_id", "embedding",
+        dim=64, k=5, m=8, ksub=16, n_probe=5, refine=6,
+        centroids=cents, books=books,
+    )
+    srv = pq_knn_join_from_index(
+        spark, path, left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=5, refine=6,
+    )
+    # capture the plan BEFORE collect: post-execution AQE toString prints
+    # Initial+Final sections and double-counts every node
+    plan = srv._jdf.queryExecution().executedPlan().toString()
+    # the codes scan (not the raw base-table scans) carries the static
+    # cell filter — check every PartitionFilters occurrence
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in p for p in pfs), plan
+    assert "PythonUDF" not in plan
+    # two Window nodes: ADC shortlist + final top-k — probe ranking and
+    # the per-query LUT stay row-local on the unbounded left
+    assert plan.count("Window [") == 2, plan
+
+    mem_rows = sorted(map(tuple, mem.collect()))
+    release_encode_cache(mem)
+    assert sorted(map(tuple, srv.collect())) == mem_rows
+
+    # a selective left probes few cells → the static filter lists them
+    few = pq_knn_join_from_index(
+        spark, path, left.limit(1), "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=2,
+    )
+    plan_few = few._jdf.queryExecution().executedPlan().toString()
+    pfs_few = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan_few)
+    assert any(re.search(r"cell#\d+ IN \(", p) for p in pfs_few), plan_few
+
+    # prune=False path agrees too (no bounded collect)
+    nop = pq_knn_join_from_index(
+        spark, path, left, "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=5, refine=6, prune=False,
+    )
+    assert sorted(map(tuple, nop.collect())) == mem_rows
+
+    # empty left short-circuits to an empty typed frame
+    none = pq_knn_join_from_index(
+        spark, path, left.filter("vec_id < 0"), "vec_id", "embedding",
+        right, "vec_id", "embedding", k=5, n_probe=2,
+    )
+    assert none.count() == 0

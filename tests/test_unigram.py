@@ -205,3 +205,64 @@ def test_soft_counts_match_brute_force_expectations():
     assert set(got) == set(want)
     for p in want:
         assert abs(got[p] - want[p]) < 1e-9, (p, got[p], want[p])
+
+
+def test_distributed_estep_parity_and_train(spark):
+    """VERDICT r11 #7: the distributed E-step (mapInPandas partials +
+    sorted driver merge) must agree with the driver-side loop — hard-EM
+    counts and the seed are integer-sum exact (bit-identical); soft-EM
+    expectations to float tolerance; and a full distribute=True train
+    learns the SAME vocabulary with allclose log-probs, bit-stable
+    across runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.bpe import word_frequencies
+    from pgdedupe_spark.operators.unigram import (
+        _estep_distributed,
+        _seed_vocab,
+        _seed_vocab_distributed,
+        _soft_counts,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    wq = (
+        word_frequencies(df, "text")
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(2000)
+    )
+    words = [(r.word, int(r.freq)) for r in wq.collect()]
+    wdf = wq.select("word", "freq").repartition(32, "word").sortWithinPartitions("word")
+
+    # seed: integer sums → bit-identical
+    seed_d = _seed_vocab_distributed(wdf, seed_size=256, max_piece_len=8)
+    seed_l = _seed_vocab(words, seed_size=256, max_piece_len=8)
+    assert seed_d == seed_l
+
+    # soft E-step: same support, expectations and LL to tolerance
+    cd, lld = _estep_distributed(wdf, seed_l, 8, "soft")
+    cl, lll = _soft_counts(words, seed_l, 8)
+    assert set(cd) == set(cl)
+    assert math.isclose(lld, lll, rel_tol=1e-9)
+    for p in cl:
+        assert math.isclose(cd[p], cl[p], rel_tol=1e-9, abs_tol=1e-12), p
+
+    # hard E-step: integer-valued counts → exact
+    hd, _ = _estep_distributed(wdf, seed_l, 8, "hard")
+    hl: dict[str, float] = {}
+    from pgdedupe_spark.operators.unigram import _viterbi as vit
+
+    for w, f in words:
+        for p in vit(w, seed_l, 8):
+            hl[p] = hl.get(p, 0.0) + f
+    assert hd == hl
+
+    # end-to-end: same vocabulary, allclose probs, bit-stable reruns
+    m_local = train_unigram(df, "text", vocab_size=120)
+    m_dist = train_unigram(df, "text", vocab_size=120, distribute=True)
+    m_dist2 = train_unigram(df, "text", vocab_size=120, distribute=True)
+    assert m_dist == m_dist2
+    assert [p for p, _ in m_dist] == [p for p, _ in m_local]
+    for (p, a), (_, b) in zip(m_dist, m_local):
+        assert math.isclose(a, b, rel_tol=1e-9), p
