@@ -127,6 +127,8 @@ def write_gazetteer(
     on; ``payload_cols`` ride along for scoring (e.g. the text a string
     comparator reads). Bucketing is stateless (xxhash64 of the block
     keys), so append ≡ rebuild bit-for-bit."""
+    from pgdedupe_spark.operators.similarity import _drop_stream_overlay
+
     cols = [id_col, *block_cols, *payload_cols]
     (
         canonical.select(*cols)
@@ -136,6 +138,8 @@ def write_gazetteer(
         .mode("overwrite")
         .parquet(path + "/records")
     )
+    # a rebuilt canonical set supersedes every streamed growth epoch
+    _drop_stream_overlay(canonical.sparkSession, path, "records")
     canonical.sparkSession.createDataFrame(
         [(id_col, ",".join(block_cols), ",".join(payload_cols), int(n_buckets))],
         "id_col string, block_cols string, payload_cols string, n_buckets int",
@@ -172,6 +176,7 @@ def gazetteer_match(
     k: int = 1,
     unique: bool = False,
     prune: bool = True,
+    records: DataFrame | None = None,
 ) -> DataFrame:
     """One-way match of an incoming batch against the persisted canonical
     set: each batch record gets its top-``k`` canonical candidates with
@@ -188,14 +193,22 @@ def gazetteer_match(
     windows partition by record id (unbounded distinct keys — the same
     partitioning argument as knn_join's top-k). Output:
     (batch_id, gaz_id, score, rank), rank 1-based by (score DESC,
-    gaz_id) — deterministic, engine-portable, SQL-replayable."""
+    gaz_id) — deterministic, engine-portable, SQL-replayable.
+
+    The canonical set read is base ∪ streaming growth overlay
+    (records_stream epochs written by streaming.ops.gazetteer_stream);
+    pass ``records`` to override — the stream's replay guard reads the
+    overlay with its own epoch filtered out."""
+    from pgdedupe_spark.operators.similarity import _read_index_layer
+
     meta = spark.read.parquet(path + "/meta").collect()[0]
     id_col = str(meta.id_col)
     block_cols = str(meta.block_cols).split(",")
     payload_cols = [c for c in str(meta.payload_cols).split(",") if c]
 
     probe = batch.withColumn("bucket", _gaz_bucket(block_cols, int(meta.n_buckets)))
-    records = spark.read.parquet(path + "/records")
+    if records is None:
+        records = _read_index_layer(spark, path, "records")
     if prune:
         buckets = sorted(
             {int(r.bucket) for r in probe.select("bucket").distinct().collect()}

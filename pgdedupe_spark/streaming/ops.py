@@ -690,3 +690,99 @@ def curation_prep_stream(
         _free_local_checkpoint(gated)
 
     return process_batch
+
+
+def gazetteer_stream(
+    gaz_path: str,
+    store_dir: str,
+    batch_id_col: str,
+    score,
+    threshold: float = 0.5,
+    grow: bool = True,
+):
+    """Streaming gazetteer serve with canonical-set GROWTH (r12 — the
+    dedupe Gazetteer's production loop): each microbatch matches
+    ONE-WAY against the persisted canonical set
+    (linkage.gazetteer_match), matches land in ``matches/epoch=N`` under
+    ``store_dir``, and with ``grow=True`` the UNMATCHED records become
+    new canonical entities — written as a ``records_stream`` growth
+    overlay under the gazetteer itself (epoch + bucket partitioned), so
+    the NEXT batch can match against them. ``write_gazetteer`` rebuilds
+    drop the overlay (the index_append_epoch discipline).
+
+    Growth contract: the batch must carry the gazetteer's id, block and
+    payload columns under their canonical names (``batch_id_col`` may
+    be the same column); within a single batch, records match only the
+    PRE-batch canonical set — two same-entity records arriving together
+    both canonicalize, exactly like the dedupe Gazetteer's
+    update-then-search loop, and merge later through the batch linkage
+    tier if desired.
+
+    Replay-idempotent: the match runs against base ∪ overlay WITH THIS
+    EPOCH FILTERED OUT (a retried epoch must not see its own failed
+    writes), and both writes are dynamic partition overwrites of this
+    epoch alone. Layer contract: an all-unmatched epoch writes no match
+    files, so consumers read ``matches`` with an explicit schema
+    (``<batch_id> <t>, gaz_id <t>, score double, rank int, epoch
+    long`` — the flags-layer convention). Returns a ``foreachBatch``
+    function."""
+    from pgdedupe_spark.operators.linkage import _gaz_bucket, gazetteer_match
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        meta = spark.read.parquet(gaz_path + "/meta").collect()[0]
+        id_col = str(meta.id_col)
+        block_cols = str(meta.block_cols).split(",")
+        payload_cols = [c for c in str(meta.payload_cols).split(",") if c]
+
+        base = spark.read.parquet(f"{gaz_path}/records")
+        overlay_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in base.schema.fields
+        ) + ", epoch long"
+        try:
+            overlay = spark.read.schema(overlay_schema).parquet(
+                f"{gaz_path}/records_stream"
+            )
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+                overlay = spark.createDataFrame([], overlay_schema)
+            else:
+                raise
+        # replay guard: a retried epoch must not match its own failed
+        # growth writes
+        records = base.unionByName(
+            overlay.filter(F.col("epoch") < F.lit(epoch_id)).select(*base.columns)
+        )
+
+        frozen = batch_df.localCheckpoint()  # source frame valid only in-batch
+        matches = gazetteer_match(
+            spark, gaz_path, frozen, batch_id_col, score,
+            threshold=threshold, records=records,
+        ).localCheckpoint()  # one computation feeds the write and the anti-join
+        matches.withColumn("epoch", F.lit(epoch_id)).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{store_dir}/matches")
+
+        if grow:
+            unmatched = frozen.join(
+                matches.select(batch_id_col), batch_id_col, "left_anti"
+            )
+            (
+                unmatched.select(id_col, *block_cols, *payload_cols)
+                .withColumn("bucket", _gaz_bucket(block_cols, int(meta.n_buckets)))
+                .withColumn("epoch", F.lit(epoch_id))
+                .repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch", "bucket")
+                .parquet(f"{gaz_path}/records_stream")
+            )
+
+        from pgdedupe_spark.operators.clustering import _free_local_checkpoint
+
+        _free_local_checkpoint(frozen)
+        _free_local_checkpoint(matches)
+
+    return process_batch

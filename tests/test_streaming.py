@@ -799,3 +799,122 @@ def test_curation_prep_stream_replay_idempotent_and_gate_isolation(spark, tmp_pa
     # the gated-out doc 0 never entered the dedup state
     keys = {r.first_id for r in spark.read.parquet(f"{store}/keys").collect()}
     assert keys == {10}
+
+
+# ---------------------------------------------------------------------------
+# Streaming gazetteer serve with canonical-set growth (r12)
+
+
+def _gaz_score():
+    a, b = F.col("name"), F.col("gaz_name")
+    return F.lit(1.0) - F.levenshtein(a, b).cast("double") / F.greatest(
+        F.length(a), F.length(b), F.lit(1)
+    ).cast("double")
+
+
+def _gaz_setup(spark, tmp_path):
+    from pgdedupe_spark.operators.linkage import write_gazetteer
+
+    canon = spark.createDataFrame(
+        [(100, "nyc", "acme corporation"), (101, "sfo", "initech llc")],
+        "ent_id long, city string, name string",
+    )
+    gaz = str(tmp_path / "gaz")
+    write_gazetteer(canon, "ent_id", ["city"], ["name"], gaz, n_buckets=8)
+    return gaz
+
+
+def test_gazetteer_stream_growth_loop_and_replay(spark, tmp_path):
+    """Batch 1's unmatched record becomes a canonical entity (growth
+    overlay); batch 2 matches against it — the update-then-search loop.
+    Replaying an epoch is byte-identical (the replay guard keeps a
+    retried epoch from matching its own growth), and a gazetteer rebuild
+    drops the overlay."""
+    from pgdedupe_spark.operators.linkage import gazetteer_match, write_gazetteer
+    from pgdedupe_spark.streaming.ops import gazetteer_stream
+
+    gaz = _gaz_setup(spark, tmp_path)
+    store = str(tmp_path / "out")
+    fn = gazetteer_stream(gaz, store, "ent_id", _gaz_score(), threshold=0.7)
+
+    b1 = spark.createDataFrame(
+        [(200, "nyc", "acme corpration"),   # typo → matches 100
+         (201, "chi", "hooli inc")],        # no block → grows
+        "ent_id long, city string, name string",
+    )
+    fn(b1, 0)
+    m0 = {r.ent_id: r for r in spark.read.parquet(f"{store}/matches")
+          .filter("epoch = 0").collect()}
+    assert m0[200].gaz_id == 100 and 201 not in m0
+
+    # batch 2: matches the entity batch 1 grew
+    b2 = spark.createDataFrame(
+        [(300, "chi", "hooli inc")], "ent_id long, city string, name string"
+    )
+    fn(b2, 1)
+    m1 = spark.read.parquet(f"{store}/matches").filter("epoch = 1").collect()
+    assert len(m1) == 1 and m1[0].gaz_id == 201
+
+    # stream ≡ batch: epoch-1 matches equal a batch gazetteer_match
+    # against base ∪ epoch-0 growth (the overlay reader path)
+    batch_twin = gazetteer_match(
+        spark, gaz, b2, "ent_id", _gaz_score(), threshold=0.7
+    ).collect()
+    key = lambda r: (r.ent_id, r.gaz_id, r.score, r.rank)  # noqa: E731
+    assert sorted(map(key, m1)) == sorted(map(key, batch_twin))
+
+    # replay epoch 0: byte-identical matches and overlay; the retried
+    # epoch must NOT match its own earlier growth (201 stays unmatched)
+    before_matches = sorted(map(tuple, spark.read.parquet(f"{store}/matches").collect()))
+    before_overlay = sorted(
+        map(tuple, spark.read.parquet(f"{gaz}/records_stream").collect())
+    )
+    fn(b1, 0)
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{store}/matches").collect())
+    ) == before_matches
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{gaz}/records_stream").collect())
+    ) == before_overlay
+
+    # rebuild supersedes growth: the overlay directory is dropped
+    canon2 = spark.createDataFrame(
+        [(100, "nyc", "acme corporation")], "ent_id long, city string, name string"
+    )
+    write_gazetteer(canon2, "ent_id", ["city"], ["name"], gaz, n_buckets=8)
+    import os as _os
+
+    assert not _os.path.exists(f"{gaz}/records_stream")
+
+
+def test_gazetteer_stream_within_batch_both_canonicalize(spark, tmp_path):
+    """Two same-entity records arriving in ONE batch both grow (records
+    match only the pre-batch canonical set — the dedupe Gazetteer's
+    update-then-search semantics), and the next batch matches the
+    earlier-grown one deterministically by the rank tie-break."""
+    from pgdedupe_spark.streaming.ops import gazetteer_stream
+
+    gaz = _gaz_setup(spark, tmp_path)
+    store = str(tmp_path / "out")
+    fn = gazetteer_stream(gaz, store, "ent_id", _gaz_score(), threshold=0.7)
+    b1 = spark.createDataFrame(
+        [(400, "lax", "pied piper"), (401, "lax", "pied piper")],
+        "ent_id long, city string, name string",
+    )
+    fn(b1, 0)
+    # an all-unmatched epoch leaves the matches layer file-less: read
+    # with the explicit schema, per the layer contract in the docstring
+    mschema = "ent_id long, gaz_id long, score double, rank int, epoch long"
+    assert (
+        spark.read.schema(mschema).parquet(f"{store}/matches")
+        .filter("epoch = 0").count() == 0
+    )
+    grown = {r.ent_id for r in spark.read.parquet(f"{gaz}/records_stream").collect()}
+    assert grown == {400, 401}
+
+    b2 = spark.createDataFrame(
+        [(500, "lax", "pied piper")], "ent_id long, city string, name string"
+    )
+    fn(b2, 1)
+    m = spark.read.parquet(f"{store}/matches").filter("epoch = 1").collect()
+    assert len(m) == 1 and m[0].gaz_id == 400  # exact tie → ascending gaz_id
