@@ -185,6 +185,7 @@ _BENCH_ONLY = {
     "curation_scale_probe",
     "dedup_scale_probe",
     "llm_prep_scale_probe",
+    "multimodal_scale_probe",
 }
 
 

@@ -164,9 +164,11 @@ HEADLINE = [
     "text_language_id_learned",
     # r12: the persisted-index serve path for the compressed join, and
     # gazetteer-mode linkage (one-way match against the persisted
-    # canonical set)
+    # canonical set; the fuzzy tier matches with NO block key via the
+    # portable banded-MinHash index)
     "ann_pq_knn_serve",
     "er_gazetteer_match",
+    "er_gazetteer_fuzzy",
     # r6: iterative-operator scale probe — 10M-edge chain graph through CC
     "cc_scale_probe",
     # r8: PageRank scale probe — 10M-edge bipartite power-law graph, two
@@ -188,6 +190,9 @@ HEADLINE = [
     # leakage-safe split → token budget → training shards) with exact
     # in-band self-checks
     "llm_prep_scale_probe",
+    # r12: perceptual near-dup 10x tier (banded dHash join over planted
+    # identical-payload classes, census + closed-form pair self-checks)
+    "multimodal_scale_probe",
 ]
 
 # heavyweight scale probes run cold + ONE warm pass (~90 s each at sf0.1):
@@ -206,6 +211,7 @@ HEAVY_PROBES = {
     "curation_scale_probe",
     "dedup_scale_probe",
     "llm_prep_scale_probe",
+    "multimodal_scale_probe",
 }
 
 # Iterative shuffle-bound probes (VERDICT r11 #3): their cost is exchange +

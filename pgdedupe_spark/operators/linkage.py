@@ -243,3 +243,114 @@ def gazetteer_match(
         .filter(F.col("rank") <= k)
         .select(batch_id, "gaz_id", "score", "rank")
     )
+
+
+def gazetteer_compact(spark, path: str) -> None:
+    """Fold streamed growth epochs into the base canonical layer — the
+    maintenance step closing the gazetteer lifecycle (write → batch
+    append → stream growth via streaming.ops.gazetteer_stream → compact
+    → stream again), mirroring similarity.index_compact: the base ∪
+    overlay view rewrites as ONE bucket-partitioned base layer (epoch
+    directories disappear, per-epoch small files coalesce) and the
+    overlay drops. Matching output is unchanged — the merged frame IS
+    what gazetteer_match was already serving (pinned in
+    tests/test_linkage.py). No-op without an overlay. OFFLINE
+    maintenance: same crash-recoverable rename swap as index_compact
+    (side dir → base→__old → side→base → drop), so a crash leaves the
+    old state or a ``records__old`` directory — never data loss."""
+    from pgdedupe_spark.operators.similarity import _read_index_layer
+
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    overlay = P(f"{path}/records_stream")
+    fs = overlay.getFileSystem(hconf)
+    if not fs.exists(overlay):
+        return
+
+    merged = _read_index_layer(spark, path, "records")
+    side = f"{path}/records__compacting"
+    (
+        merged.repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(side)
+    )
+    base, old = P(f"{path}/records"), P(f"{path}/records__old")
+    fs.delete(old, True)
+    fs.rename(base, old)
+    fs.rename(P(side), base)
+    fs.delete(overlay, True)
+    fs.delete(old, True)
+
+
+def gazetteer_fuzzy_match(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: str,
+    threshold: float = 0.6,
+    k: int = 1,
+) -> DataFrame:
+    """FUZZY gazetteer matching — the no-clean-block-key case: the
+    canonical set is a persisted :func:`dedup.write_minhash_index`
+    layout (banded-bucket layer + shingle sidecar), and each batch
+    record matches ONE-WAY against it by exact n-gram Jaccard among
+    MinHash-banded candidates. This composes the equality-blocked
+    :func:`gazetteer_match` story with the dedup family's fuzzy
+    candidate generation: where gazetteer blocks need an exact key
+    (city, zip), this tier needs only text.
+
+    The batch's shingles and buckets derive on the fly from the index's
+    RECORDED parameters (stateless hashes — the same expressions the
+    writer used), so batch ids live in their own space and the index
+    never re-computes. Candidates = batch buckets ⋈ index buckets on
+    (band, bucket-key) — never all-pairs; verify = exact Jaccard
+    against the persisted shingle sidecar; top-``k`` per batch record
+    by (jaccard DESC, gaz_id ASC). Output (batch_id, gaz_id, jaccard,
+    rank). Canonical growth reuses :func:`dedup.minhash_index_append`;
+    with ``portable=True`` layouts every value is DuckDB-replicable
+    (the dedup_minhash_portable device), which is what backs the
+    er_gazetteer_fuzzy hash oracle."""
+    from pgdedupe_spark.operators.dedup import _minhash_shingles_and_buckets
+
+    meta = spark.read.parquet(index_path + "/meta").collect()[0]
+    id_col = str(meta.id_col)
+    bsh, bbk = _minhash_shingles_and_buckets(
+        batch.select(F.col(batch_id).alias(id_col), F.col(str(meta.text_col))),
+        id_col,
+        str(meta.text_col),
+        int(meta.n),
+        int(meta.num_hashes),
+        int(meta.bands),
+        bool(meta.portable),
+        persist=False,
+    )
+    idx_bk = spark.read.parquet(index_path + "/buckets").select(
+        F.col(id_col).alias("gaz_id"), "_band", "_bkey"
+    )
+    cands = (
+        bbk.withColumnRenamed("_id", batch_id)
+        .join(idx_bk, ["_band", "_bkey"])
+        .select(batch_id, "gaz_id")
+        .distinct()
+    )
+    idx_sh = spark.read.parquet(index_path + "/shingles").select(
+        F.col(id_col).alias("gaz_id"), F.col("_sh").alias("_sh2")
+    )
+    scored = (
+        cands.join(bsh.withColumnRenamed("_id", batch_id), batch_id)
+        .join(idx_sh, "gaz_id")
+        .withColumn("_common", F.size(F.array_intersect("_sh", "_sh2")))
+        .withColumn(
+            "jaccard",
+            F.col("_common") / (F.size("_sh") + F.size("_sh2") - F.col("_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy(batch_id).orderBy(F.col("jaccard").desc(), F.col("gaz_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(batch_id, "gaz_id", "jaccard", "rank")
+    )

@@ -5300,6 +5300,11 @@ PYTEST_ONLY = frozenset(
         # ann_lsh_topk — bit-identical to ann_ivf_serve (shared pinned
         # centroids), which stays in the rotation. Oracle retained.
         "ann_ivf_topk",
+        # born pytest-only in r12 (window full), FULL hash oracle: the
+        # FUZZY gazetteer serve tier (one-way banded-MinHash matching
+        # against a persisted portable-hash canonical index) — r13
+        # promotion candidate
+        "er_gazetteer_fuzzy",
     }
 )
 
@@ -8422,3 +8427,100 @@ def er_gazetteer_match(spark, sf_dir):
         F.length(a), F.length(b), F.lit(1)
     ).cast("double")
     return gazetteer_match(spark, path, batch, "new_id", score, threshold=0.8)
+
+
+def _portable_minhash_ctes(pfx: str, src_cte: str) -> str:
+    """The dedup_minhash_portable CTE chain (shingles → 60-bit md5 base
+    hash → 64 Carter-Wegman minhashes → 16 banded md5 bucket keys),
+    parameterized by source so two-table rows (er_gazetteer_fuzzy) don't
+    hand-copy the constant arrays. ``src_cte`` must expose (rid, text);
+    emits ``{pfx}shf`` (rid, ss) and ``{pfx}bnd`` (rid, band, bkey)."""
+    from pgdedupe_spark.operators.dedup import _CW_A, _CW_B
+
+    a = "[" + ",".join(str(v) for v in _CW_A) + "]"
+    b = "[" + ",".join(str(v) for v in _CW_B) + "]"
+    mh4 = ",".join(f"CAST(mh[4*b.b+{r}] AS VARCHAR)" for r in range(1, 5))
+    return f"""
+    {pfx}sh AS (
+      SELECT rid,
+             list_distinct(list_transform(range(1, greatest(len(text)-3, 2)),
+                           i -> substr(text, i::int, 5))) AS ss
+      FROM {src_cte}
+    ), {pfx}shf AS (
+      SELECT rid, ss FROM {pfx}sh WHERE len(ss) > 0
+    ), {pfx}hsd AS (
+      SELECT rid, ss,
+             list_transform(ss, s ->
+               CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647)
+               AS hs
+      FROM {pfx}shf
+    ), {pfx}sig AS (
+      SELECT rid, ss,
+             list_transform(range(0, 64), k ->
+               list_min(list_transform(hs, h ->
+                 ({a}[k+1] * h + {b}[k+1]) % 2147483647))) AS mh
+      FROM {pfx}hsd
+    ), {pfx}bnd AS (
+      SELECT rid, b.b AS band,
+             CAST(concat('0x', substr(md5(concat_ws('|', CAST(b.b AS VARCHAR),
+                  {mh4})), 1, 15)) AS BIGINT) AS bkey
+      FROM {pfx}sig, (SELECT unnest(range(0, 16)) AS b) b
+    )"""
+
+
+@query(
+    "er_gazetteer_fuzzy",
+    oracle=f"""
+    WITH canonsrc AS (
+      SELECT doc_id AS rid, text FROM documents
+    ), batchsrc AS (
+      SELECT doc_id + 1000000 AS rid, text || ' qz' AS text
+      FROM documents WHERE source IN ('src0', 'src1')
+    ),{_portable_minhash_ctes("c", "canonsrc")},{_portable_minhash_ctes("b", "batchsrc")},
+    cand AS (
+      SELECT DISTINCT bb.rid AS new_id, cb.rid AS gaz_id
+      FROM bbnd bb JOIN cbnd cb ON bb.band = cb.band AND bb.bkey = cb.bkey
+    ), ver AS (
+      SELECT new_id, gaz_id,
+             len(list_intersect(s1.ss, s2.ss))::DOUBLE /
+               (len(s1.ss) + len(s2.ss) - len(list_intersect(s1.ss, s2.ss)))
+               AS jaccard
+      FROM cand
+      JOIN bshf s1 ON s1.rid = cand.new_id
+      JOIN cshf s2 ON s2.rid = cand.gaz_id
+    ), rk AS (
+      SELECT new_id, gaz_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, gaz_id) AS rnk
+      FROM ver WHERE jaccard >= 0.6
+    )
+    SELECT new_id, gaz_id, jaccard, CAST(rnk AS INT) AS rank
+    FROM rk WHERE rnk = 1
+    """,
+)
+def er_gazetteer_fuzzy(spark, sf_dir):
+    """FUZZY gazetteer matching (linkage.gazetteer_fuzzy_match, new r12
+    — the no-clean-block-key serve tier): the documents table persists
+    ONCE as a portable-hash MinHash index (write_minhash_index, the
+    dedup family's layout), then a perturbed re-crawl of its src0/src1
+    slice (' qz' appended — near-dup, NOT exact) matches one-way by
+    exact 5-gram Jaccard among banded-MinHash candidates. Every hash is
+    the md5-derived portable family, so the DuckDB twin replays
+    shingles, signatures, band keys, candidates, verify, and the
+    per-record rank bit-for-bit (the dedup_minhash_portable device,
+    applied two-table). Registered pytest-only at birth (window full) —
+    r13 promotion candidate with full DuckDB coverage via
+    tests/test_oracle.py."""
+    from pgdedupe_spark.operators.dedup import write_minhash_index
+    from pgdedupe_spark.operators.linkage import gazetteer_fuzzy_match
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _serve_index_path(sf_dir, "fgaz")
+    write_minhash_index(
+        docs, "doc_id", "text", path, n=5, num_hashes=64, bands=16, portable=True
+    )
+    batch = docs.filter(F.col("source").isin("src0", "src1")).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("new_id"),
+        F.concat(F.col("text"), F.lit(" qz")).alias("text"),
+    )
+    return gazetteer_fuzzy_match(spark, path, batch, "new_id", threshold=0.6)

@@ -204,3 +204,90 @@ def test_gazetteer_append_equals_rebuild_and_prunes(spark, tmp_path):
         spark, path, batch, "rec_id", _score(), threshold=0.5, prune=False
     )
     assert sorted(map(tuple, c.collect())) == rows_a
+
+
+def test_gazetteer_compact_folds_overlay_and_preserves_matching(spark, tmp_path):
+    """gazetteer_compact folds streamed growth epochs into the base
+    bucket layer: the overlay directory disappears, record counts are
+    conserved, and matching output is bit-identical before/after. No-op
+    without an overlay."""
+    import os as _os
+
+    from pgdedupe_spark.operators.linkage import gazetteer_compact, gazetteer_match
+    from pgdedupe_spark.streaming.ops import gazetteer_stream
+
+    canon, path = _gazetteer(spark, tmp_path)
+    store = str(tmp_path / "out")
+    fn = gazetteer_stream(path, store, "ent_id", _score(), threshold=0.7)
+    fn(spark.createDataFrame(
+        [(300, "chi", "hooli inc")], "rec_id long, city string, name string"
+    ).withColumnRenamed("rec_id", "ent_id"), 0)
+    assert _os.path.exists(f"{path}/records_stream")
+
+    batch = spark.createDataFrame(
+        [(1, "chi", "hooli inc"), (2, "nyc", "acme corporation")],
+        "rec_id long, city string, name string",
+    )
+    before = sorted(map(tuple, gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.7).collect()))
+    n_before = spark.read.parquet(f"{path}/records").count() + spark.read.parquet(
+        f"{path}/records_stream"
+    ).count()
+
+    gazetteer_compact(spark, path)
+    assert not _os.path.exists(f"{path}/records_stream")
+    assert spark.read.parquet(f"{path}/records").count() == n_before
+    after = sorted(map(tuple, gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.7).collect()))
+    assert after == before
+    assert {t[1] for t in after} == {300, 100}
+
+    gazetteer_compact(spark, path)  # idempotent no-op without overlay
+    assert sorted(map(tuple, gazetteer_match(
+        spark, path, batch, "rec_id", _score(), threshold=0.7).collect())) == before
+
+
+def test_gazetteer_fuzzy_match_one_way_and_append(spark, tmp_path):
+    """Fuzzy gazetteer (no block key): a perturbed batch record matches
+    its canonical original one-way by banded-MinHash candidates + exact
+    Jaccard; unrelated records match nothing; k=2 ranks; append grows
+    the canonical set for the next batch; no all-pairs in the plan."""
+    from pgdedupe_spark.operators.dedup import (
+        minhash_index_append,
+        write_minhash_index,
+    )
+    from pgdedupe_spark.operators.linkage import gazetteer_fuzzy_match
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    alt = "completely different canonical text about spark engines at scale ok"
+    canon = spark.createDataFrame(
+        [(100, base), (101, alt)], "ent_id long, text string"
+    )
+    path = str(tmp_path / "fgaz")
+    write_minhash_index(
+        canon, "ent_id", "text", path, n=5, num_hashes=64, bands=16, portable=True
+    )
+
+    batch = spark.createDataFrame(
+        [(1, base + " x"), (2, "nothing like any canonical entity whatsoever")],
+        "rec_id long, text string",
+    )
+    out = gazetteer_fuzzy_match(spark, path, batch, "rec_id", threshold=0.6)
+    rows = {r.rec_id: r for r in out.collect()}
+    assert rows[1].gaz_id == 100 and rows[1].rank == 1
+    assert 2 not in rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "PythonUDF" not in plan
+
+    # k=2 with two near canonical variants: both ranked, jaccard desc
+    canon2 = spark.createDataFrame(
+        [(102, base + " y")], "ent_id long, text string"
+    )
+    minhash_index_append(spark, path, canon2)
+    out2 = gazetteer_fuzzy_match(spark, path, batch, "rec_id", threshold=0.5, k=2)
+    got = sorted(
+        (r.rank, r.gaz_id) for r in out2.collect() if r.rec_id == 1
+    )
+    assert {g for _, g in got} == {100, 102}
+    assert [r for r, _ in got] == [1, 2]
