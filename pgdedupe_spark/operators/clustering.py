@@ -75,6 +75,14 @@ def connected_components(
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
+        # r12: hash-partition the persisted edge frame on the join key ONCE.
+        # Every round joins sym on `dst`; without this the EDGE-sized frame
+        # is re-exchanged every round (the single largest shuffle in the
+        # loop — ~2|E| rows vs the |V|-sized label frames). The cached
+        # partitioning satisfies the join's required distribution, so each
+        # round exchanges only the label frame. Partition count follows
+        # spark.sql.shuffle.partitions (scale-adaptive, not a local tune).
+        .repartition("dst")
     )
     # localCheckpoint (not persist): truncates the logical plan each round —
     # the iterative lineage otherwise grows superlinearly and OOMs the
@@ -102,6 +110,11 @@ def connected_components(
         # applies twice), so convergence takes O(log d) rounds instead of
         # O(d) on high-diameter (chain-like) graphs; two extra small joins
         # on the vertex-sized label frame per round buy it.
+        # Join strategy is left to the planner + AQE: small label frames
+        # broadcast (the entity-map regime), big ones go shuffled-hash at
+        # runtime via adaptive.maxShuffledHashJoinLocalMapThreshold
+        # (session.py, r12) — an explicit SHUFFLE_HASH hint here would
+        # PREEMPT the automatic broadcast and regress the small case.
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")

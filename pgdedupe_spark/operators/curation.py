@@ -1288,6 +1288,7 @@ def dsir_weights(
     target: DataFrame,
     num_buckets: int = 4096,
     alpha: float = 1.0,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document DSIR log importance weight:
 
@@ -1318,6 +1319,18 @@ def dsir_weights(
     no Python.
     """
     feats = hashed_ngram_counts(df, id_col, text_col, num_buckets)
+    _checkpoints: list[DataFrame] = []
+    if materialize:
+        # r12: the (id, bucket, c) feature frame feeds BOTH the raw-model
+        # fit (collected below) and the scoring join — declaratively the
+        # corpus is exploded + hash-aggregated twice, once per consumer.
+        # An eager checkpoint computes it once (its own job) and both
+        # consumers read the stored rows: one corpus explode instead of
+        # two, bit-identical values (same expressions, same rows). This
+        # is the ccnet_lm / llm_prep stage-boundary sidecar pattern; the
+        # handle rides the result for release_materialized.
+        feats = feats.localCheckpoint(eager=True)
+        _checkpoints.append(feats)
     rb = _bucket_totals(feats, "cr")
     tb = _bucket_totals(
         hashed_ngram_counts(target, id_col, text_col, num_buckets), "ct"
@@ -1359,7 +1372,7 @@ def dsir_weights(
             F.sum("c").alias("_nf"),
         )
     )
-    return (
+    out = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
@@ -1368,6 +1381,9 @@ def dsir_weights(
             F.coalesce(F.col("_nf"), F.lit(0)).cast("bigint").alias("n_feats"),
         )
     )
+    if _checkpoints:
+        out._materialized_checkpoints = _checkpoints
+    return out
 
 
 def dsir_sample(
@@ -1379,6 +1395,7 @@ def dsir_sample(
     num_buckets: int = 4096,
     alpha: float = 1.0,
     seed: int = 0,
+    materialize: bool = False,
 ) -> DataFrame:
     """DSIR selection: sample ``k`` documents without replacement with
     probability ∝ exp(log_weight) via the Gumbel-top-k trick —
@@ -1400,7 +1417,9 @@ def dsir_sample(
     then runs over k rows only.
 
     Output: ``(id, log_weight, sample_rank)``, rank 1-based."""
-    w = dsir_weights(df, id_col, text_col, target, num_buckets, alpha)
+    w = dsir_weights(
+        df, id_col, text_col, target, num_buckets, alpha, materialize=materialize
+    )
     u32 = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(f"dsir{seed}:"), F.col(id_col).cast("string"))), 1, 8
@@ -1415,12 +1434,16 @@ def dsir_sample(
         F.round(F.col("log_weight") + gumbel, 12).cast("decimal(38,12)"),
     )
     order = [F.col("_g_key").desc(), F.col(id_col)]
-    return (
+    out = (
         keyed.orderBy(*order)
         .limit(k)
         .withColumn("sample_rank", F.row_number().over(Window.orderBy(*order)))
         .select(id_col, "log_weight", "sample_rank")
     )
+    ck = getattr(w, "_materialized_checkpoints", None)
+    if ck:
+        out._materialized_checkpoints = ck
+    return out
 
 
 def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1626,13 +1649,19 @@ def llm_prep(
     surv = gated.join(keepers, id_col)
     if materialize:
         surv = surv.localCheckpoint(eager=True)
-    out = dsir_sample(surv, id_col, text_col, surv.filter(target), k, num_buckets)
+    out = dsir_sample(
+        surv, id_col, text_col, surv.filter(target), k, num_buckets,
+        materialize=materialize,
+    )
     if materialize:
-        # hand the checkpoint to the caller for release after the
+        # hand the checkpoints to the caller for release after the
         # consuming action (the pq_encode cache discipline; SCALE.md
         # rule 7 — checkpoint blocks outlive unpersist and would
-        # accumulate one survivor frame per call in a long session)
-        out._materialized_checkpoints = [surv]
+        # accumulate one survivor frame per call in a long session).
+        # dsir_sample(materialize=True) adds its own feature checkpoint.
+        out._materialized_checkpoints = [surv] + (
+            getattr(out, "_materialized_checkpoints", None) or []
+        )
     return out
 
 

@@ -443,6 +443,7 @@ def _minhash_shingles_and_buckets(
     bands: int,
     portable: bool,
     persist: bool = True,
+    persist_sh: bool | None = None,
 ):
     """(sh, buckets): the per-doc shingle frame and the exploded
     (_id, _band, _bkey) banded-bucket frame — the shared computation
@@ -456,8 +457,16 @@ def _minhash_shingles_and_buckets(
 
     ``persist=True`` installs the two materialization barriers the
     in-memory join needs (see the inline notes); index writers pass
-    False — the parquet write IS their barrier."""
+    False — the parquet write IS their barrier. ``persist_sh`` overrides
+    the shingle-frame persist alone (default: follow ``persist``): a
+    caller that never re-reads ``sh`` — the scale census, which consumes
+    only ``buckets`` — skips caching the heavy shingle arrays while
+    keeping the signature/bucket barriers (r12; the sig barrier is still
+    what stops projection collapse re-running the minhash fold per
+    band)."""
     rows_per_band = num_hashes // bands
+    if persist_sh is None:
+        persist_sh = persist
     sh = (
         _fan_out(df, id_col)
         .select(
@@ -465,7 +474,7 @@ def _minhash_shingles_and_buckets(
         )
         .filter(F.size("_sh") > 0)
     )
-    if persist:
+    if persist_sh:
         sh = _persist(sh)
     # persist the signature frame (tiny: id + k longs) BEFORE deriving
     # band keys: projection collapse would otherwise inline the whole

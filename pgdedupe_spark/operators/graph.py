@@ -65,7 +65,20 @@ def pagerank(
     ``False`` keeps the original collected-scalar path."""
     from pgdedupe_spark.operators.clustering import _free_local_checkpoint
 
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # r12: hash-partition the persisted EDGE frame on `src` once — every
+    # round's contribution join streams `e` on src, and without the cached
+    # partitioning the edge frame (the biggest thing in the loop) was
+    # re-exchanged every round. deg then derives from the partitioned cache
+    # with no exchange of its own, and `shares` (built by joining ranks onto
+    # deg on src) arrives at the e-join already src-partitioned, so the
+    # edge join runs exchange-free. verts comes out of distinct() already
+    # hash-partitioned on v, which the final contribution join reuses.
+    # Partition counts follow spark.sql.shuffle.partitions (scale-adaptive).
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))
@@ -77,6 +90,7 @@ def pagerank(
     if n == 0:
         verts.unpersist()
         deg.unpersist()
+        e.unpersist()
         return verts.withColumn("r", F.lit(0).cast("long"))
     base = ((100 - damping_pct) * scale) // (100 * n)
 
@@ -88,9 +102,13 @@ def pagerank(
     )
     prev_ckpt = ranks
     for _ in range(iterations):
-        shares = ranks.join(deg, ranks["v"] == deg["src"], "inner").select(
-            F.col("src"), F.expr("r div _deg").alias("_share")
-        )
+        # Join strategy stays with the planner + AQE (broadcast when small;
+        # SMJ→SHJ rewrite at runtime via session.py's
+        # adaptive.maxShuffledHashJoinLocalMapThreshold) — a forced
+        # SHUFFLE_HASH hint would preempt the broadcast path.
+        shares = ranks.join(
+            deg, ranks["v"] == deg["src"], "inner"
+        ).select(F.col("src"), F.expr("r div _deg").alias("_share"))
         contribs = e.join(shares, "src").groupBy("dst").agg(
             F.sum("_share").alias("_c")
         )
@@ -151,4 +169,5 @@ def pagerank(
             break
     verts.unpersist()
     deg.unpersist()
+    e.unpersist()
     return ranks

@@ -3334,7 +3334,16 @@ def pipeline_entity_map(spark, sf_dir):
 
     cust = _t(spark, sf_dir, "customer")
     fields = ["c_name", "c_mktsegment", "c_nationkey"]
-    entries = collapse_exact_duplicates(cust, fields, "c_custkey", "c_acctbal > 0")
+    # stage-boundary checkpoints (r12 optimization round): declaratively the
+    # collapse output is re-executed FOUR times (blocking map, both sides of
+    # the pair field-attach, final id universe) and the smaller-coverage
+    # frame TWICE (the Kolb self-join aliases one subtree twice) — each a
+    # full re-run of the upstream groupBy/window chain. Eager localCheckpoint
+    # computes each stage once; identical rows, oracle-pinned. This is the
+    # CLI pipeline's stage-boundary handoff shape (llm_prep materialize).
+    entries = collapse_exact_duplicates(
+        cust, fields, "c_custkey", "c_acctbal > 0"
+    ).localCheckpoint(eager=True)
 
     keys = F.array(
         F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
@@ -3344,6 +3353,7 @@ def pipeline_entity_map(spark, sf_dir):
         ),
     )
     _, _, _, _, smaller = blocking_chain(entries, keys)
+    smaller = smaller.localCheckpoint(eager=True)
 
     pairs = candidate_pairs(smaller, entries, ["c_name", "c_mktsegment"])
     feats, _names = assemble_features(
@@ -5701,16 +5711,24 @@ def dedup_scale_probe(spark, sf_dir):
 
     def census(d):
         """(bucket-size frame, n_docs_with_signature, distinct pairs)."""
+        # persist_sh=False (r12): the census consumes only `buckets`; the
+        # default path also cached the heavy shingle-array frame it never
+        # re-reads (one wasted materialization per tier).
         _, buckets = _minhash_shingles_and_buckets(
             _t(spark, d, "documents"), "doc_id", "text",
-            n=5, num_hashes=64, bands=16, portable=False,
+            n=5, num_hashes=64, bands=16, portable=False, persist_sh=False,
         )
         sizes = (
             buckets.groupBy("_band", "_bkey")
             .agg(F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)  # census reused by the join below
         )
-        n_sig = buckets.select("_id").distinct().count()
+        # exact, shuffle-free n_sig (r12): posexplode emits exactly `bands`
+        # bucket rows per signed doc, so count/16 ≡ the old
+        # distinct-on-_id count without exchanging the bucket frame.
+        n_buckets_rows = buckets.count()
+        assert n_buckets_rows % 16 == 0, n_buckets_rows
+        n_sig = n_buckets_rows // 16
         a, b = buckets.alias("a"), buckets.alias("b")
         pairs = (
             a.join(
@@ -7556,7 +7574,13 @@ def curation_dsir_weights(spark, sf_dir):
     from pgdedupe_spark.operators.curation import dsir_weights
 
     docs = _t(spark, sf_dir, "documents")
-    return dsir_weights(docs, "doc_id", "text", docs.filter(F.col("lang") == "en"))
+    # materialize=True (r12): checkpoint the (id, bucket, c) feature frame
+    # so the raw-model fit and the scoring join share ONE corpus explode
+    # instead of two — bit-identical weights (this row's oracle pins it).
+    return dsir_weights(
+        docs, "doc_id", "text", docs.filter(F.col("lang") == "en"),
+        materialize=True,
+    )
 
 
 @query(
@@ -7590,8 +7614,11 @@ def curation_dsir_sample(spark, sf_dir):
     from pgdedupe_spark.operators.curation import dsir_sample
 
     docs = _t(spark, sf_dir, "documents")
+    # materialize=True (r12): one corpus explode for fit + scoring (see
+    # curation_dsir_weights); bit-identical sample, oracle-pinned.
     return dsir_sample(
-        docs, "doc_id", "text", docs.filter(F.col("lang") == "en"), k=100
+        docs, "doc_id", "text", docs.filter(F.col("lang") == "en"), k=100,
+        materialize=True,
     )
 
 
@@ -8183,8 +8210,14 @@ def text_ccnet_buckets(spark, sf_dir):
     (window full); full DuckDB coverage via tests/test_oracle.py."""
     from pgdedupe_spark.operators.text import ccnet_buckets
 
+    # materialize=True (r12 optimization round): checkpoint the
+    # vocabulary-row LM fit so the scoring stage reads stored rows instead
+    # of re-deriving the corpus explode per consumer — 4 corpus scans → 2,
+    # bit-identical buckets (pinned in tests/test_quality.py and by this
+    # row's own DuckDB oracle).
     return ccnet_buckets(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang"
+        _t(spark, sf_dir, "documents"), "doc_id", "text", lang_col="lang",
+        materialize=True,
     )
 
 
@@ -8300,9 +8333,15 @@ def pipeline_llm_prep(spark, sf_dir):
     recrawl = docs.filter(F.col("source") == "src0").withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
+    # materialize=True (r12 optimization round): the declarative one-query
+    # form re-derived the corpus→gate→keepers survivor subtree per
+    # downstream consumer (16 scans in the r11 PLANS.md); the stage-boundary
+    # checkpoint is the production CLI shape and is bit-identical (pinned in
+    # tests/test_curation.py and by this row's DuckDB oracle).
     return llm_prep(
         docs.unionByName(recrawl), "doc_id", "text",
         target=F.col("lang") == "en", k=50, chars_col="n_chars",
+        materialize=True,
     )
 
 

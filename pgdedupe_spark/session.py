@@ -40,6 +40,17 @@ def get_spark(app_name: str = "pgdedupe_spark", shuffle_partitions: int | None =
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12 (guide §3.1): let AQE rewrite sort-merge → shuffled-hash at
+        # runtime when every post-shuffle partition's build side fits under
+        # the threshold (default 0 = off upstream). Skips both sorts on
+        # qualifying joins; per-partition build memory is bounded by the
+        # threshold itself, so the setting is safe at any cluster size and
+        # scales with partition count. Join strategy cannot change results.
+        # Env-overridable for clusters that prefer sort-merge throughout.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # kept for cluster mode, where executors DO honor it (client-mode
         # driver gets the same flag via SPARK_SUBMIT_OPTS above)
