@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pgdedupe_spark.operators.ids import add_deterministic_id
+from pgdedupe_spark.sources.io import local_sidecar_df
 
 # verification strategy cutover: ≤ this many distinct shingles → per-doc
 # fixed bitmask (V/64 longs, ≤ 2 KiB/doc) + bit_count intersection
@@ -877,10 +878,11 @@ def write_minhash_index(
     sh.withColumnRenamed("_id", id_col).write.mode("overwrite").parquet(
         path + "/shingles"
     )
-    docs.sparkSession.createDataFrame(
+    local_sidecar_df(
+        docs.sparkSession,
         [(id_col, text_col, int(n), int(num_hashes), int(bands), bool(portable))],
         "id_col string, text_col string, n int, num_hashes int, bands int, portable boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pgdedupe_spark.sources.io import local_sidecar_df
+
 
 def best_match_links(
     scored_pairs: DataFrame,
@@ -140,10 +142,11 @@ def write_gazetteer(
     )
     # a rebuilt canonical set supersedes every streamed growth epoch
     _drop_stream_overlay(canonical.sparkSession, path, "records")
-    canonical.sparkSession.createDataFrame(
+    local_sidecar_df(
+        canonical.sparkSession,
         [(id_col, ",".join(block_cols), ",".join(payload_cols), int(n_buckets))],
         "id_col string, block_cols string, payload_cols string, n_buckets int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def gazetteer_append(spark, path: str, new_canonical: DataFrame) -> None:

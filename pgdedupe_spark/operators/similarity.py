@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pgdedupe_spark.sources.io import local_sidecar_df
+
 
 def _quantize(col: Column, scale: int = 10000) -> Column:
     # floor(cast(x as double)*scale + 0.5), not round(): Spark's HALF_UP
@@ -288,11 +290,12 @@ def write_lsh_index(
     _drop_stream_overlay(embeddings.sparkSession, path, "buckets")
     meta = [(int(n_planes), int(n_tables), int(dim), int(seed), id_col, vec_col,
              int(plane_scale) if plane_scale else None)]
-    spark.createDataFrame(
+    local_sidecar_df(
+        spark,
         meta,
         "n_planes int, n_tables int, dim int, seed int, id_col string, "
         "vec_col string, plane_scale int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def lsh_topk_from_index(
@@ -662,14 +665,16 @@ def write_ivf_index(
     )
     _drop_stream_overlay(embeddings.sparkSession, path, "cells")
     spark = embeddings.sparkSession
-    spark.createDataFrame(
+    local_sidecar_df(
+        spark,
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(path + "/centroids")
+    local_sidecar_df(
+        spark,
         [(id_col, vec_col, int(n_centroids), int(seed))],
         "id_col string, vec_col string, n_centroids int, seed int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def ivf_topk_from_index(
@@ -1072,18 +1077,21 @@ def write_pq_index(
     _drop_stream_overlay(embeddings.sparkSession, path, "codes")
     spark = embeddings.sparkSession
     m_, ksub_, dsub = books.shape
-    spark.createDataFrame(
+    local_sidecar_df(
+        spark,
         [(j, c, [float(x) for x in books[j, c]]) for j in range(m_) for c in range(ksub_)],
         "j int, c int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/codebooks")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(path + "/codebooks")
+    local_sidecar_df(
+        spark,
         [(cid, [float(x) for x in vec]) for cid, vec in centroids],
         "cid int, cv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(path + "/centroids")
+    local_sidecar_df(
+        spark,
         [(id_col, vec_col, int(dim), int(m), int(ksub), int(n_centroids), int(seed))],
         "id_col string, vec_col string, dim int, m int, ksub int, n_centroids int, seed int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
 
 
 def pq_topk_from_index(

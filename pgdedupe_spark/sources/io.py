@@ -25,6 +25,22 @@ from pgdedupe_spark.ml.training import read_training as read_training_json  # no
 from pgdedupe_spark.ml.training import write_training as write_training_json  # noqa: F401
 
 
+def local_sidecar_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-partition DataFrame from a SMALL driver-side row list — the
+    index-sidecar shape (meta / centroids / codebooks: a handful of rows
+    written next to a partitioned layout).
+
+    Why not ``createDataFrame(rows).coalesce(1)``: the list form
+    parallelizes into defaultParallelism pickled-RDD slices, and
+    ``coalesce(1)`` then funnels all of them through ONE task that spins
+    up the Python workers SEQUENTIALLY — measured ~6 s of pure fixed
+    cost per tiny sidecar write on local[32] (r12; ~0.2 s this way).
+    ``numSlices=1`` makes the single-file write a genuine single-task,
+    single-worker job. Row conversion is the same pickle path against
+    the same DDL schema, so written values are bit-identical."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     """S2 table scan. Column pruning + predicate pushdown reach the scan
     because callers select/filter before any action (Catalyst pushes
