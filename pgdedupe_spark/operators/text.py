@@ -599,45 +599,62 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     DECIMAL only in the REGISTRY oracle twin (raw double here).
 
     Zero-word documents fail rule 1 and use guarded denominators
-    elsewhere (greatest(n,1)) so no NULL/NaN escapes."""
+    elsewhere (greatest(n,1)) so no NULL/NaN escapes.
+
+    Staging note (r12): the word/line arrays and every integer signal are
+    materialized as ATTRIBUTE columns before the ratios reference them —
+    a non-attribute array referenced inside several lambdas is
+    re-evaluated per reference (the stop-word test alone re-derived
+    ``transform(words, lower)`` eight times, about half the operator's
+    measured 10×-corpus cost), and ``array_intersect`` against the
+    8-word literal computes the same distinct-hit count in one pass over
+    a single lowered copy. Values are bit-identical: the integers are the
+    same integers, and the ratios divide the same pairs."""
     t = F.coalesce(F.col(text_col), F.lit(""))  # size(split(NULL)) is NULL
-    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
-    n_words = F.size(words)
+    s0 = df.select(
+        F.col(id_col),
+        F.filter(F.split(t, r"\s+"), lambda x: x != "").alias("_gqw"),
+        F.split(t, r"\n").alias("_gql"),
+        (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))).alias("_gqhash"),
+        (
+            F.size(F.split(t, r"\.\.\.")) - 1
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        ).alias("_gqell"),
+    )
+    words = F.col("_gqw")
+    lines = F.col("_gql")
+    s1 = s0.select(
+        "*",
+        F.size(words).alias("_gqnw"),
+        F.coalesce(
+            F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x)), F.lit(0)
+        ).alias("_gqswl"),
+        F.size(lines).alias("_gqnl"),
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(r"^[•\-\*]"))).alias(
+            "_gqbullet"
+        ),
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"))).alias(
+            "_gqellend"
+        ),
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).alias("_gqalpha"),
+        F.size(
+            F.array_intersect(
+                F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS]),
+                F.transform(words, F.lower),
+            )
+        ).alias("_gqstop"),
+    )
+    n_words = F.col("_gqnw")
     nw1 = F.greatest(n_words, F.lit(1))
-    sum_wl = F.coalesce(
-        F.aggregate(words, F.lit(0), lambda acc, x: acc + F.length(x)), F.lit(0)
+    mean_wl = F.col("_gqswl").cast("double") / nw1.cast("double")
+    symbol_ratio = (F.col("_gqhash") + F.col("_gqell")).cast("double") / nw1.cast(
+        "double"
     )
-    mean_wl = sum_wl.cast("double") / nw1.cast("double")
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
-    n_ell = F.size(F.split(t, r"\.\.\.")) - 1 + (
-        F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit("")))
-    )
-    symbol_ratio = (n_hash + n_ell).cast("double") / nw1.cast("double")
-    lines = F.split(t, r"\n")
-    n_lines = F.greatest(F.size(lines), F.lit(1))
-    bullet = F.size(
-        F.filter(
-            lines,
-            lambda l: F.ltrim(l).rlike(r"^[•\-\*]"),
-        )
-    )
-    ell_end = F.size(
-        F.filter(
-            lines,
-            lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$"),
-        )
-    )
-    frac_bullet = bullet.cast("double") / n_lines.cast("double")
-    frac_ell = ell_end.cast("double") / n_lines.cast("double")
-    alpha_words = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
-    frac_alpha = alpha_words.cast("double") / nw1.cast("double")
-    lower_words = F.transform(words, F.lower)
-    stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(wd) for wd in GOPHER_REQUIRED_WORDS]),
-            lambda wd: F.array_contains(lower_words, wd),
-        )
-    )
+    n_lines = F.greatest(F.col("_gqnl"), F.lit(1))
+    frac_bullet = F.col("_gqbullet").cast("double") / n_lines.cast("double")
+    frac_ell = F.col("_gqellend").cast("double") / n_lines.cast("double")
+    frac_alpha = F.col("_gqalpha").cast("double") / nw1.cast("double")
+    stop_hits = F.col("_gqstop")
     keep = (
         (n_words >= 50) & (n_words <= 100_000)
         & (mean_wl >= 3.0) & (mean_wl <= 10.0)
@@ -647,7 +664,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         & (frac_alpha >= 0.8)
         & (stop_hits >= 2)
     )
-    return df.select(
+    return s1.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         mean_wl.alias("mean_word_len"),

@@ -199,6 +199,52 @@ def test_zero_shuffle_plan(spark):
     assert "PythonUDF" not in plan, plan
 
 
+def test_arrow_engine_matches_jvm_engine(spark):
+    """r12: the default Arrow gram-stats stage must be bit-identical to
+    the JVM expression stages on every column — random docs plus the
+    planted edge cases (empty text, NULL, all-same tokens, disjoint
+    repeats, m < n)."""
+    docs = _random_docs()
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    a = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            df, "doc_id", "text", top_ns=TOP_NS, dup_ns=DUP_NS, engine="arrow"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_repetition(
+            df, "doc_id", "text", top_ns=TOP_NS, dup_ns=DUP_NS, engine="jvm"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_arrow_plan_single_stage_no_shuffle(spark):
+    """The Arrow path stays one scan-local pipeline: exactly one
+    MapInArrow stage, no Exchange, no Join; the JVM path stays fully
+    Python-free."""
+    df = spark.range(10).selectExpr(
+        "id AS doc_id", "concat('w', id, ' w w w w w w') AS text"
+    )
+    pa_plan = (
+        gopher_repetition(df, "doc_id", "text", engine="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert pa_plan.count("MapInArrow") == 1, pa_plan
+    assert "Exchange" not in pa_plan and "Join" not in pa_plan, pa_plan
+    jvm_plan = (
+        gopher_repetition(df, "doc_id", "text", engine="jvm")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" not in jvm_plan and "PythonUDF" not in jvm_plan, jvm_plan
+
+
 def test_undefined_threshold_rejected(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     with pytest.raises(ValueError):
