@@ -20,6 +20,8 @@ agglomerative clustering (SURVEY.md §2.7 D9, §2.8 G1).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -57,7 +59,10 @@ def _free_local_checkpoint(df: DataFrame) -> bool:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, return_rounds: bool = False
+    edges: DataFrame,
+    max_iter: int = 50,
+    return_rounds: bool = False,
+    small_graph_max_edges: int | None = None,
 ) -> DataFrame:
     """Weak connected components of an undirected edge list (id1, id2).
 
@@ -70,7 +75,23 @@ def connected_components(
     the pointer-doubling guarantee (O(log d) rounds for diameter d, NOT
     O(d); asserted in tests/test_properties.py and measured at 10M-edge
     scale by the ``cc_scale_probe`` bench query).
+
+    Small-graph fast path (r12): composite pipelines routinely feed CC a
+    few hundred post-blocking edges, where the distributed loop's cost is
+    pure per-round fixed overhead (2 jobs + a checkpoint × O(log d)
+    rounds — measured ~8 s for a 133-edge graph). The symmetric edge
+    frame must be fully materialized for the loop anyway, so the gate is
+    free: persist ``sym``, count the cache, and when it holds at most
+    2×``small_graph_max_edges`` rows (default 200k edges, env
+    ``SPARK_GRAFT_CC_SMALL_EDGES``, 0 disables) collect it — BOUNDED by
+    the gate itself, the same bounded-collect discipline as the
+    k-means/centroid sidecars — and label by min-id union-find,
+    bit-identical to the fixpoint labels. Oversized graphs pay one cached
+    count (~0.1 s); ``return_rounds=True`` (the probe observable) always
+    runs the distributed loop.
     """
+    if small_graph_max_edges is None:
+        small_graph_max_edges = int(os.environ.get("SPARK_GRAFT_CC_SMALL_EDGES", "200000"))
     sym = (
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
@@ -84,6 +105,46 @@ def connected_components(
         # spark.sql.shuffle.partitions (scale-adaptive, not a local tune).
         .repartition("dst")
     )
+    # Persist BEFORE the first action so the materializing pass fills the
+    # sym cache (r12: persisting after the label init meant the edge
+    # union+distinct+repartition pipeline ran twice — once uncached for the
+    # init, once again on round 1 to populate the cache).
+    sym.persist(StorageLevel.MEMORY_AND_DISK)
+    if not return_rounds and small_graph_max_edges > 0:
+        # the count materializes the cache the loop needs anyway
+        if sym.count() <= 2 * small_graph_max_edges:
+            rows = sym.collect()  # bounded: the gate above caps this
+            sym.unpersist()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in rows:
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min id: the root IS the component label
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            labels = [(v, find(v)) for v in parent]
+            spark = edges.sparkSession
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = edges.schema["id1"].dataType
+            schema = StructType(
+                [StructField("id", id_type, True), StructField("component", id_type, True)]
+            )
+            return spark.createDataFrame(labels, schema)
     # localCheckpoint (not persist): truncates the logical plan each round —
     # the iterative lineage otherwise grows superlinearly and OOMs the
     # driver's plan renderer long before the data is big. On a cluster with
@@ -100,7 +161,6 @@ def connected_components(
     # projection relies on the wrapper-walk above.
     prev_ckpt = labels
 
-    sym.persist(StorageLevel.MEMORY_AND_DISK)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1

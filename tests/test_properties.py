@@ -73,6 +73,21 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want  # min-id labeling on both sides
 
 
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edges_strategy)
+def test_cc_small_graph_path_matches_distributed(spark, edges):
+    """r12: the size-gated driver union-find (default under 200k edges)
+    must label exactly like the distributed fixpoint loop
+    (small_graph_max_edges=0 forces the distributed path)."""
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    small = {(r.id, r.component) for r in connected_components(df).collect()}
+    dist = {
+        (r.id, r.component)
+        for r in connected_components(df, small_graph_max_edges=0).collect()
+    }
+    assert small == dist
+
+
 texts_strategy = st.lists(
     st.text(alphabet="abcd", min_size=1, max_size=12), min_size=2, max_size=10
 )
