@@ -14,11 +14,59 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pgdedupe_spark.sources.io import local_sidecar_df
+
+
+def _ann_engine(engine: str | None) -> str:
+    """Engine switch for the PQ/IVF row-path math (the gopher-battery
+    convention): ``arrow`` (default) hands whole Arrow batches to numpy
+    with JVM-identical IEEE operation order; ``jvm`` keeps the generated
+    higher-order-function SQL. Same bits either way (parity pinned in
+    tests/test_pq.py / tests/test_ivf_index.py); env
+    ``SPARK_GRAFT_ANN_ENGINE`` overrides for A/B and fallback."""
+    if engine is None:
+        engine = os.environ.get("SPARK_GRAFT_ANN_ENGINE", "arrow")
+    if engine not in ("arrow", "jvm"):
+        raise ValueError(f"unknown ANN engine {engine!r}")
+    return engine
+
+
+def _vec_matrix(arr, dim: int) -> np.ndarray:
+    """Arrow list<float/double> column → (B, dim) float64 matrix.
+    Loud on nulls/ragged rows: the JVM expressions would produce nulls or
+    silently short slices there — refusing keeps the two engines'
+    disagreement impossible instead of subtle. float32→float64 widening
+    is exact, so parity with the JVM's implicit promotion holds."""
+    if arr.null_count:
+        raise ValueError("null vector in ANN arrow path")
+    flat = arr.flatten()
+    if len(flat) != len(arr) * dim:
+        raise ValueError(
+            f"ragged vectors in ANN arrow path: {len(flat)} values for "
+            f"{len(arr)} rows at dim={dim}"
+        )
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return vals.reshape(len(arr), dim)
+
+
+def _chain_sum(terms: np.ndarray, axis: int) -> np.ndarray:
+    """Left-chained IEEE add along ``axis`` — ((t0+t1)+t2)+… exactly like
+    the JVM ``aggregate(…, 0D, (a,b) -> a+b)`` fold (0+t0 == t0 bit-exact
+    for the squared/product terms these folds see). NEVER np.sum here:
+    pairwise summation rounds differently."""
+    sl = [slice(None)] * terms.ndim
+    sl[axis] = 0
+    acc = terms[tuple(sl)].copy()
+    for t in range(1, terms.shape[axis]):
+        sl[axis] = t
+        acc += terms[tuple(sl)]
+    return acc
 
 
 def _quantize(col: Column, scale: int = 10000) -> Column:
@@ -420,8 +468,71 @@ def cosine_pairs(
     )
 
 
+def _assign_cells_arrow(
+    embeddings: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    nrms: list[float],
+) -> DataFrame:
+    """Arrow-batch twin of :func:`_assign_cells`'s JVM fold (guide §4.2),
+    bit-identical by construction — every IEEE operation replays the JVM
+    expression order:
+
+    * dot(vec, centroid-literal): the JVM zip_with promotes the float
+      element to double BEFORE multiplying (mixed float/double common
+      type), so the arrow path multiplies float64 matrices;
+    * the self-norm ``zip_with(vec, vec, x*y)`` has BOTH sides float32
+      when the column is array<float>, so products round to float32
+      FIRST and only the fold accumulates in double — replayed exactly;
+    * the argmax is the strict-``>`` first-wins fold (init score −2.0,
+      cell −1): NaN scores (zero vectors) never beat the accumulator.
+
+    Parity pinned in tests/test_pq.py against the JVM engine."""
+    import math
+
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    dim = len(centroids[0][1])
+    cids = [int(cid) for cid, _ in centroids]
+    C = np.asarray([vec for _, vec in centroids], dtype=np.float64)
+    cnrm = np.asarray(nrms, dtype=np.float64)
+    in_fields = list(embeddings.schema.fields)
+    out_schema = T.StructType(in_fields + [T.StructField("cell", T.IntegerType(), True)])
+    names = [f.name for f in in_fields]
+    is_f32 = isinstance(embeddings.schema[vec_col].dataType.elementType, T.FloatType)
+    k = len(cids)
+    cid_arr = np.asarray(cids, dtype=np.int32)
+
+    def batches(it):
+        for b in it:
+            Xd = _vec_matrix(b.column(vec_col), dim)
+            n = Xd.shape[0]
+            if is_f32:
+                x32 = Xd.astype(np.float32)  # exact round-trip: source was f32
+                prods = (x32 * x32).astype(np.float64)  # f32 products, widened
+            else:
+                prods = Xd * Xd
+            nv = np.sqrt(_chain_sum(prods, axis=1)) if n else np.empty(0)
+            best = np.full(n, -2.0)
+            cell = np.full(n, -1, dtype=np.int32)
+            for c in range(k):
+                dot = _chain_sum(Xd * C[c], axis=1) if n else np.empty(0)
+                s = dot / (nv * cnrm[c])
+                better = s > best  # NaN compares False, like the JVM fold
+                best[better] = s[better]
+                cell[better] = cid_arr[c]
+            arrays = [b.column(nm) for nm in names] + [pa.array(cell, pa.int32())]
+            yield pa.RecordBatch.from_arrays(arrays, names=names + ["cell"])
+
+    return embeddings.mapInArrow(batches, schema=out_schema)
+
+
 def _assign_cells(
-    embeddings: DataFrame, vec_col: str, centroids: list[tuple[int, list[float]]]
+    embeddings: DataFrame,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    engine: str | None = None,
 ) -> DataFrame:
     """Nearest-centroid (cosine) assignment as one JVM argmax fold over the
     centroid literal array — no shuffle, no Python in the row path.
@@ -450,17 +561,19 @@ def _assign_cells(
             "_assign_cells writes its assignment to a `cell` column; "
             "rename the existing `cell` column before indexing"
         )
-    nv = "_nv"
-    while nv in embeddings.columns:
-        nv += "_"
-
-    cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
     nrms = []
     for _, vec in centroids:
         acc = 0.0
         for x in vec:  # left-fold in index order == the old JVM aggregate
             acc += float(x) * float(x)
         nrms.append(math.sqrt(acc))
+    if _ann_engine(engine) == "arrow":
+        return _assign_cells_arrow(embeddings, vec_col, centroids, nrms)
+    nv = "_nv"
+    while nv in embeddings.columns:
+        nv += "_"
+
+    cids = "array(" + ",".join(str(int(cid)) for cid, _ in centroids) + ")"
     nrm_lit = "array(" + ",".join(f"{v!r}D" for v in nrms) + ")"
     cent2d = _sql_array2d(np.array([vec for _, vec in centroids], dtype=np.float64))
     nv_sql = (
@@ -807,12 +920,85 @@ def _sql_array2d(a: np.ndarray) -> str:
     return f"array({rows})"
 
 
+def _pq_encode_arrow(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: np.ndarray,
+    keep: tuple[str, ...],
+) -> DataFrame:
+    """Arrow-batch twin of :func:`pq_encode`'s JVM fold (guide §4.2) —
+    bit-identical by construction: the JVM zip_with promotes float
+    elements to double before ``(x-y)*(x-y)`` (mixed float/double), the
+    per-subvector distance is a left-chained add (:func:`_chain_sum`),
+    the argmin is the strict-``<`` first-wins fold (np.argmin keeps the
+    first minimum), the ``‖c‖²`` table is the SAME numpy ``norms2`` the
+    JVM path embeds as literals, and ``_pqnorm`` chains the m terms in
+    subquantizer order before one IEEE sqrt. Parity pinned in
+    tests/test_pq.py. Precondition (loud, not silent): vectors are
+    null-free, NaN-free and exactly m·dsub long — the checks in
+    :func:`_vec_matrix` raise where the JVM path would emit garbage.
+
+    No persist barrier and no ``_pq_encode_cache``: the MapInArrow node
+    is a small plan (nothing for the optimizer to re-walk), so the
+    anti-CollapseProject cache the JVM expression tree needs is
+    unnecessary here (release_encode_cache stays a no-op)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m, ksub, dsub = codebooks.shape
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    norms2 = (books**2).sum(axis=2)
+    dim = m * dsub
+    src = embeddings.select(id_col, *keep, vec_col)
+    pass_names = [id_col, *keep]
+    out_schema = T.StructType(
+        [src.schema[c] for c in pass_names]
+        + [
+            T.StructField("codes", T.ArrayType(T.IntegerType(), True), True),
+            T.StructField("_pqnorm", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it):
+        for b in it:
+            X = _vec_matrix(b.column(vec_col), dim)
+            n = X.shape[0]
+            codes = np.empty((n, m), dtype=np.int32)
+            acc_n2 = np.zeros(0) if n == 0 else None
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                diff = sub[:, None, :] - books[j][None, :, :]
+                d = _chain_sum(diff * diff, axis=2)  # (n, ksub)
+                cj = d.argmin(axis=1) if n else np.zeros(0, dtype=np.int64)
+                codes[:, j] = cj
+                n2 = norms2[j][cj]
+                acc_n2 = n2.copy() if acc_n2 is None else acc_n2 + n2
+            pqnorm = np.sqrt(acc_n2 if acc_n2 is not None else np.zeros(n))
+            offsets = pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32))
+            codes_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(codes.ravel(), pa.int32())
+            )
+            arrays = [b.column(nm) for nm in pass_names] + [
+                codes_arr,
+                pa.array(pqnorm, pa.float64()),
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=pass_names + ["codes", "_pqnorm"]
+            )
+
+    out = src.mapInArrow(batches, schema=out_schema)
+    out._pq_encode_cache = None
+    return out
+
+
 def pq_encode(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
     codebooks: np.ndarray,
     keep: tuple[str, ...] = (),
+    engine: str | None = None,
 ) -> DataFrame:
     """Encode the corpus against trained codebooks — pure JVM column math
     (the no-Python-UDF rule holds: one argmin fold per subvector over the
@@ -824,6 +1010,8 @@ def pq_encode(
     cosine ADC; carried as a column so the scan never reopens codebooks).
     At 100 TB codes pack to binary(m); array<int> keeps the driver/oracle
     plumbing simple at test scale and the layout point is identical."""
+    if _ann_engine(engine) == "arrow":
+        return _pq_encode_arrow(embeddings, id_col, vec_col, codebooks, keep)
     m, ksub, dsub = codebooks.shape
     norms2 = (codebooks**2).sum(axis=2)
 
@@ -943,12 +1131,19 @@ def pq_cosine_topk(
     return out
 
 
-def _pq_query_lut(q: DataFrame, books: np.ndarray) -> DataFrame:
+def _pq_query_lut(q: DataFrame, books: np.ndarray, keep_vec: bool = False) -> DataFrame:
     """(query_id, _qv[, extra]) → (query_id[, extra], _lut, _qn): the
     per-query ADC lookup table — dot(q_j, centroid[j][c]) for every
-    (j, c) — plus the exact query norm. Generated SQL like pq_encode."""
+    (j, c) — plus the exact query norm. Generated SQL like pq_encode.
+
+    ``keep_vec=True`` carries ``_qv`` through, so callers can compute the
+    LUT BEFORE fanning queries out to probe rows (the kNN-join paths):
+    the LUT is m·ksub interpreted dot folds per row, so evaluating it on
+    the pre-explode query frame instead of the ×n_probe probe frame is
+    an n_probe-fold saving for bit-identical values (r12)."""
     m, _ksub, dsub = books.shape
     extra = [c for c in q.columns if c not in ("query_id", "_qv")]
+    keep = ["_qv"] if keep_vec else []
     lut_exprs = [
         f"transform({_sql_array2d(books[j])}, cc -> "
         f"aggregate(zip_with(slice(_qv, {j * dsub + 1}, {dsub}), cc, "
@@ -960,6 +1155,7 @@ def _pq_query_lut(q: DataFrame, books: np.ndarray) -> DataFrame:
         .selectExpr(
             "query_id",
             *extra,
+            *keep,
             "array(" + ",".join(f"_lut_{j}" for j in range(m)) + ") AS _lut",
             "sqrt(aggregate(zip_with(_qv, _qv, (x, y) -> x*y), 0D, (a, b) -> a+b)) AS _qn",
         )
@@ -1663,10 +1859,13 @@ def pq_knn_join(
     )
     codes = pq_encode(rc, "neighbor_id", "_cv", books, keep=("cell",))
 
-    # left: row-local probes + row-local LUT (+ exact query norm)
+    # left: row-local LUT (+ exact query norm) BEFORE the probe fan-out —
+    # the LUT projection sits below the explode, so it evaluates once per
+    # QUERY row, not once per (query, probed cell) row (n_probe× less
+    # interpreted fold work; bit-identical — same expressions, same rows).
     q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
-    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
-    lutted = _pq_query_lut(probes, books)  # keeps `cell` as an extra column
+    lutted_q = _pq_query_lut(q, books, keep_vec=True)
+    lutted = _rank_cells_rowlocal(lutted_q, "_qv", centroids, n_probe).drop("_qv")
 
     approx_dot = F.aggregate(
         F.zip_with(F.col("codes"), F.col("_lut"), lambda c_, l_: F.element_at(l_, c_ + 1)),
@@ -1764,8 +1963,12 @@ def pq_knn_join_from_index(
     centroids.sort(key=lambda cv: cv[0])
 
     q = left.select(F.col(left_id).alias("query_id"), F.col(left_vec).alias("_qv"))
-    probes = _rank_cells_rowlocal(q, "_qv", centroids, n_probe)
-    lutted = _pq_query_lut(probes, books)  # keeps `cell`; adds _lut, _qn
+    # LUT before the probe fan-out (the pq_knn_join rule, r12): the LUT
+    # projection evaluates once per query row; the explode only replicates
+    # the computed arrays. Bit-identical values.
+    lutted_q = _pq_query_lut(q, books, keep_vec=True)
+    probes = _rank_cells_rowlocal(lutted_q, "_qv", centroids, n_probe)
+    lutted = probes.drop("_qv")
 
     codes = _read_index_layer(spark, index_path, "codes").withColumnRenamed(
         idx_id_col, "neighbor_id"

@@ -348,3 +348,46 @@ def test_pq_knn_join_from_index_matches_inmemory_and_prunes(spark, tmp_path):
         right, "vec_id", "embedding", k=5, n_probe=2,
     )
     assert none.count() == 0
+
+
+def test_ann_arrow_engine_parity_with_jvm(spark, emb):
+    """r12: the Arrow row-path engine (_pq_encode_arrow /
+    _assign_cells_arrow) must be BIT-IDENTICAL to the generated-SQL JVM
+    fold — on the float32 base embeddings (where the self-norm's float
+    products and the mixed float/double promotions are the parity
+    hazards) AND on a trained float codebook (not just the pinned
+    integer layout). codes, _pqnorm, and cell all compare exactly."""
+    from pgdedupe_spark.operators.similarity import _assign_cells, ivf_index
+
+    books = pq_train_codebooks(emb, "vec_id", "embedding", 64, m=16, ksub=32)
+    _, cents = ivf_index(emb, "vec_id", "embedding", n_centroids=8)
+
+    def rows(engine):
+        assigned = _assign_cells(emb, "embedding", cents, engine=engine)
+        enc = pq_encode(assigned, "vec_id", "embedding", books,
+                        keep=("cell",), engine=engine)
+        got = sorted(
+            (r.vec_id, r.cell, tuple(r.codes), r._pqnorm) for r in enc.collect()
+        )
+        from pgdedupe_spark.operators.similarity import release_encode_cache
+
+        release_encode_cache(enc)
+        return got
+
+    jvm, arrow = rows("jvm"), rows("arrow")
+    assert jvm == arrow  # bitwise: floats compare equal only if identical
+
+
+def test_ann_arrow_engine_rejects_ragged_vectors(spark):
+    """The arrow path refuses ragged/null vectors LOUDLY (the JVM slice
+    would silently emit garbage there)."""
+    import pytest as _pytest
+
+    from pgdedupe_spark.operators.similarity import pinned_pq_layout
+
+    books, _cents = pinned_pq_layout(64, 16, 32, 16)
+    bad = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 63)], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="ragged|null"):
+        pq_encode(bad, "vec_id", "embedding", books, engine="arrow").collect()
