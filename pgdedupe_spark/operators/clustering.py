@@ -91,7 +91,7 @@ def connected_components(
     runs the distributed loop.
     """
     if small_graph_max_edges is None:
-        small_graph_max_edges = int(os.environ.get("SPARK_GRAFT_CC_SMALL_EDGES", "200000"))
+        small_graph_max_edges = int(os.environ.get("SPARK_GRAFT_CC_SMALL_EDGES", "500000"))
     sym = (
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .union(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
@@ -113,8 +113,15 @@ def connected_components(
     if not return_rounds and small_graph_max_edges > 0:
         # the count materializes the cache the loop needs anyway
         if sym.count() <= 2 * small_graph_max_edges:
-            rows = sym.collect()  # bounded: the gate above caps this
+            # Arrow transfer, not .collect() (r12): at the gate ceiling the
+            # Row-object collect and the pickled createDataFrame dominated
+            # the fast path (~4 s at 1M sym rows vs ~0.9 s columnar). Both
+            # directions of each edge ride along; the second union is a
+            # no-op, so the labels are unchanged.
+            tbl = sym.toArrow()  # bounded: the gate above caps this
             sym.unpersist()
+            srcs = tbl.column(0).to_pylist()
+            dsts = tbl.column(1).to_pylist()
             parent: dict = {}
 
             def find(x):
@@ -125,7 +132,7 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for a, b in rows:
+            for a, b in zip(srcs, dsts):
                 if a not in parent:
                     parent[a] = a
                 if b not in parent:
@@ -136,7 +143,6 @@ def connected_components(
                     if rb < ra:
                         ra, rb = rb, ra
                     parent[rb] = ra
-            labels = [(v, find(v)) for v in parent]
             spark = edges.sparkSession
             from pyspark.sql.types import StructField, StructType
 
@@ -144,7 +150,14 @@ def connected_components(
             schema = StructType(
                 [StructField("id", id_type, True), StructField("component", id_type, True)]
             )
-            return spark.createDataFrame(labels, schema)
+            ids = list(parent)
+            comps = [find(v) for v in ids]
+            if any(v is None for v in ids):
+                return spark.createDataFrame(list(zip(ids, comps)), schema)
+            import pandas as pd
+
+            pdf = pd.DataFrame({"id": ids, "component": comps})
+            return spark.createDataFrame(pdf, schema=schema)
     # localCheckpoint (not persist): truncates the logical plan each round —
     # the iterative lineage otherwise grows superlinearly and OOMs the
     # driver's plan renderer long before the data is big. On a cluster with

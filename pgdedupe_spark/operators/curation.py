@@ -1278,11 +1278,77 @@ def contrastive_negatives(
 # ---------------------------------------------------------------------------
 
 
+def _hashed_ngram_counts_arrow(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int
+) -> DataFrame:
+    """Arrow-batch twin of :func:`hashed_ngram_counts` (guide §4.2):
+    tokenization STAYS a JVM codegen projection (word_tokens' regex
+    semantics never cross into Python), the token arrays cross once, and
+    the per-doc (bucket → count) map folds in Python — every n-gram of
+    one document lives in one batch row, so the explode AND the
+    (id, bucket) hash-aggregate exchange disappear from the plan. Bucket
+    values replay portable_hash60 exactly: md5 of the n-gram's UTF-8
+    bytes, first 15 hex digits as an integer (60-bit, non-negative), mod
+    num_buckets — bit-identical on both engines (parity pinned in
+    tests/test_curation.py)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from pgdedupe_spark.operators.dedup import word_tokens
+
+    src = df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_w"))
+    out_schema = T.StructType(
+        [
+            src.schema[id_col],
+            T.StructField("bucket", T.LongType(), True),
+            T.StructField("c", T.LongType(), False),
+        ]
+    )
+    nb = int(num_buckets)
+
+    def batches(it):
+        import hashlib
+
+        for b in it:
+            id_arr = b.column(id_col)
+            out_ids: list = []
+            out_bkt: list = []
+            out_c: list = []
+            for rid, toks in zip(id_arr.to_pylist(), b.column("_w").to_pylist()):
+                toks = toks or []
+                grams = list(toks)
+                if len(toks) >= 2:
+                    grams.extend(
+                        toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+                    )
+                if not grams:
+                    continue  # zero-token docs emit zero rows, like explode
+                counts: dict[int, int] = {}
+                for g in grams:
+                    bkt = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) % nb
+                    counts[bkt] = counts.get(bkt, 0) + 1
+                for bkt, c in counts.items():
+                    out_ids.append(rid)
+                    out_bkt.append(bkt)
+                    out_c.append(c)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=id_arr.type),
+                    pa.array(out_bkt, pa.int64()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                names=[id_col, "bucket", "c"],
+            )
+
+    return src.mapInArrow(batches, schema=out_schema)
+
+
 def hashed_ngram_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_buckets: int = 4096,
+    engine: str | None = None,
 ) -> DataFrame:
     """DSIR's feature map: bag-of-hashed-word-{1,2}-gram counts,
     ``(id, bucket, c)`` with ``bucket ∈ [0, num_buckets)``.
@@ -1305,6 +1371,14 @@ def hashed_ngram_counts(
     dimension."""
     from pgdedupe_spark.operators.dedup import portable_hash60, word_tokens
 
+    # Engine switch (r12, the gopher-battery convention): "arrow" folds the
+    # n-gram hashing AND the per-doc (id, bucket) aggregation into one
+    # mapInArrow stage — no explode, no exchange; "jvm" keeps the original
+    # explode + hash-aggregate plan. Same rows either way (parity pinned).
+    if engine is None:
+        engine = os.environ.get("SPARK_GRAFT_DSIR_ENGINE", "arrow")
+    if engine == "arrow":
+        return _hashed_ngram_counts_arrow(df, id_col, text_col, num_buckets)
     w = word_tokens(F.col(text_col))
     bigrams = F.when(
         F.size(w) >= 2,
@@ -1402,6 +1476,7 @@ def dsir_weights(
     num_buckets: int = 4096,
     alpha: float = 1.0,
     materialize: bool = False,
+    engine: str | None = None,
 ) -> DataFrame:
     """Per-document DSIR log importance weight:
 
@@ -1431,7 +1506,7 @@ def dsir_weights(
     decimals; the final left join restores featureless docs. No window,
     no Python.
     """
-    feats = hashed_ngram_counts(df, id_col, text_col, num_buckets)
+    feats = hashed_ngram_counts(df, id_col, text_col, num_buckets, engine=engine)
     _checkpoints: list[DataFrame] = []
     if materialize:
         # r12: the (id, bucket, c) feature frame feeds BOTH the raw-model
@@ -1446,7 +1521,7 @@ def dsir_weights(
         _checkpoints.append(feats)
     rb = _bucket_totals(feats, "cr")
     tb = _bucket_totals(
-        hashed_ngram_counts(target, id_col, text_col, num_buckets), "ct"
+        hashed_ngram_counts(target, id_col, text_col, num_buckets, engine=engine), "ct"
     )
     dim_rows = (
         rb.join(tb, "bucket", "full_outer")

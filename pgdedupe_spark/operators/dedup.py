@@ -685,8 +685,15 @@ def near_duplicate_clusters(
     reference's exact_matches.py merge semantics at cluster level)."""
     from pgdedupe_spark.operators.clustering import connected_components
 
+    # persist the pair frame before CC (r12, guide §2.4): CC's symmetric
+    # edge build reads its input once per union branch, so an unpersisted
+    # pairs frame re-ran the whole shingle→candidate→verify chain TWICE.
+    # CC materializes internally (both the union-find and loop paths), so
+    # the cache can drop as soon as it returns.
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    comps = connected_components(pairs.select("id1", "id2"))
+    edges = _persist(pairs.select("id1", "id2"))
+    comps = connected_components(edges)
+    edges.unpersist()
     sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         comps.join(sizes, "component")
