@@ -435,6 +435,83 @@ def minhash_signature_array(
     return F.aggregate(F.col(shingle_col), init, xstep)
 
 
+def _minhash_sig_arrow(sh: DataFrame, num_hashes: int) -> DataFrame:
+    """Arrow-batch twin of the PORTABLE ``minhash_signature_array`` fold
+    (guide §4.2): input ``(_id, _sh array<string>)``, output
+    ``(_id, _mhs array<long>)``. Bit-identical by construction — every
+    step is exact integer arithmetic with no operation-order freedom:
+
+    * base hash: md5 of the shingle's UTF-8 bytes, first 15 hex digits
+      as an integer, mod 2^31−1 — ``hashlib.md5`` and the JVM's md5 are
+      the same function of the same bytes;
+    * k Carter–Wegman permutations ``(A_k·h + B_k) mod P``: A, h < P <
+      2^31 so the product is < 2^62 — exact in int64 on both engines
+      (the same no-overflow argument the JVM fold documents);
+    * signature = elementwise min over shingles — order-free, so the
+      vectorized min equals the JVM's sequential ``least`` fold.
+
+    Why: the JVM fold is interpreted per element — one md5 plus a
+    64-wide zip_with/least per shingle (the docstring above measured it
+    as the single most expensive expression in the dedup family).  Here
+    md5 runs in C (hashlib) and the permutations/minima vectorize in
+    numpy over all shingles of a doc at once.  Parity is pinned in
+    tests/test_recall.py (both engines, same rows) and by the
+    dedup_minhash_portable / er_gazetteer_fuzzy full-hash oracles.
+
+    Only the md5 family has this twin: the xxhash64 variant has no
+    bit-identical Python implementation in this environment, so
+    ``portable=False`` always stays on the JVM fold."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    A = np.asarray(_CW_A[:num_hashes], dtype=np.int64)
+    B = np.asarray(_CW_B[:num_hashes], dtype=np.int64)
+    out_schema = T.StructType(
+        [
+            sh.schema["_id"],
+            T.StructField("_mhs", T.ArrayType(T.LongType(), True), True),
+        ]
+    )
+
+    def batches(it):
+        import hashlib
+
+        md5 = hashlib.md5
+        P = MINHASH_P
+        for b in it:
+            id_arr = b.column("_id")
+            sh_list = b.column("_sh").to_pylist()
+            n = len(sh_list)
+            out = np.empty((n, num_hashes), dtype=np.int64)
+            for r, shingles in enumerate(sh_list):
+                hs = np.fromiter(
+                    (
+                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
+                        for s in shingles
+                    ),
+                    dtype=np.int64,
+                    count=len(shingles),
+                )
+                if hs.size == 0:
+                    out[r] = P  # the JVM fold's init array (callers filter
+                    continue  # empty shingle rows out before this stage)
+                sig = np.full(num_hashes, P, dtype=np.int64)
+                # chunk the (shingles × k) candidate matrix so one huge doc
+                # cannot blow per-task memory (64k shingles ≈ 32 MB temp)
+                for lo in range(0, hs.size, 65536):
+                    cand = (hs[lo : lo + 65536, None] * A[None, :] + B[None, :]) % P
+                    np.minimum(sig, cand.min(axis=0), out=sig)
+                out[r] = sig
+            offs = pa.array(
+                np.arange(0, (n + 1) * num_hashes, num_hashes, dtype=np.int32)
+            )
+            mhs = pa.ListArray.from_arrays(offs, pa.array(out.ravel(), pa.int64()))
+            yield pa.RecordBatch.from_arrays([id_arr, mhs], names=["_id", "_mhs"])
+
+    return sh.mapInArrow(batches, schema=out_schema)
+
+
 def _minhash_shingles_and_buckets(
     df: DataFrame,
     id_col: str,
@@ -465,6 +542,8 @@ def _minhash_shingles_and_buckets(
     keeping the signature/bucket barriers (r12; the sig barrier is still
     what stops projection collapse re-running the minhash fold per
     band)."""
+    import os
+
     rows_per_band = num_hashes // bands
     if persist_sh is None:
         persist_sh = persist
@@ -482,10 +561,32 @@ def _minhash_shingles_and_buckets(
     # one-pass aggregate into every element_at reference below — 2 refs ×
     # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
     # the fold runs once). Both hash families use the same fold shape.
-    sig = sh.select(
-        "_id",
-        minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
-    )
+    # r12 engine switch (the gopher-battery convention): the PORTABLE md5
+    # fold defaults to the Arrow twin (:func:`_minhash_sig_arrow`,
+    # bit-identical; `SPARK_GRAFT_MINHASH_ENGINE=jvm` keeps the generated
+    # SQL). The barrier discipline is unchanged either way — a MapInArrow
+    # node is opaque to projection collapse, but without the persist the
+    # bucket self-join's two branches would still evaluate it twice.
+    if portable and os.environ.get("SPARK_GRAFT_MINHASH_ENGINE", "arrow") == "arrow":
+        # Re-establish the id hash-partitioning the JVM path inherits from
+        # _fan_out: a MapInArrow node reports UNKNOWN output partitioning
+        # (even though it moves no rows), so without this the downstream
+        # candidate-pair distinct inserts an ENSURE_REQUIREMENTS exchange
+        # over the PAIR-sized frame — and AQE then coalesces that tiny
+        # shuffle to 1-2 partitions, strangling the Jaccard-verify stage's
+        # parallelism (measured: verify 2.4 s → 15 s at sf0.1). One
+        # explicit-count exchange of the SKINNY signature frame (id + k
+        # longs — the lightweight proxy, guide §8) buys back both; the
+        # explicit count mirrors _fan_out (defaultParallelism; an
+        # AQE-coalescible column repartition would re-create the problem).
+        sig = _minhash_sig_arrow(sh, num_hashes).repartition(
+            sh.sparkSession.sparkContext.defaultParallelism, F.col("_id")
+        )
+    else:
+        sig = sh.select(
+            "_id",
+            minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+        )
     if persist:
         sig = _persist(sig)
     mh = [
@@ -875,16 +976,26 @@ def write_minhash_index(
     sh, buckets = _minhash_shingles_and_buckets(
         docs, id_col, text_col, n, num_hashes, bands, portable, persist=False
     )
-    (
-        buckets.withColumnRenamed("_id", id_col)
-        .repartition("_band")
-        .write.partitionBy("_band")
-        .mode("overwrite")
-        .parquet(path + "/buckets")
-    )
-    sh.withColumnRenamed("_id", id_col).write.mode("overwrite").parquet(
-        path + "/shingles"
-    )
+    # r12 (guide §2.4): the buckets write and the shingles write BOTH
+    # consume the shingle frame — unpersisted, the corpus was shingled
+    # twice per index write. One cache scoped to the two writes (the
+    # writes are the actions; unpersist after both is safe) halves the
+    # shingling work; the parquet writes stay the materialization
+    # barriers the index layout relies on.
+    sh = sh.persist()
+    try:
+        (
+            buckets.withColumnRenamed("_id", id_col)
+            .repartition("_band")
+            .write.partitionBy("_band")
+            .mode("overwrite")
+            .parquet(path + "/buckets")
+        )
+        sh.withColumnRenamed("_id", id_col).write.mode("overwrite").parquet(
+            path + "/shingles"
+        )
+    finally:
+        sh.unpersist()
     local_sidecar_df(
         docs.sparkSession,
         [(id_col, text_col, int(n), int(num_hashes), int(bands), bool(portable))],
@@ -910,16 +1021,22 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
         bool(meta.portable),
         persist=False,
     )
-    (
-        buckets.withColumnRenamed("_id", str(meta.id_col))
-        .repartition("_band")
-        .write.partitionBy("_band")
-        .mode("append")
-        .parquet(path + "/buckets")
-    )
-    sh.withColumnRenamed("_id", str(meta.id_col)).write.mode("append").parquet(
-        path + "/shingles"
-    )
+    # same two-consumer cache as write_minhash_index (r12): one shingling
+    # pass per appended batch, not two
+    sh = sh.persist()
+    try:
+        (
+            buckets.withColumnRenamed("_id", str(meta.id_col))
+            .repartition("_band")
+            .write.partitionBy("_band")
+            .mode("append")
+            .parquet(path + "/buckets")
+        )
+        sh.withColumnRenamed("_id", str(meta.id_col)).write.mode("append").parquet(
+            path + "/shingles"
+        )
+    finally:
+        sh.unpersist()
 
 
 def minhash_pairs_from_index(
@@ -945,9 +1062,23 @@ def minhash_pairs_from_index(
     id_col = str(meta.id_col)
     buckets = spark.read.parquet(path + "/buckets")
     a = buckets.withColumnRenamed(id_col, "_ida").alias("a")
+
+    # r12 (guide §2.5): dedup the pair set via an EXPLICIT-count
+    # repartition on id1 + dropDuplicates instead of `.distinct()` — the
+    # distinct's ENSURE_REQUIREMENTS exchange is tiny (two longs/row), so
+    # AQE coalesced it to 1-2 partitions and the Jaccard-verify stage
+    # below (the expensive per-row work) ran nearly single-threaded.
+    # id1-hash-partitioning satisfies the pair dedup's clustering
+    # requirement, and the explicit count (defaultParallelism, the
+    # _fan_out discipline) is not AQE-coalescible.
+    def _dedup_pairs(pairs: DataFrame) -> DataFrame:
+        return pairs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("id1")
+        ).dropDuplicates(["id1", "id2"])
+
     if probe is None:
         b = buckets.withColumnRenamed(id_col, "_idb").alias("b")
-        cands = (
+        cands = _dedup_pairs(
             a.join(
                 b,
                 (F.col("a._band") == F.col("b._band"))
@@ -955,13 +1086,12 @@ def minhash_pairs_from_index(
                 & (F.col("_ida") < F.col("_idb")),
             )
             .select(F.col("_ida").alias("id1"), F.col("_idb").alias("id2"))
-            .distinct()
         )
     else:
         pb = buckets.join(
             probe.select(F.col(id_col)).distinct(), id_col, "semi"
         ).withColumnRenamed(id_col, "_idb").alias("b")
-        cands = (
+        cands = _dedup_pairs(
             a.join(
                 pb,
                 (F.col("a._band") == F.col("b._band"))
@@ -972,7 +1102,6 @@ def minhash_pairs_from_index(
                 F.least("_ida", "_idb").alias("id1"),
                 F.greatest("_ida", "_idb").alias("id2"),
             )
-            .distinct()
         )
     if not verify:
         return cands

@@ -332,11 +332,24 @@ def gazetteer_fuzzy_match(
     idx_bk = spark.read.parquet(index_path + "/buckets").select(
         F.col(id_col).alias("gaz_id"), "_band", "_bkey"
     )
+    # r12 (guide §2.4/§2.5): partition the candidate pairs ONCE, by the
+    # batch id, with an explicit count. The naive `.distinct()` added an
+    # ENSURE_REQUIREMENTS exchange whose tiny shuffle AQE coalesced to 1
+    # partition — the Jaccard-verify joins and the rank window then ran
+    # single-threaded (measured 9.5 s → 2 s at sf0.1). Hash-partitioning
+    # on batch_id alone satisfies BOTH the pair dedup's clustering
+    # requirement (same pair ⇒ same batch_id ⇒ same partition) and the
+    # rank window's partitionBy(batch_id), so ONE exchange of the skinny
+    # pair frame replaces two and the explicit count (defaultParallelism,
+    # the _fan_out discipline) keeps AQE from shrinking the verify stage.
     cands = (
         bbk.withColumnRenamed("_id", batch_id)
         .join(idx_bk, ["_band", "_bkey"])
         .select(batch_id, "gaz_id")
-        .distinct()
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col(batch_id)
+        )
+        .dropDuplicates([batch_id, "gaz_id"])
     )
     idx_sh = spark.read.parquet(index_path + "/shingles").select(
         F.col(id_col).alias("gaz_id"), F.col("_sh").alias("_sh2")

@@ -370,6 +370,36 @@ def test_portable_minhash_matches_kpass_formulation(spark):
     assert one_pass == naive
 
 
+def test_portable_minhash_arrow_engine_bit_identical(spark):
+    """The Arrow signature engine (_minhash_sig_arrow, r12) must produce
+    bit-identical signatures AND bucket keys to the JVM fold — engine
+    choice can never change a declared query's rows. Covers unicode
+    (multi-byte UTF-8 md5 input), single-shingle docs, and the full
+    64-hash width the driver rows use."""
+    import os
+
+    from pgdedupe_spark.operators.dedup import _minhash_shingles_and_buckets
+
+    df = spark.createDataFrame(
+        [(i, f"döc texte numéro {i} — shared shingle soup") for i in range(25)]
+        + [(100, "tiny"), (101, "abcde")],
+        "doc_id long, text string",
+    )
+
+    def run(engine):
+        os.environ["SPARK_GRAFT_MINHASH_ENGINE"] = engine
+        try:
+            sh, buckets = _minhash_shingles_and_buckets(
+                df, "doc_id", "text", n=5, num_hashes=64, bands=16,
+                portable=True, persist=False,
+            )
+            return {tuple(r) for r in buckets.collect()}
+        finally:
+            os.environ.pop("SPARK_GRAFT_MINHASH_ENGINE", None)
+
+    assert run("arrow") == run("jvm")
+
+
 def test_portable_minhash_pair_recall(spark):
     """The portable (md5/Carter-Wegman) twin runs the same 64×16 banding
     curve as the xxhash64 path, so it owes the same recall contract
