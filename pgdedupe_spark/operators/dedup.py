@@ -21,6 +21,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -188,6 +190,22 @@ def ngram_jaccard_pairs(
     )
 
 
+def _shingle_frame(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """The per-doc ``(_id, _sh)`` shingle frame every dedup operator
+    starts from — Arrow twin by default (r12; see :func:`_shingles_arrow`
+    for the quadratic-substring measurement and the bit-parity argument),
+    ``SPARK_GRAFT_SHINGLE_ENGINE=jvm`` keeps the generated projection."""
+    if os.environ.get("SPARK_GRAFT_SHINGLE_ENGINE", "arrow") == "arrow":
+        return _shingles_arrow(_fan_out(df, id_col), id_col, text_col, n)
+    return (
+        _fan_out(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
+        )
+        .filter(F.size("_sh") > 0)
+    )
+
+
 def _ngram_docs_and_candidates(
     df: DataFrame,
     id_col: str,
@@ -200,10 +218,7 @@ def _ngram_docs_and_candidates(
     sorted-int shingle representation + prefix/length/positional-filtered
     candidate pairs. Split out so tests can pin the candidate-count bound
     (the prefix filter's pruning) independently of the verify stage."""
-    sh = _fan_out(df, id_col).select(
-        F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
-    ).filter(F.size("_sh") > 0)
-    sh = _persist(sh)
+    sh = _persist(_shingle_frame(df, id_col, text_col, n))
     # materialize the shingle cache in its own job BEFORE the dfreq
     # aggregate: fusing the cache build with explode+hashAgg in one task set
     # measured 31 s vs 11 s split (4k docs × ~700 shingles) — the columnar
@@ -310,7 +325,17 @@ def _ngram_docs_and_candidates(
                >= alpha_join),
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
-        .distinct()
+        # r12 (guide §2.5, the minhash_pairs_from_index pattern): an
+        # explicit-count repartition + dropDuplicates instead of
+        # `.distinct()` — AQE coalesced the tiny pair shuffle to 1-2
+        # partitions, under-parallelizing the verify stage downstream.
+        # Keyed on BOTH pair columns: even spread (no hot-doc skew), and
+        # no window downstream needs a single-column partitioning.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.col("id1"), F.col("id2"),
+        )
+        .dropDuplicates(["id1", "id2"])
     )
     return docs, cands, use_bitmap
 
@@ -435,6 +460,70 @@ def minhash_signature_array(
     return F.aggregate(F.col(shingle_col), init, xstep)
 
 
+def _shingles_arrow(src: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Arrow-batch twin of ``char_shingles(text, n)`` + the ``size > 0``
+    filter: input ``(id, text)``, output ``(_id, _sh)``. Bit-identical by
+    construction:
+
+    * grams: ``s[i:i+n] for i in range(0, max(len(s)-n+1, 1))`` — Python
+      slicing counts code points exactly like UTF8String.substring, and
+      ``max(…, 1)`` replays ``sequence(1, greatest(length-(n-1), 1))``
+      (a shorter-than-n text yields its whole self, the empty text "");
+    * distinct keeps FIRST-OCCURRENCE order (``dict.fromkeys``), like
+      ``array_distinct``;
+    * a NULL text yields ``[NULL]`` — length(NULL) is NULL, greatest
+      skips it, sequence(1,1) indexes once, substring(NULL,…) is NULL —
+      so the row SURVIVES the size filter with a one-NULL array, exactly
+      like the JVM projection (pinned in the edge-case parity test).
+
+    Why (guide §4.2, measured at the 10× census): the JVM projection is
+    quadratic per document — ``substring(s, i, n)`` has no code-point
+    index, so each of the ~len positions re-walks the string's bytes
+    from the front; shingling ALONE cost 14.8 s of the 10×-census'
+    ~21 s (the 64-hash fold was only ~3 s). Python strings are
+    fixed-width indexed, so the same grams cost O(len·n). Parity pinned
+    in tests/test_recall.py (exact arrays, order included)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", src.schema[id_col].dataType, True),
+            T.StructField("_sh", T.ArrayType(T.StringType(), True), True),
+        ]
+    )
+    nn = int(n)
+
+    def batches(it):
+        for b in it:
+            id_arr = b.column(0)
+            texts = b.column(1).to_pylist()
+            keep: list[int] = []
+            shingles: list[list[str]] = []
+            for r, s in enumerate(texts):
+                keep.append(r)
+                if s is None:
+                    shingles.append([None])
+                    continue
+                shingles.append(
+                    list(
+                        dict.fromkeys(
+                            s[i : i + nn]
+                            for i in range(0, max(len(s) - nn + 1, 1))
+                        )
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_arr.take(pa.array(keep, pa.int32())),
+                    pa.array(shingles, type=pa.list_(pa.string())),
+                ],
+                names=["_id", "_sh"],
+            )
+
+    return src.select(id_col, text_col).mapInArrow(batches, schema=out_schema)
+
+
 def _minhash_sig_arrow(sh: DataFrame, num_hashes: int) -> DataFrame:
     """Arrow-batch twin of the PORTABLE ``minhash_signature_array`` fold
     (guide §4.2): input ``(_id, _sh array<string>)``, output
@@ -485,9 +574,13 @@ def _minhash_sig_arrow(sh: DataFrame, num_hashes: int) -> DataFrame:
             n = len(sh_list)
             out = np.empty((n, num_hashes), dtype=np.int64)
             for r, shingles in enumerate(sh_list):
+                # a NULL shingle (the NULL-text row) hashes like the JVM:
+                # concat_ws('|', NULL) is "" → md5("")
                 hs = np.fromiter(
                     (
-                        int(md5(s.encode("utf-8")).hexdigest()[:15], 16) % P
+                        int(
+                            md5((s or "").encode("utf-8")).hexdigest()[:15], 16
+                        ) % P
                         for s in shingles
                     ),
                     dtype=np.int64,
@@ -542,32 +635,45 @@ def _minhash_shingles_and_buckets(
     keeping the signature/bucket barriers (r12; the sig barrier is still
     what stops projection collapse re-running the minhash fold per
     band)."""
-    import os
-
     rows_per_band = num_hashes // bands
     if persist_sh is None:
         persist_sh = persist
-    sh = (
-        _fan_out(df, id_col)
-        .select(
-            F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh")
-        )
-        .filter(F.size("_sh") > 0)
+    # r12 engine switches (the gopher-battery convention):
+    # * shingling defaults to the Arrow twin for BOTH hash families —
+    #   the JVM projection is quadratic per doc (substring re-walks the
+    #   string per position; see _shingles_arrow) and measured as the
+    #   dominant census cost at 10× (env `SPARK_GRAFT_SHINGLE_ENGINE=jvm`
+    #   keeps the projection);
+    # * the signature fold defaults to Arrow only for the PORTABLE md5
+    #   family (_minhash_sig_arrow; env `SPARK_GRAFT_MINHASH_ENGINE=jvm`
+    #   keeps the fold). portable=False keeps the JVM fold always: a
+    #   vectorized-NumPy XXH64 twin (bit-parity verified) measured
+    #   SLOWER end-to-end — the native xxhash64 node is already cheap
+    #   and the Arrow boundary cost exceeded the kernel win (guide
+    #   §1.1's "ideal plan is usually slower at first" case; numbers in
+    #   OPTIMIZATION_r12.md).
+    engine_arrow_sig = (
+        portable
+        and os.environ.get("SPARK_GRAFT_MINHASH_ENGINE", "arrow") == "arrow"
     )
+    sh = _shingle_frame(df, id_col, text_col, n)
     if persist_sh:
         sh = _persist(sh)
     # persist the signature frame (tiny: id + k longs) BEFORE deriving
     # band keys: projection collapse would otherwise inline the whole
     # one-pass aggregate into every element_at reference below — 2 refs ×
     # 8 bands re-ran the (md5) fold 16× (120 s at sf0.1; with the barrier
-    # the fold runs once). Both hash families use the same fold shape.
-    # r12 engine switch (the gopher-battery convention): the PORTABLE md5
-    # fold defaults to the Arrow twin (:func:`_minhash_sig_arrow`,
-    # bit-identical; `SPARK_GRAFT_MINHASH_ENGINE=jvm` keeps the generated
-    # SQL). The barrier discipline is unchanged either way — a MapInArrow
-    # node is opaque to projection collapse, but without the persist the
-    # bucket self-join's two branches would still evaluate it twice.
-    if portable and os.environ.get("SPARK_GRAFT_MINHASH_ENGINE", "arrow") == "arrow":
+    # the fold runs once). Both hash families use the same fold shape,
+    # and a MapInArrow node, while opaque to projection collapse, would
+    # still be evaluated once per bucket self-join branch without it.
+    if engine_arrow_sig:
+        sig = _minhash_sig_arrow(sh, num_hashes)
+    else:
+        sig = sh.select(
+            "_id",
+            minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+        )
+    if engine_arrow_sig or os.environ.get("SPARK_GRAFT_SHINGLE_ENGINE", "arrow") == "arrow":
         # Re-establish the id hash-partitioning the JVM path inherits from
         # _fan_out: a MapInArrow node reports UNKNOWN output partitioning
         # (even though it moves no rows), so without this the downstream
@@ -579,13 +685,8 @@ def _minhash_shingles_and_buckets(
         # longs — the lightweight proxy, guide §8) buys back both; the
         # explicit count mirrors _fan_out (defaultParallelism; an
         # AQE-coalescible column repartition would re-create the problem).
-        sig = _minhash_sig_arrow(sh, num_hashes).repartition(
-            sh.sparkSession.sparkContext.defaultParallelism, F.col("_id")
-        )
-    else:
-        sig = sh.select(
-            "_id",
-            minhash_signature_array("_sh", num_hashes, portable=portable).alias("_mhs"),
+        sig = sig.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col("_id")
         )
     if persist:
         sig = _persist(sig)
@@ -820,12 +921,7 @@ def near_duplicate_clusters(
 def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """(_id, _sh, _sz): the per-doc shingle-set frame incremental dedup
     joins against. Materialize this once per corpus snapshot."""
-    return (
-        _fan_out(df, id_col)
-        .select(F.col(id_col).alias("_id"), char_shingles(F.col(text_col), n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
-        .withColumn("_sz", F.size("_sh"))
-    )
+    return _shingle_frame(df, id_col, text_col, n).withColumn("_sz", F.size("_sh"))
 
 
 def incremental_jaccard_pairs(
@@ -864,7 +960,19 @@ def incremental_jaccard_pairs(
             & (F.col("n._nsz") >= F.lit(t) * F.col("c._csz")),
         )
         .select("new_id", "corpus_id")
-        .distinct()
+        # r12 (guide §2.5): explicit-count repartition on BOTH pair
+        # columns + dropDuplicates instead of `.distinct()` — under the
+        # Arrow shingle engine the cached frames' partitioning is unknown
+        # to the planner, so the distinct added an exchange AQE coalesced
+        # to ~7 partitions and the array_intersect verify of ~1M candidate
+        # pairs ran 3.5× slower (measured 5.8 → 20.8 s at sf0.1). The full
+        # pair key spreads evenly (a single hot new_id cannot skew), and
+        # no window downstream needs a single-column partitioning.
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col("new_id"), F.col("corpus_id"),
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
     )
     v_new = n_sh.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh1"),
                         F.col("_sz").alias("_sz1"))

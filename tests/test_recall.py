@@ -371,10 +371,11 @@ def test_portable_minhash_matches_kpass_formulation(spark):
 
 
 def test_portable_minhash_arrow_engine_bit_identical(spark):
-    """The Arrow signature engine (_minhash_sig_arrow, r12) must produce
-    bit-identical signatures AND bucket keys to the JVM fold — engine
+    """The Arrow signature engines (_minhash_sig_arrow /
+    _minhash_sig_arrow_xx, r12) must produce bit-identical signatures
+    AND bucket keys to the JVM folds for BOTH hash families — engine
     choice can never change a declared query's rows. Covers unicode
-    (multi-byte UTF-8 md5 input), single-shingle docs, and the full
+    (multi-byte UTF-8 hash input), single-shingle docs, and the full
     64-hash width the driver rows use."""
     import os
 
@@ -386,18 +387,61 @@ def test_portable_minhash_arrow_engine_bit_identical(spark):
         "doc_id long, text string",
     )
 
-    def run(engine):
+    def run(engine, portable):
         os.environ["SPARK_GRAFT_MINHASH_ENGINE"] = engine
         try:
             sh, buckets = _minhash_shingles_and_buckets(
                 df, "doc_id", "text", n=5, num_hashes=64, bands=16,
-                portable=True, persist=False,
+                portable=portable, persist=False,
             )
-            return {tuple(r) for r in buckets.collect()}
+            # exact shingle ARRAYS (order included — array_distinct keeps
+            # first occurrence and the persisted sidecar stores them
+            # verbatim) plus the banded bucket rows
+            sh_rows = {(r["_id"], tuple(r["_sh"])) for r in sh.collect()}
+            return sh_rows, {tuple(r) for r in buckets.collect()}
         finally:
             os.environ.pop("SPARK_GRAFT_MINHASH_ENGINE", None)
 
-    assert run("arrow") == run("jvm")
+    for portable in (True, False):
+        assert run("arrow", portable) == run("jvm", portable), portable
+
+
+def test_shingles_arrow_edge_cases_match_jvm(spark):
+    """_shingles_arrow edge semantics == char_shingles + size>0 filter:
+    NULL text drops the row; empty text yields [""]; shorter-than-n
+    yields the whole text; multi-byte/astral code points slice like
+    UTF8String.substring; duplicates keep first-occurrence order."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pgdedupe_spark.operators.dedup import (
+        _fan_out, _shingles_arrow, char_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""), (2, "ab"), (3, "abcde"), (4, "abcdef"),
+            (5, None), (6, "aaaaaaaaaa"), (7, "héllo wörld"),
+            (8, "🎉abc🎊def"), (9, "数据去重数据去重"),
+        ],
+        "doc_id long, text string",
+    )
+    jvm = {
+        (r["_id"], tuple(r["_sh"]))
+        for r in (
+            _fan_out(df, "doc_id")
+            .select(
+                F.col("doc_id").alias("_id"),
+                char_shingles(F.col("text"), 5).alias("_sh"),
+            )
+            .filter(F.size("_sh") > 0)
+        ).collect()
+    }
+    arrow = {
+        (r["_id"], tuple(r["_sh"]))
+        for r in _shingles_arrow(_fan_out(df, "doc_id"), "doc_id", "text", 5).collect()
+    }
+    assert arrow == jvm
 
 
 def test_portable_minhash_pair_recall(spark):
