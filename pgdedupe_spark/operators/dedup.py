@@ -67,11 +67,27 @@ def release_caches() -> int:
     return n
 
 
+def _explicit_parallelism(spark) -> int:
+    """Explicit partition count for the skinny pair/signature exchanges
+    (the AQE tiny-shuffle-coalesce-trap sites, r12 #19/20): the count must
+    be explicit so AQE cannot coalesce it (the downstream verify stage's
+    parallelism is the point), but a bare defaultParallelism caps the
+    exchange at cluster cores regardless of data volume (ADVICE r12) —
+    max(defaultParallelism, spark.sql.shuffle.partitions) follows whichever
+    knob the deployment actually raised. Locally the two are equal, so
+    bench behavior is unchanged."""
+    try:
+        conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001 — conf unreadable: fall back to cores
+        conf_parts = 0
+    return max(spark.sparkContext.defaultParallelism, conf_parts)
+
+
 def _fan_out(df: DataFrame, id_col: str) -> DataFrame:
     """Small parquet inputs arrive as ONE scan partition; shingling /
     signature expressions are the per-row hot loop, so spread rows across
     the cluster first (deterministic hash partitioning on the id)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+    return df.repartition(_explicit_parallelism(df.sparkSession), F.col(id_col))
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
@@ -332,7 +348,7 @@ def _ngram_docs_and_candidates(
         # Keyed on BOTH pair columns: even spread (no hot-doc skew), and
         # no window downstream needs a single-column partitioning.
         .repartition(
-            df.sparkSession.sparkContext.defaultParallelism,
+            _explicit_parallelism(df.sparkSession),
             F.col("id1"), F.col("id2"),
         )
         .dropDuplicates(["id1", "id2"])
@@ -498,10 +514,11 @@ def _shingles_arrow(src: DataFrame, id_col: str, text_col: str, n: int) -> DataF
         for b in it:
             id_arr = b.column(0)
             texts = b.column(1).to_pylist()
-            keep: list[int] = []
+            # every row survives (a NULL text yields [NULL], matching the
+            # JVM projection — see the docstring), so the id column passes
+            # through untouched (ADVICE r12: no take/permutation needed)
             shingles: list[list[str]] = []
-            for r, s in enumerate(texts):
-                keep.append(r)
+            for s in texts:
                 if s is None:
                     shingles.append([None])
                     continue
@@ -514,10 +531,7 @@ def _shingles_arrow(src: DataFrame, id_col: str, text_col: str, n: int) -> DataF
                     )
                 )
             yield pa.RecordBatch.from_arrays(
-                [
-                    id_arr.take(pa.array(keep, pa.int32())),
-                    pa.array(shingles, type=pa.list_(pa.string())),
-                ],
+                [id_arr, pa.array(shingles, type=pa.list_(pa.string()))],
                 names=["_id", "_sh"],
             )
 
@@ -685,9 +699,7 @@ def _minhash_shingles_and_buckets(
         # longs — the lightweight proxy, guide §8) buys back both; the
         # explicit count mirrors _fan_out (defaultParallelism; an
         # AQE-coalescible column repartition would re-create the problem).
-        sig = sig.repartition(
-            df.sparkSession.sparkContext.defaultParallelism, F.col("_id")
-        )
+        sig = sig.repartition(_explicit_parallelism(df.sparkSession), F.col("_id"))
     if persist:
         sig = _persist(sig)
     mh = [
@@ -745,7 +757,14 @@ def minhash_lsh_pairs(
             & (F.col("a._id") < F.col("b._id")),
         )
         .select(F.col("a._id").alias("id1"), F.col("b._id").alias("id2"))
-        .distinct()
+        # r13 (ADVICE r12): the same AQE tiny-shuffle-coalesce hazard the
+        # r12 fixes addressed at four sibling sites — an explicit-count
+        # repartition on BOTH pair columns + dropDuplicates keeps the
+        # array_intersect verify stage below at full parallelism.
+        .repartition(
+            _explicit_parallelism(df.sparkSession), F.col("id1"), F.col("id2")
+        )
+        .dropDuplicates(["id1", "id2"])
     )
     if not verify:
         return cands
@@ -854,7 +873,15 @@ def simhash_pairs(
             F.col("a._sig").alias("_s1"),
             F.col("b._sig").alias("_s2"),
         )
-        .distinct()
+        # r13 (ADVICE r12): same explicit-count pattern as every other pair
+        # dedup — (_s1,_s2) are functionally determined by (id1,id2), so
+        # dropDuplicates on the id pair ≡ the old 4-column distinct. The
+        # downstream hamming filter is row-local and cheap, but the
+        # explicit count keeps the plan shape uniform across the family.
+        .repartition(
+            _explicit_parallelism(a.sparkSession), F.col("id1"), F.col("id2")
+        )
+        .dropDuplicates(["id1", "id2"])
     )
     return (
         cands.withColumn("hamming", F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2"))))
@@ -969,7 +996,7 @@ def incremental_jaccard_pairs(
         # pair key spreads evenly (a single hot new_id cannot skew), and
         # no window downstream needs a single-column partitioning.
         .repartition(
-            corpus.sparkSession.sparkContext.defaultParallelism,
+            _explicit_parallelism(corpus.sparkSession),
             F.col("new_id"), F.col("corpus_id"),
         )
         .dropDuplicates(["new_id", "corpus_id"])
@@ -1181,7 +1208,7 @@ def minhash_pairs_from_index(
     # _fan_out discipline) is not AQE-coalescible.
     def _dedup_pairs(pairs: DataFrame) -> DataFrame:
         return pairs.repartition(
-            spark.sparkContext.defaultParallelism, F.col("id1")
+            _explicit_parallelism(spark), F.col("id1")
         ).dropDuplicates(["id1", "id2"])
 
     if probe is None:

@@ -315,7 +315,10 @@ def gazetteer_fuzzy_match(
     with ``portable=True`` layouts every value is DuckDB-replicable
     (the dedup_minhash_portable device), which is what backs the
     er_gazetteer_fuzzy hash oracle."""
-    from pgdedupe_spark.operators.dedup import _minhash_shingles_and_buckets
+    from pgdedupe_spark.operators.dedup import (
+        _explicit_parallelism,
+        _minhash_shingles_and_buckets,
+    )
 
     meta = spark.read.parquet(index_path + "/meta").collect()[0]
     id_col = str(meta.id_col)
@@ -346,9 +349,7 @@ def gazetteer_fuzzy_match(
         bbk.withColumnRenamed("_id", batch_id)
         .join(idx_bk, ["_band", "_bkey"])
         .select(batch_id, "gaz_id")
-        .repartition(
-            spark.sparkContext.defaultParallelism, F.col(batch_id)
-        )
+        .repartition(_explicit_parallelism(spark), F.col(batch_id))
         .dropDuplicates([batch_id, "gaz_id"])
     )
     idx_sh = spark.read.parquet(index_path + "/shingles").select(

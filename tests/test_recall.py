@@ -408,9 +408,12 @@ def test_portable_minhash_arrow_engine_bit_identical(spark):
 
 def test_shingles_arrow_edge_cases_match_jvm(spark):
     """_shingles_arrow edge semantics == char_shingles + size>0 filter:
-    NULL text drops the row; empty text yields [""]; shorter-than-n
-    yields the whole text; multi-byte/astral code points slice like
-    UTF8String.substring; duplicates keep first-occurrence order."""
+    NULL text SURVIVES as a one-element [NULL] shingle array (length(NULL)
+    is NULL, greatest skips it, substring(NULL,..) is NULL — so the size>0
+    filter keeps the row; see _shingles_arrow's docstring); empty text
+    yields [""]; shorter-than-n yields the whole text; multi-byte/astral
+    code points slice like UTF8String.substring; duplicates keep
+    first-occurrence order."""
     import os
 
     from pyspark.sql import functions as F
