@@ -65,43 +65,78 @@ def fit_centroids(
     """The Lloyd's fit loop over a pre-quantized ``(_id, _iv)`` frame —
     returns the FINAL integer centroids. Extracted so prototype scoring
     shares the identical fit bit-for-bit with kmeans_exact."""
-    if init is None:
-        seed_rows = iv.orderBy("_id").limit(k).collect()
-        if len(seed_rows) < k:
-            raise ValueError(f"need >= {k} vectors to seed {k} clusters")
-        centroids = [list(r["_iv"]) for r in sorted(seed_rows, key=lambda r: r["_id"])]
-    else:
-        if len(init) != k:
-            raise ValueError("init must supply exactly k centroids")
-        centroids = [list(c) for c in init]
+    # r13 (guide §5, VERDICT r12 #6): the fit loop takes `iterations` + 1
+    # full passes over the corpus (seed collect + one stats aggregate per
+    # Lloyd round). One persist turns that into ONE source scan + cached
+    # reads — at 100 TB that is the difference between re-reading and
+    # re-quantizing the corpus per round and reading a columnar cache.
+    # The cache is released before returning (SCALE.md rule 7): callers'
+    # final assignment projection recomputes from source (one more scan —
+    # exactly what the uncached code paid anyway).
+    n_passes = (1 if init is None else 0) + iterations
+    cached = n_passes >= 2
+    if cached:
+        iv = iv.persist()
+    try:
+        if init is None:
+            seed_rows = iv.orderBy("_id").limit(k).collect()
+            if len(seed_rows) < k:
+                raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+            centroids = [
+                list(r["_iv"]) for r in sorted(seed_rows, key=lambda r: r["_id"])
+            ]
+        else:
+            if len(init) != k:
+                raise ValueError("init must supply exactly k centroids")
+            centroids = [list(c) for c in init]
 
-    def assign_expr(cents: list[list[int]]) -> Column:
-        return _assign_struct_expr(cents).getField("c")
+        def assign_expr(cents: list[list[int]]) -> Column:
+            return _assign_struct_expr(cents).getField("c")
 
-    for _ in range(iterations):
-        assigned = iv.withColumn("cluster", assign_expr(centroids))
-        stats = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.element_at("_iv", d + 1)).alias(f"_s{d}")
-                for d in range(dim)
-            ],
-        ).collect()  # bounded: <= k rows
-        by_cid = {r["cluster"]: r for r in stats}
-        new_centroids = []
-        for cid in range(k):
-            r = by_cid.get(cid)
-            if r is None:
-                new_centroids.append(centroids[cid])  # empty cluster: keep
-            else:
-                n = r["_n"]
-                # truncating integer division — Spark `div` ≡ DuckDB `//`
-                new_centroids.append(
-                    [int(r[f"_s{d}"]) // n if r[f"_s{d}"] >= 0
-                     else -((-int(r[f"_s{d}"])) // n)
-                     for d in range(dim)]
-                )
-        centroids = new_centroids
+        for _ in range(iterations):
+            assigned = iv.withColumn("cluster", assign_expr(centroids))
+            # r13: per-dimension sums via ONE posexplode + a (cluster, dim)
+            # hash aggregate instead of a 64-column wide aggregate — the
+            # wide plan's analysis + codegen cost ~1 s per round regardless
+            # of data volume (measured: wide-agg 0.81-1.93 s vs explode
+            # 0.35-1.47 s per round at sf0.1, bit-identical sums — BIGINT
+            # addition is order-free). Vectors are fixed-dim by the
+            # operator contract (``dim`` is a required fit parameter);
+            # positions past ``dim`` are filtered exactly like the wide
+            # aggregate ignored them, and ``_n`` (the divisor) comes from
+            # the d=0 group — the per-cluster row count for any input the
+            # wide form did not itself crash on.
+            stats = (
+                assigned.select("cluster", F.posexplode("_iv").alias("_d", "_x"))
+                .filter(F.col("_d") < dim)
+                .groupBy("cluster", "_d")
+                .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
+            )  # bounded: <= k * dim rows
+            sums: dict[int, list] = {}
+            counts: dict[int, int] = {}
+            for r in stats:
+                cid = r["cluster"]
+                sums.setdefault(cid, [None] * dim)[r["_d"]] = r["_s"]
+                if r["_d"] == 0:
+                    counts[cid] = r["_n"]
+            new_centroids = []
+            for cid in range(k):
+                if cid not in counts:
+                    new_centroids.append(centroids[cid])  # empty cluster: keep
+                else:
+                    n = counts[cid]
+                    s_row = sums[cid]
+                    # truncating integer division — Spark `div` ≡ DuckDB `//`
+                    new_centroids.append(
+                        [int(s_row[d]) // n if s_row[d] >= 0
+                         else -((-int(s_row[d])) // n)
+                         for d in range(dim)]
+                    )
+            centroids = new_centroids
+    finally:
+        if cached:
+            iv.unpersist()
 
     return centroids
 
@@ -262,6 +297,14 @@ def prototype_prune(
         wn = Window.partitionBy("cluster").orderBy(
             F.desc("proto_dist"), F.asc(id_col)
         )
+        # r13 negative result (guide §1.1, recorded so it isn't
+        # re-attempted): folding the per-cluster count into a second
+        # partition-only Window (removing the counts aggregate + broadcast
+        # join and one declared scores pass) measured FLAT at sf0.1
+        # (4.40 → 4.44 warm) — post-JIT the extra scores pass is cheap and
+        # the second Window operator costs what the join saved. Reverted;
+        # the groupBy+broadcast-join shape stays (one Window, pinned in
+        # tests/test_prototype.py::test_plan_pins).
         counts = scores.groupBy("cluster").agg(F.count(F.lit(1)).alias("_n"))
         ranked = scores.withColumn("hard_rank", F.row_number().over(wn).cast("long"))
         # ceil(_n * keep_pct / 100) with keep_pct quantized to 1e-4 %:
