@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from pgdedupe_spark.operators.dedup import _explicit_parallelism
 from pgdedupe_spark.sources.io import local_sidecar_df
 
 
@@ -202,18 +203,35 @@ def lsh_cosine_topk(
     you'd persist partitioned by (table, bucket) — see
     :func:`write_lsh_index` / :func:`lsh_topk_from_index`."""
     table_planes = _table_planes(dim, n_planes, n_tables, seed, plane_scale)
-    bucketed = _bucketize(embeddings, id_col, vec_col, table_planes)
 
-    q = bucketed.filter(F.expr(query_filter)).select(
-        F.col(id_col).alias("query_id"), "table", "bucket"
-    )
+    # r13: bucketize the QUERY side from the pre-filtered frame instead of
+    # filtering the corpus-wide bucket frame. Under the JVM engine the two
+    # are the same plan (the filter pushed below the projection); under the
+    # Arrow engine a filter cannot push below mapInArrow, so the old shape
+    # would have paid a second full-corpus bucketize for the handful of
+    # query rows. Stateless hashes: same expressions over the same rows
+    # give the same buckets either way.
+    q = _bucketize(
+        embeddings.filter(F.expr(query_filter)), id_col, vec_col, table_planes
+    ).select(F.col(id_col).alias("query_id"), "table", "bucket")
     q = _widen_probes(q, n_flip_probes, n_planes)
-    c = bucketed.select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
+    c = _bucketize(embeddings, id_col, vec_col, table_planes).select(
+        F.col(id_col).alias("neighbor_id"), "table", "bucket"
+    )
     cand = (
         q.join(c, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
+        # r13 (the dedup-family pattern, r12 #19/20): explicit-count
+        # repartition + dropDuplicates instead of `.distinct()` — the pair
+        # shuffle is two longs/row, so AQE would coalesce the distinct's
+        # exchange and under-parallelize the exact re-rank downstream.
+        .repartition(
+            _explicit_parallelism(embeddings.sparkSession),
+            F.col("query_id"),
+            F.col("neighbor_id"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
 
@@ -240,10 +258,78 @@ def _table_planes(
     return planes
 
 
-def _bucketize(
+def _bucketize_arrow(
     embeddings: DataFrame, id_col: str, vec_col: str, table_planes: list[np.ndarray]
 ) -> DataFrame:
+    """Arrow twin of :func:`_bucketize` (r13, guide §4.2 — the same
+    treatment the PQ encode/IVF assign got in r12): the L×b sign-pattern
+    projections are interpreted higher-order folds on the JVM (~2k
+    interpreted multiply-adds per row for the 8-table default — the
+    dominant per-row cost of the LSH family), but one numpy pass per
+    table computes them vectorized. Bit-identical by construction:
+
+    * products: ``x * y`` with x from the vector (long→double promotion
+      is exact below 2^53, same as the JVM's implicit cast) and y the
+      float64 plane component — one IEEE multiply either way;
+    * projection: LEFT-CHAINED IEEE adds via :func:`_chain_sum`, exactly
+      the ``aggregate(…, 0.0, (acc,x) -> acc+x)`` fold order (0.0+t0 is
+      bit-exact t0);
+    * bucket id: sum of ``1<<b`` over ``proj > 0`` bits — exact integer.
+
+    Parity pinned in tests/test_lsh_index.py (both integer-scaled planes
+    over quantized vectors and raw Gaussian planes over float vectors).
+    """
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    planes = [np.asarray(p, dtype=np.float64) for p in table_planes]
+    dim = planes[0].shape[1]
+    n_tables = len(planes)
+    pow2 = [np.asarray([1 << b for b in range(p.shape[0])], dtype=np.int64) for p in planes]
+    out_schema = T.StructType(
+        [
+            embeddings.schema[id_col],
+            T.StructField("table", T.IntegerType(), False),
+            T.StructField("bucket", T.IntegerType(), False),
+        ]
+    )
+
+    def batches(it):
+        for b in it:
+            id_arr = b.column(0)
+            n = len(id_arr)
+            if n == 0:
+                continue
+            v = _vec_matrix(b.column(1), dim)
+            buckets = np.empty((n, n_tables), dtype=np.int32)
+            for t, p in enumerate(planes):
+                # (n, planes, dim) product tensor; left-chained add along dim
+                terms = v[:, None, :] * p[None, :, :]
+                proj = _chain_sum(terms, axis=2)
+                buckets[:, t] = ((proj > 0).astype(np.int64) * pow2[t][None, :]).sum(axis=1)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tables))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    id_arr.take(idx),
+                    pa.array(np.tile(np.arange(n_tables, dtype=np.int32), n)),
+                    pa.array(buckets.ravel()),
+                ],
+                names=[id_col, "table", "bucket"],
+            )
+
+    return embeddings.select(id_col, vec_col).mapInArrow(batches, schema=out_schema)
+
+
+def _bucketize(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    table_planes: list[np.ndarray],
+    engine: str | None = None,
+) -> DataFrame:
     """One scan → (id, table, bucket) rows for every table."""
+    if _ann_engine(engine) == "arrow":
+        return _bucketize_arrow(embeddings, id_col, vec_col, table_planes)
     buckets = F.array(*[_bucket_expr(vec_col, p) for p in table_planes])
     return embeddings.select(
         F.col(id_col), F.posexplode(buckets).alias("table", "bucket")
@@ -397,7 +483,12 @@ def lsh_topk_from_index(
         q.join(idx.withColumnRenamed(str(m.id_col), "neighbor_id"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .distinct()
+        # r13: same explicit-count pair dedup as the in-memory path (the
+        # AQE tiny-shuffle-coalesce hazard — r12 #19/20)
+        .repartition(
+            _explicit_parallelism(spark), F.col("query_id"), F.col("neighbor_id")
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _score_topk(embeddings, id_col, vec_col, cand, k, query_filter)
 

@@ -201,3 +201,29 @@ def test_minhash_index_band_scan_is_partition_pruned(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and any("PartitionFilters: [" in ln and "_band" in ln for ln in scans), plan[:1500]
+
+
+def test_bucketize_arrow_engine_bit_identical(spark):
+    """r13: the Arrow bucketize twin must reproduce the JVM sign-pattern
+    buckets bit-for-bit — integer-scaled planes over quantized vectors
+    (the oracle family) AND raw Gaussian planes over float vectors (the
+    stress probe regime, where only the exact left-chained IEEE fold
+    order keeps near-zero projections on the same side of zero)."""
+    from pgdedupe_spark.operators.similarity import _bucketize, _table_planes
+    from pgdedupe_spark.registry import _quantized_embeddings
+    from pgdedupe_spark.corpus import hash_embeddings
+
+    qe = _quantized_embeddings(spark, "/root/testdata/sf0.001")
+    fe = hash_embeddings(spark, n_vecs=400, dim=64)
+    for emb, scale in ((qe, 1000), (fe, None)):
+        planes = _table_planes(64, 4, 8, 42, scale)
+        rows_a = {
+            tuple(r)
+            for r in _bucketize(emb, "vec_id", "embedding", planes, engine="arrow").collect()
+        }
+        rows_j = {
+            tuple(r)
+            for r in _bucketize(emb, "vec_id", "embedding", planes, engine="jvm").collect()
+        }
+        assert rows_a == rows_j
+        assert len(rows_a) == emb.count() * 8
