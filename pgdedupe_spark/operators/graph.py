@@ -30,8 +30,32 @@ set are computed once and persisted. Lineage is truncated with
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# logical-plan nodes whose recompute is free of I/O and shuffles: a frame
+# built ONLY from these re-derives per round for less than a columnar
+# cache build + scan costs (see the persist gate in :func:`pagerank`)
+_CHEAP_PLAN_NODES = frozenset(
+    {"Project", "Filter", "Range", "LocalRelation", "SubqueryAlias",
+     "Union", "OneRowRelation"}
+)
+
+
+def _cheap_lineage(df: DataFrame) -> bool:
+    """True when every node of ``df``'s optimized logical plan is a pure
+    in-plan synthesis (Range/LocalRelation + narrow ops) — recomputing it
+    does no I/O and crosses no exchange. Used only to pick a caching
+    strategy; a wrong answer costs speed, never correctness."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # noqa: BLE001 — unknown plan: treat as expensive
+        return False
+    nodes = re.findall(r"^[\s:+\-*(0-9)]*([A-Za-z]+)", plan, flags=re.M)
+    return bool(nodes) and all(n in _CHEAP_PLAN_NODES for n in nodes)
 
 
 def pagerank(
@@ -74,11 +98,26 @@ def pagerank(
     # edge join runs exchange-free. verts comes out of distinct() already
     # hash-partitioned on v, which the final contribution join reuses.
     # Partition counts follow spark.sql.shuffle.partitions (scale-adaptive).
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .repartition("src")
-        .persist()
-    )
+    #
+    # r13 (VERDICT r12 #5): the persist is GATED on lineage cost. For a
+    # purely synthetic edge frame (Range + narrow ops — the
+    # pagerank_scale_probe regime) re-deriving the edges per round is
+    # nearly free and the vertex-sized join side broadcasts under AQE, so
+    # the columnar cache build + per-round cache scans are pure overhead
+    # (builder A/B measured the r12 persist flat-to-worse at probe scale,
+    # 18.6 → 22.0 s). Any frame with real lineage — a file scan, a join,
+    # an exchange — keeps the r12 treatment (the sf0.1 2.8× win).
+    # ``SPARK_GRAFT_PAGERANK_PERSIST=always|never`` overrides the gate
+    # (e.g. a huge synthetic graph whose vertex frames cannot broadcast).
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    mode = os.environ.get("SPARK_GRAFT_PAGERANK_PERSIST", "auto")
+    if mode == "always":
+        persist_edges = True
+    elif mode == "never":
+        persist_edges = False
+    else:
+        persist_edges = not _cheap_lineage(raw)
+    e = raw.repartition("src").persist() if persist_edges else raw
     verts = (
         e.select(F.col("src").alias("v"))
         .unionByName(e.select(F.col("dst").alias("v")))

@@ -160,3 +160,38 @@ def test_pagerank_inline_dangling_matches_and_drops_driver_barriers(spark):
     assert inline == collected
     assert n_inline_collects == 0, n_inline_collects
     assert n_collect_collects == 4, n_collect_collects  # one per round
+
+
+def test_pagerank_persist_gate_and_parity(spark):
+    """r13 (VERDICT r12 #5): the edge persist is gated on lineage cost —
+    purely synthetic frames (Range + narrow ops) skip the cache, frames
+    with real lineage keep the r12 repartition+persist treatment — and
+    ranks are identical across every gate setting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pgdedupe_spark.operators.graph import _cheap_lineage, pagerank
+
+    synth = spark.range(64).select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % 64).alias("dst")
+    )
+    assert _cheap_lineage(synth) is True
+    pq = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst")
+    )
+    assert _cheap_lineage(pq) is False
+
+    def ranks(df, mode):
+        if mode is None:
+            os.environ.pop("SPARK_GRAFT_PAGERANK_PERSIST", None)
+        else:
+            os.environ["SPARK_GRAFT_PAGERANK_PERSIST"] = mode
+        try:
+            return sorted(tuple(r) for r in pagerank(df, iterations=2).collect())
+        finally:
+            os.environ.pop("SPARK_GRAFT_PAGERANK_PERSIST", None)
+
+    assert ranks(synth, None) == ranks(synth, "always") == ranks(synth, "never")
+    small_pq = pq.limit(200)
+    assert ranks(small_pq, None) == ranks(small_pq, "never")
