@@ -186,6 +186,11 @@ _BENCH_ONLY = {
     "dedup_scale_probe",
     "llm_prep_scale_probe",
     "multimodal_scale_probe",
+    # r13: streaming-tier probe — the streaming machinery (availableNow
+    # micro-batches, stateful foreachBatch) is not DuckDB-reproducible;
+    # correctness rides in-band (stream≡batch self-check columns) and is
+    # pytest-pinned (tests/test_streaming.py), like every other probe
+    "streaming_dedup_probe",
 }
 
 

@@ -8563,3 +8563,121 @@ def er_gazetteer_fuzzy(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" qz")).alias("text"),
     )
     return gazetteer_fuzzy_match(spark, path, batch, "new_id", threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# r13: streaming-tier bench probe (VERDICT r12 #9 — streaming/ops.py was the
+# only operator tier with no timed bench row, so the optimization rounds
+# could not see its cost).
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_dedup_probe")
+def streaming_dedup_probe(spark, sf_dir):
+    """Bench-only probe timing the streaming tier end to end, with the
+    tier's own correctness contract (stream ≡ batch) riding in-band:
+
+    1. REAL availableNow file-source stream — the watermarked hourly
+       rollup over the events parquet driven through a memory sink in
+       complete mode, self-checked for exact multiset equality against
+       the batch twin on the same rows (``rollup_only_stream`` /
+       ``rollup_only_batch`` must be 0).
+    2. STATEFUL foreachBatch incremental dedup — the documents corpus
+       arrives as 4 deterministic epochs (``pmod(doc_id, 4)``) against a
+       fresh per-invocation state store (Bloom-delta + key + flags
+       layers, streaming/ops.incremental_dedup_stream); self-check =
+       the flags layer equals the batch first-wins reference ("dup iff
+       an earlier-arriving doc shares the normalized text", arrival
+       order (epoch, doc_id)) for every doc (``dedup_mismatches`` 0).
+
+    State is a fresh ``tempfile.mkdtemp`` removed before returning —
+    every invocation computes from the parquet inputs alone (no
+    cross-run reuse; the memory-sink table is dropped too)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as _W  # noqa: F401 (parity with siblings)
+
+    from pgdedupe_spark.operators.dedup import normalize_text
+    from pgdedupe_spark.streaming.ops import (
+        hourly_rollup_stream,
+        incremental_dedup_stream,
+        read_events_stream,
+        run_to_memory_table,
+    )
+
+    # -- 1. real stream: watermarked hourly rollup, stream/batch parity --
+    tbl = f"probe_rollup_{uuid.uuid4().hex[:8]}"
+    got = run_to_memory_table(
+        hourly_rollup_stream(read_events_stream(spark, sf_dir)),
+        tbl,
+        output_mode="complete",
+    )
+    from pgdedupe_spark.streaming.ops import event_time_col
+
+    ev = _t(spark, sf_dir, "events")
+    ev_t = ev.withColumn(
+        "event_time", event_time_col(ev.schema["ts"].dataType.simpleString())
+    )
+    want = ev_t.groupBy(
+        F.date_trunc("hour", "event_time").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+    cols = ["hour_start", "event_type", "n_events", "sum_value"]
+    only_stream = got.select(cols).exceptAll(want.select(cols)).count()
+    only_batch = want.select(cols).exceptAll(got.select(cols)).count()
+    rollup_rows = got.count()
+    spark.catalog.dropTempView(tbl)
+
+    # -- 2. stateful foreachBatch incremental dedup over 4 epochs --
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="streaming_dedup_probe_")
+    try:
+        fn = incremental_dedup_stream(None, store, "doc_id", "text", 1 << 20, 5)
+        for e in range(4):
+            fn(docs.filter(F.pmod("doc_id", F.lit(4)) == e), e)
+        flags = spark.read.parquet(f"{store}/flags")
+        arr = docs.select(
+            "doc_id",
+            F.pmod("doc_id", F.lit(4)).alias("_e"),
+            normalize_text(F.col("text")).alias("_norm"),
+        )
+        intro = arr.groupBy("_norm").agg(
+            F.min(F.struct("_e", "doc_id")).alias("_intro")
+        )
+        ref = arr.join(intro, "_norm").select(
+            "doc_id",
+            (F.struct("_e", "doc_id") != F.col("_intro")).alias("_dup_ref"),
+            F.when(
+                F.struct("_e", "doc_id") != F.col("_intro"),
+                F.col("_intro.doc_id"),
+            ).alias("_cid_ref"),
+        )
+        joined = flags.join(ref, "doc_id")
+        dedup_mismatches = joined.filter(
+            (F.col("is_dup") != F.col("_dup_ref"))
+            | ~F.col("corpus_id").eqNullSafe(F.col("_cid_ref"))
+        ).count()
+        n_docs = flags.count()
+        n_dups = flags.filter("is_dup").count()
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                int(rollup_rows),
+                int(only_stream),
+                int(only_batch),
+                int(n_docs),
+                int(n_dups),
+                int(dedup_mismatches),
+                4,
+            )
+        ],
+        "rollup_rows long, rollup_only_stream long, rollup_only_batch long, "
+        "n_docs long, n_dups long, dedup_mismatches long, epochs int",
+    )

@@ -918,3 +918,18 @@ def test_gazetteer_stream_within_batch_both_canonicalize(spark, tmp_path):
     fn(b2, 1)
     m = spark.read.parquet(f"{store}/matches").filter("epoch = 1").collect()
     assert len(m) == 1 and m[0].gaz_id == 400  # exact tie → ascending gaz_id
+
+
+def test_streaming_dedup_probe_self_checks(spark):
+    """The r13 bench probe's in-band self-checks must all be clean:
+    stream ≡ batch for the rollup (both exceptAll counts 0) and the
+    foreachBatch incremental dedup must match the batch first-wins
+    reference for every doc."""
+    from pgdedupe_spark import registry
+
+    row = registry.QUERIES["streaming_dedup_probe"](spark, SF_DIR).collect()[0]
+    assert row.rollup_only_stream == 0
+    assert row.rollup_only_batch == 0
+    assert row.dedup_mismatches == 0
+    assert row.n_docs > 0
+    assert row.rollup_rows > 0
