@@ -673,6 +673,12 @@ def _compact_summary_line(out: dict, budget: int = 1900) -> str:
             return round(v, 1)
         return round(v, 2)
 
+    # both precision tiers are tried and the one carrying MORE rows wins
+    # (ties prefer the finer tier): at 1898/1900 chars tier 1's greedy
+    # fill can strand a long-named slow new row (streaming_dedup_probe,
+    # 29 chars) while a short fast name slips in — the driver then never
+    # sees the new row at all, and it misses the next round's kept set.
+    best = None
     for tier in (1, 2):
         qq = {k: _fmt(v, tier) for k, v in out["queries"].items()}
         kept = {k: qq[k] for k in qq if k in prev_kept}
@@ -691,7 +697,10 @@ def _compact_summary_line(out: dict, budget: int = 1900) -> str:
             if len(tline) <= budget:
                 slim["queries"] = trial
                 line = tline
-        return line
+        if best is None or len(slim["queries"]) > best[0]:
+            best = (len(slim["queries"]), line)
+    if best is not None:
+        return best[1]
     # last resort (the previous kept set alone exceeds the budget even at
     # coarse precision): keep the slowest rows — the pre-r13 behavior
     by_time = sorted(

@@ -96,3 +96,21 @@ def test_compact_line_survives_errored_none_rows():
     line = bench._compact_summary_line(_fake_out(queries))
     assert len(line) <= 1900
     json.loads(line)
+
+
+def test_compact_line_prefers_slow_new_row_over_fast_short_names():
+    """r13 regression pin: with the budget nearly exhausted by the
+    previous kept set, tier-1 precision could strand a long-named SLOW
+    new row (streaming_dedup_probe, 29 chars) while a short fast name
+    slipped into the 2-char slack — the driver then never saw the new
+    probe. The tier scan must pick the precision that carries more rows,
+    so the slow new row always outranks faster fill."""
+    prev = bench._prev_artifact_kept_set()
+    queries = {name: 3.456 for name in prev}
+    queries["streaming_dedup_probe_xx"] = 9.401  # long name, slow row
+    queries.update({f"q{i:02d}": 0.31 for i in range(40)})  # short + fast
+    line = bench._compact_summary_line(_fake_out(queries))
+    parsed = json.loads(line)
+    assert len(line) <= 1900
+    assert "streaming_dedup_probe_xx" in parsed["queries"], parsed["queries"]
+    assert not (prev - set(parsed["queries"]))
